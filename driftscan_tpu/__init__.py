@@ -1,0 +1,28 @@
+"""driftscan_tpu — a TPU-native m-mode transit interferometry framework.
+
+A from-scratch rebuild (in JAX/XLA/Pallas) of the capabilities of
+``radiocosmology/driftscan``: telescope modelling, beam-transfer-matrix
+generation via on-device spherical harmonic transforms, per-m SVD
+compression, Karhunen-Loeve foreground filtering, quadratic power spectrum
+estimation and a timestream pipeline.
+
+Design stance (see SURVEY.md section 7): single-controller JAX replaces the
+reference's SPMD-MPI model.  Work that the reference distributes as
+"per-m loops over MPI ranks" becomes batched, padded, mesh-sharded array
+programs; the YAML config schema, CLI entry points and HDF5 product layout
+of the reference are preserved for compatibility.
+
+Precision: the reference computes everything in complex128
+(drift/core/telescope.py:814 and throughout).  We enable x64 in JAX by
+default; set DRIFTSCAN_TPU_X64=0 to run in single precision (faster on TPU
+for stages that tolerate it).
+"""
+
+import os
+
+import jax
+
+if os.environ.get("DRIFTSCAN_TPU_X64", "1") != "0":
+    jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

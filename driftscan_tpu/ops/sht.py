@@ -1,0 +1,481 @@
+"""Batched spherical harmonic transforms on TPU.
+
+This replaces libsharp/healpy (used by the reference through
+``cora.util.hputil`` at /root/reference/drift/core/telescope.py:1189,1300
+and /root/reference/drift/pipeline/timestream.py:262,295,451,717) with a
+from-scratch JAX implementation designed around the MXU:
+
+* ring phase stage — ``F_m(r) = sum_{p in ring r} f(p) e^{-i m phi_p}`` is
+  evaluated as a batch-of-rings complex matmul ``(B, j) @ (j, m)`` over the
+  padded (ring, slot) pixel layout, chunked over m to bound memory;
+* Legendre stage — ``a_lm = Omega_pix sum_r lambda_lm(theta_r) F_m(r)`` is
+  a per-m ``(l, ring) @ (ring, B)`` matmul.  The normalised associated
+  Legendre functions are generated on device by the standard three-term
+  recurrence in l, vectorised over (m-chunk, ring), with dynamic rescaling
+  ("extended range" trick) so polar rings at large m neither underflow nor
+  poison the upward recurrence.
+
+Conventions: Condon-Shortley phase, orthonormal (healpy-compatible)
+harmonics, so ``Y_{l,-m} = (-1)^m conj(Y_lm)`` — the identity the m-mode
+packing relies on (/root/reference/drift/core/beamtransfer.py:620-624).
+
+Quadrature is equal-area pixel weighting (a_lm ~= Omega_pix * sum_p f Y*);
+optional Jacobi iterations refine it like healpy's ``iter`` parameter.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .healpix import RingGeometry, nside_for_lmax, ring_geometry
+
+# Rescaling bounds for the Legendre recurrence
+_BIG = 1e200
+_SMALL = 1e-200
+_LOG_BIG = float(np.log(_BIG))
+
+
+@functools.lru_cache(maxsize=64)
+def _log_lambda_mm_prefactor(mmax: int) -> np.ndarray:
+    """log lambda_mm(theta) = pref[m] + m*log(sin theta); sign is (-1)^m."""
+    m = np.arange(mmax + 1, dtype=np.float64)
+    ratio = np.zeros(mmax + 1)
+    if mmax > 0:
+        k = np.arange(1, mmax + 1, dtype=np.float64)
+        ratio[1:] = np.cumsum(np.log((2 * k - 1) / (2 * k)))
+    return 0.5 * (np.log((2 * m + 1) / (4 * np.pi)) + ratio)
+
+
+def _legendre_chunk(mvals, cos_t, sin_t, lmax: int, logpref):
+    """Normalised associated Legendre table for a chunk of m values.
+
+    Parameters
+    ----------
+    mvals : (mc,) int32
+        The m values of this chunk (may include padding entries > lmax,
+        which produce zero rows).
+    cos_t, sin_t : (nring,) float64
+    lmax : static int
+    logpref : (mmax+1,) float64 table from :func:`_log_lambda_mm_prefactor`.
+
+    Returns
+    -------
+    lam : (lmax+1, mc, nring) float64
+        ``lam[l, i, r] = lambda_{l, mvals[i]}(theta_r)`` (0 for l < m).
+    """
+    mc = mvals.shape[0]
+    nring = cos_t.shape[0]
+    f64 = jnp.float64
+
+    m_f = mvals.astype(f64)[:, None]  # (mc, 1)
+    x = cos_t[None, :].astype(f64)  # (1, nring)
+    log_sin = jnp.log(jnp.maximum(sin_t, 1e-300))[None, :].astype(f64)
+
+    # log lambda_mm per (m, ring); sign (-1)^m
+    safe_m = jnp.clip(mvals, 0, logpref.shape[0] - 1)
+    log_lmm = logpref[safe_m][:, None] + m_f * log_sin  # (mc, nring)
+    sign = jnp.where(mvals[:, None] % 2 == 0, 1.0, -1.0).astype(f64)
+
+    ls = jnp.arange(lmax + 1)
+
+    def step(carry, l):
+        u0, u1, s = carry  # lambda_{l-2}, lambda_{l-1} mantissas, log-scale
+        l_f = l.astype(f64)
+
+        # Recurrence coefficients (guard the l<=m region against div-by-0)
+        denom = jnp.maximum(l_f * l_f - m_f * m_f, 1.0)
+        a = jnp.sqrt(jnp.maximum(4.0 * l_f * l_f - 1.0, 0.0) / denom)
+        b = jnp.sqrt(
+            jnp.maximum((l_f - 1.0) ** 2 - m_f * m_f, 0.0)
+            / jnp.maximum(4.0 * (l_f - 1.0) ** 2 - 1.0, 1.0)
+        )
+        u_rec = a * (x * u1 - b * u0)
+
+        is_seed = l == mvals[:, None]  # (mc, 1) broadcasting over rings
+        is_next = l == mvals[:, None] + 1
+        below = l < mvals[:, None]
+
+        # Seed: mantissa = sign, scale = log|lambda_mm|
+        u_new = jnp.where(
+            is_seed,
+            sign * jnp.ones_like(u_rec),
+            jnp.where(is_next, x * jnp.sqrt(2.0 * m_f + 3.0) * u1, u_rec),
+        )
+        u_new = jnp.where(below, 0.0, u_new)
+        s_new = jnp.where(is_seed, log_lmm, s)
+
+        # Rescale to keep mantissas in range
+        mx = jnp.maximum(jnp.abs(u_new), jnp.abs(u1))
+        up = mx > _BIG
+        down = (mx > 0.0) & (mx < _SMALL)
+        factor = jnp.where(up, _SMALL, jnp.where(down, _BIG, 1.0))
+        dlog = jnp.where(up, _LOG_BIG, jnp.where(down, -_LOG_BIG, 0.0))
+
+        u1_out = u_new * factor
+        # Previous-value mantissa: below the seed the carry is all zeros, so
+        # this is consistent at the seed step too (u1 == 0 there).
+        u0_out = u1 * factor
+        s_out = s_new + dlog
+
+        # Emit the true value: u * exp(s), with a split exponential so
+        # intermediate scales down to ~1e-600 still evaluate correctly.
+        half = jnp.exp(0.5 * s_out)
+        lam_l = (u1_out * half) * half
+
+        return (u0_out, u1_out, s_out), lam_l
+
+    zeros = jnp.zeros((mc, nring), dtype=f64)
+    init = (zeros, zeros, jnp.full((mc, nring), -1e6, dtype=f64))
+    _, lam = jax.lax.scan(step, init, ls)
+    return lam  # (lmax+1, mc, nring)
+
+
+def _chunk_size(nring: int, maxlen: int, nm: int, budget_bytes: int = 1 << 27) -> int:
+    """m-chunk size keeping the phase tensor under ~budget_bytes."""
+    per_m = nring * maxlen * 16
+    mc = max(8, min(nm, budget_bytes // max(per_m, 1)))
+    return int(mc)
+
+
+def _pad_rings(maps, geom: RingGeometry):
+    """Gather (..., npix) maps into the padded (..., nring, maxlen) layout."""
+    idx = jnp.asarray(geom.pix_index)
+    mask = jnp.asarray(geom.mask)
+    padded = jnp.take(maps, idx, axis=-1)
+    return padded * mask.astype(padded.real.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nside", "lmax", "mmax", "neg_m", "real_field")
+)
+def _analysis(maps, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: bool):
+    """Core forward SHT.
+
+    Parameters
+    ----------
+    maps : (B, npix) real or complex
+    neg_m : also compute the negative-m coefficients (required for complex
+        fields; for real fields they follow from conjugation).
+
+    Returns
+    -------
+    alm_pos : (B, lmax+1, mmax+1) complex — coefficients for m >= 0
+    alm_neg : (B, lmax+1, mmax) complex or None — coefficients for
+        m = -1, -2, ..., -mmax (only if ``neg_m``)
+    """
+    geom = ring_geometry(nside)
+    cdtype = jnp.complex128 if maps.dtype.itemsize >= 8 else jnp.complex64
+    rdtype = jnp.float64 if maps.dtype.itemsize >= 8 else jnp.float32
+
+    padded = _pad_rings(maps, geom).astype(cdtype)  # (B, nring, maxlen)
+    phi = jnp.asarray(geom.phi)  # (nring, maxlen) f64
+    mask = jnp.asarray(geom.mask)
+    cos_t = jnp.asarray(geom.cos_theta)
+    sin_t = jnp.asarray(geom.sin_theta)
+    logpref = jnp.asarray(_log_lambda_mm_prefactor(lmax))
+
+    nm = mmax + 1
+    mc = _chunk_size(geom.nring, geom.maxlen, nm)
+    nchunks = (nm + mc - 1) // mc
+    m_padded = np.arange(nchunks * mc, dtype=np.int64)
+    m_chunks = jnp.asarray(m_padded.reshape(nchunks, mc))
+
+    pixarea = jnp.asarray(geom.pixarea, dtype=rdtype)
+
+    def chunk_fn(_, mv):
+        # Phase stage: F[b, i, r] = sum_j padded[b, r, j] exp(-i m_i phi_rj)
+        phase = mv[:, None, None].astype(jnp.float64) * phi[None, :, :]
+        e_neg = (jnp.cos(phase) - 1j * jnp.sin(phase)) * mask[None]
+        e_neg = e_neg.astype(cdtype)  # (mc, nring, maxlen)
+        F = jnp.einsum("brj,mrj->bmr", padded, e_neg)
+        lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
+        # Legendre stage: a[b, l, i] = Omega * sum_r lam[l, i, r] F[b, i, r]
+        a_pos = pixarea * jnp.einsum("lmr,bmr->blm", lam, F)
+        if neg_m:
+            G = jnp.einsum("brj,mrj->bmr", padded, jnp.conj(e_neg))
+            signm = jnp.where(mv % 2 == 0, 1.0, -1.0).astype(rdtype)
+            a_neg = pixarea * jnp.einsum("lmr,bmr->blm", lam, G * signm[None, :, None])
+            return None, (a_pos, a_neg)
+        return None, (a_pos, None)
+
+    if neg_m:
+        _, (a_pos, a_neg) = jax.lax.scan(chunk_fn, None, m_chunks)
+        a_pos = jnp.moveaxis(a_pos, 0, -2).reshape(
+            maps.shape[0], lmax + 1, nchunks * mc
+        )[..., :nm]
+        a_neg = jnp.moveaxis(a_neg, 0, -2).reshape(
+            maps.shape[0], lmax + 1, nchunks * mc
+        )[..., 1 : mmax + 1]
+        return a_pos, a_neg
+    _, (a_pos, _) = jax.lax.scan(chunk_fn, None, m_chunks)
+    a_pos = jnp.moveaxis(a_pos, 0, -2).reshape(maps.shape[0], lmax + 1, nchunks * mc)[
+        ..., :nm
+    ]
+    return a_pos, None
+
+
+@functools.partial(jax.jit, static_argnames=("nside", "lmax", "mmax"))
+def _synthesis_real(alm, nside: int, lmax: int, mmax: int):
+    """Inverse SHT onto a real field.
+
+    Parameters
+    ----------
+    alm : (B, lmax+1, mmax+1) complex, m >= 0 coefficients of a real field.
+
+    Returns
+    -------
+    maps : (B, npix) real
+    """
+    geom = ring_geometry(nside)
+    cdtype = alm.dtype
+    rdtype = jnp.float64 if alm.dtype.itemsize >= 16 else jnp.float32
+
+    phi = jnp.asarray(geom.phi)
+    mask = jnp.asarray(geom.mask)
+    cos_t = jnp.asarray(geom.cos_theta)
+    sin_t = jnp.asarray(geom.sin_theta)
+    logpref = jnp.asarray(_log_lambda_mm_prefactor(lmax))
+
+    nm = mmax + 1
+    mc = _chunk_size(geom.nring, geom.maxlen, nm)
+    nchunks = (nm + mc - 1) // mc
+    m_padded = np.arange(nchunks * mc, dtype=np.int64)
+    m_chunks = jnp.asarray(m_padded.reshape(nchunks, mc))
+
+    B = alm.shape[0]
+    alm_pad = jnp.pad(alm, ((0, 0), (0, 0), (0, nchunks * mc - nm)))
+    alm_chunks = jnp.moveaxis(
+        alm_pad.reshape(B, lmax + 1, nchunks, mc), 2, 0
+    )  # (nchunks, B, l, mc)
+
+    def chunk_fn(acc, xs):
+        mv, a_chunk = xs
+        lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
+        # T[b, i, r] = sum_l lam[l, i, r] a[b, l, i]
+        T = jnp.einsum("lmr,blm->bmr", lam, a_chunk)
+        phase = mv[:, None, None].astype(jnp.float64) * phi[None, :, :]
+        e_pos = (jnp.cos(phase) + 1j * jnp.sin(phase)) * mask[None]
+        e_pos = e_pos.astype(cdtype)
+        weight = jnp.where(mv == 0, 1.0, 2.0).astype(rdtype)  # m>0 counted twice
+        contrib = jnp.einsum("bmr,mrj->brj", T * weight[None, :, None], e_pos)
+        return acc + contrib.real.astype(rdtype), None
+
+    acc0 = jnp.zeros((B, geom.nring, geom.maxlen), dtype=rdtype)
+    acc, _ = jax.lax.scan(chunk_fn, acc0, (m_chunks, alm_chunks))
+
+    # Scatter the padded ring layout back to RING pixel order.
+    flat = acc.reshape(B, -1)
+    valid = np.nonzero(geom.mask.ravel())[0]
+    return flat[:, jnp.asarray(valid)]
+
+
+@functools.partial(jax.jit, static_argnames=("nside", "lmax", "mmax"))
+def _synthesis_complex(alm_pos, alm_neg, nside: int, lmax: int, mmax: int):
+    """Inverse SHT of a general complex field.
+
+    f(p) = sum_{m>=0} T+_m(r) e^{i m phi} + sum_{m>0} T-_m(r) e^{-i m phi}
+    with T+_m = sum_l lam_lm a_lm and T-_m = (-1)^m sum_l lam_lm a_{l,-m}.
+    """
+    geom = ring_geometry(nside)
+    cdtype = alm_pos.dtype
+    rdtype = jnp.float64 if alm_pos.dtype.itemsize >= 16 else jnp.float32
+
+    phi = jnp.asarray(geom.phi)
+    mask = jnp.asarray(geom.mask)
+    cos_t = jnp.asarray(geom.cos_theta)
+    sin_t = jnp.asarray(geom.sin_theta)
+    logpref = jnp.asarray(_log_lambda_mm_prefactor(lmax))
+
+    nm = mmax + 1
+    mc = _chunk_size(geom.nring, geom.maxlen, nm)
+    nchunks = (nm + mc - 1) // mc
+    m_padded = np.arange(nchunks * mc, dtype=np.int64)
+    m_chunks = jnp.asarray(m_padded.reshape(nchunks, mc))
+
+    B = alm_pos.shape[0]
+    pos_pad = jnp.pad(alm_pos, ((0, 0), (0, 0), (0, nchunks * mc - nm)))
+    # Shift the negative block so column m holds a_{l,-m} (column 0 unused).
+    neg_shift = jnp.pad(alm_neg, ((0, 0), (0, 0), (1, nchunks * mc - nm)))
+    pos_chunks = jnp.moveaxis(pos_pad.reshape(B, lmax + 1, nchunks, mc), 2, 0)
+    neg_chunks = jnp.moveaxis(neg_shift.reshape(B, lmax + 1, nchunks, mc), 2, 0)
+
+    def chunk_fn(acc, xs):
+        mv, a_p, a_n = xs
+        lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
+        t_pos = jnp.einsum("lmr,blm->bmr", lam, a_p)
+        t_neg = jnp.einsum("lmr,blm->bmr", lam, a_n)
+        signm = jnp.where(mv % 2 == 0, 1.0, -1.0).astype(rdtype)
+        t_neg = t_neg * signm[None, :, None]
+        phase = mv[:, None, None].astype(jnp.float64) * phi[None, :, :]
+        e_pos = (jnp.cos(phase) + 1j * jnp.sin(phase)) * mask[None]
+        e_pos = e_pos.astype(cdtype)
+        contrib = jnp.einsum("bmr,mrj->brj", t_pos, e_pos)
+        contrib += jnp.einsum("bmr,mrj->brj", t_neg, jnp.conj(e_pos))
+        return acc + contrib, None
+
+    acc0 = jnp.zeros((B, geom.nring, geom.maxlen), dtype=cdtype)
+    acc, _ = jax.lax.scan(chunk_fn, acc0, (m_chunks, pos_chunks, neg_chunks))
+    flat = acc.reshape(B, -1)
+    valid = np.nonzero(geom.mask.ravel())[0]
+    return flat[:, jnp.asarray(valid)]
+
+
+# ------------------------------------------------------------------
+# Public, batched API
+# ------------------------------------------------------------------
+
+
+def analysis(
+    maps,
+    lmax: int,
+    mmax: Optional[int] = None,
+    nside: Optional[int] = None,
+    neg_m: bool = False,
+    iters: int = 0,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Forward SHT of a batch of maps.
+
+    maps : (..., npix); any leading batch shape.
+    iters : number of Jacobi refinement iterations (like healpy's ``iter``)
+        — each adds one synthesis+analysis pass and sharpens the equal-area
+        quadrature towards the least-squares coefficients.
+    Returns (alm_pos, alm_neg or None) with alm_pos (..., lmax+1, mmax+1).
+    """
+    maps = jnp.asarray(maps)
+    mmax = lmax if mmax is None else mmax
+    npix = maps.shape[-1]
+    if nside is None:
+        nside = int(np.sqrt(npix / 12))
+    if 12 * nside * nside != npix:
+        raise ValueError(f"npix {npix} is not a valid healpix size")
+    lead = maps.shape[:-1]
+    flat = maps.reshape((-1, npix))
+    real_field = not jnp.iscomplexobj(flat)
+    if iters and not real_field and not neg_m:
+        raise ValueError("refinement of a complex field requires neg_m=True")
+    pos, neg = _analysis(flat, nside, lmax, mmax, neg_m, real_field)
+
+    for _ in range(iters):
+        if neg_m:
+            resid = flat - _synthesis_complex(pos, neg, nside, lmax, mmax)
+            dpos, dneg = _analysis(resid, nside, lmax, mmax, True, real_field)
+            pos = pos + dpos
+            neg = neg + dneg
+        else:
+            resid = flat - _synthesis_real(pos, nside, lmax, mmax).astype(flat.dtype)
+            dpos, _ = _analysis(resid, nside, lmax, mmax, False, real_field)
+            pos = pos + dpos
+
+    pos = pos.reshape(lead + (lmax + 1, mmax + 1))
+    if neg is not None:
+        neg = neg.reshape(lead + (lmax + 1, mmax))
+    return pos, neg
+
+
+def synthesis_real(alm, nside: int):
+    """Inverse SHT of m>=0 coefficients of a real field onto healpix maps."""
+    alm = jnp.asarray(alm)
+    lead = alm.shape[:-2]
+    lmax = alm.shape[-2] - 1
+    mmax = alm.shape[-1] - 1
+    flat = alm.reshape((-1, lmax + 1, mmax + 1))
+    maps = _synthesis_real(flat, nside, lmax, mmax)
+    return maps.reshape(lead + (maps.shape[-1],))
+
+
+def synthesis_complex(alm_pos, alm_neg, nside: int):
+    """Inverse SHT of a general complex field (pos and neg m blocks)."""
+    alm_pos = jnp.asarray(alm_pos)
+    alm_neg = jnp.asarray(alm_neg)
+    lead = alm_pos.shape[:-2]
+    lmax = alm_pos.shape[-2] - 1
+    mmax = alm_pos.shape[-1] - 1
+    fp = alm_pos.reshape((-1, lmax + 1, mmax + 1))
+    fn = alm_neg.reshape((-1, lmax + 1, mmax))
+    maps = _synthesis_complex(fp, fn, nside, lmax, mmax)
+    return maps.reshape(lead + (maps.shape[-1],))
+
+
+# ------------------------------------------------------------------
+# driftscan/cora compatible wrappers (numpy in / numpy out)
+# ------------------------------------------------------------------
+
+
+def pack_fftlike(pos: np.ndarray, neg: Optional[np.ndarray], lside: int) -> np.ndarray:
+    """Pack (l, m>=0) and (l, m<0) blocks into the (lside+1, 2*lside+1)
+    FFT-like layout the reference stores transfer matrices in
+    (positive m at [l, m], negative at [l, 2*lside+1+m])."""
+    lead = pos.shape[:-2]
+    lmax_in = pos.shape[-2] - 1
+    mmax_in = pos.shape[-1] - 1
+    out = np.zeros(lead + (lside + 1, 2 * lside + 1), dtype=np.complex128)
+    lmax_o = min(lmax_in, lside)
+    mmax_o = min(mmax_in, lside)
+    out[..., : lmax_o + 1, : mmax_o + 1] = pos[..., : lmax_o + 1, : mmax_o + 1]
+    if neg is not None:
+        for m in range(1, mmax_o + 1):
+            out[..., : lmax_o + 1, -m] = neg[..., : lmax_o + 1, m - 1]
+    return out
+
+
+def sphtrans_complex(
+    hpmap, lmax: Optional[int] = None, lside: Optional[int] = None, centered=False
+) -> np.ndarray:
+    """Forward SHT of a complex map, packed like ``hputil.sphtrans_complex``.
+
+    Only the ``centered=False`` (FFT-like) layout used by the reference
+    (/root/reference/drift/core/telescope.py:1189) is supported.
+    """
+    if centered:
+        raise NotImplementedError("centered alm layout not supported")
+    hpmap = np.asarray(hpmap)
+    nside = int(np.sqrt(hpmap.shape[-1] / 12))
+    lmax = 3 * nside - 1 if lmax is None else lmax
+    lside = lmax if lside is None else lside
+    pos, neg = analysis(hpmap, lmax, neg_m=True)
+    return pack_fftlike(np.asarray(pos), np.asarray(neg), lside)
+
+
+def sphtrans_complex_pol(hpmaps, lmax=None, lside=None, centered=False):
+    """Per-Stokes scalar transforms of a stack of complex maps."""
+    return sphtrans_complex(np.asarray(hpmaps), lmax=lmax, lside=lside, centered=centered)
+
+
+def sphtrans_sky(skymap, lmax: Optional[int] = None) -> np.ndarray:
+    """Forward SHT of a real sky [freq, (pol), pix] -> [..., l, m] (m >= 0).
+
+    Equivalent of ``hputil.sphtrans_sky`` used at
+    /root/reference/drift/pipeline/timestream.py:717.
+    """
+    skymap = np.asarray(skymap)
+    nside = int(np.sqrt(skymap.shape[-1] / 12))
+    lmax = 3 * nside - 1 if lmax is None else lmax
+    pos, _ = analysis(skymap, lmax)
+    return np.asarray(pos)
+
+
+def sphtrans_inv_sky(alm, nside: int) -> np.ndarray:
+    """Inverse SHT onto real sky maps [freq, pol, pix].
+
+    Equivalent of ``hputil.sphtrans_inv_sky`` used at
+    /root/reference/drift/pipeline/timestream.py:262.
+    """
+    return np.asarray(synthesis_real(np.asarray(alm), nside))
+
+
+__all__ = [
+    "analysis",
+    "synthesis_real",
+    "synthesis_complex",
+    "sphtrans_complex",
+    "sphtrans_complex_pol",
+    "sphtrans_sky",
+    "sphtrans_inv_sky",
+    "nside_for_lmax",
+    "pack_fftlike",
+]

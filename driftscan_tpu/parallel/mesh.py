@@ -1,0 +1,89 @@
+"""Device mesh management and sharding helpers.
+
+The primary scaling axis of the m-mode pipeline is the m-mode (and the
+freq x baseline) axis — embarrassingly parallel per unit (SURVEY.md
+section 2.3).  We therefore use a 1-D device mesh with axis name ``"m"``
+and shard batched arrays along their leading (batch) axis.  XLA inserts
+the ICI collectives for any resharding (the reference's MPI transpose,
+/root/reference/drift/core/beamtransfer.py:632, becomes an output-sharding
+change under pjit).
+"""
+
+from __future__ import annotations
+
+import math
+from contextlib import contextmanager
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_active_mesh: Optional[Mesh] = None
+
+M_AXIS = "m"
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis_name: str = M_AXIS) -> Mesh:
+    """Create a 1-D mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def get_mesh() -> Mesh:
+    """The active mesh, creating a default all-device mesh if needed."""
+    global _active_mesh
+    if _active_mesh is None:
+        _active_mesh = make_mesh()
+    return _active_mesh
+
+
+def set_mesh(mesh: Optional[Mesh]):
+    global _active_mesh
+    _active_mesh = mesh
+
+
+@contextmanager
+def use_mesh(mesh: Mesh):
+    global _active_mesh
+    prev = _active_mesh
+    _active_mesh = mesh
+    try:
+        yield mesh
+    finally:
+        _active_mesh = prev
+
+
+def n_devices() -> int:
+    return math.prod(get_mesh().devices.shape)
+
+
+def batch_sharding(mesh: Optional[Mesh] = None, ndim: int = 1) -> NamedSharding:
+    """Sharding that splits the leading axis over the mesh 'm' axis."""
+    mesh = mesh or get_mesh()
+    spec = P(mesh.axis_names[0], *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Optional[Mesh] = None) -> NamedSharding:
+    mesh = mesh or get_mesh()
+    return NamedSharding(mesh, P())
+
+
+def pad_batch(n: int, mesh: Optional[Mesh] = None) -> int:
+    """Smallest multiple of the device count that is >= n."""
+    d = math.prod((mesh or get_mesh()).devices.shape)
+    return ((n + d - 1) // d) * d
+
+
+def shard_batch(x, mesh: Optional[Mesh] = None):
+    """Place a batched array with its leading axis sharded over the mesh.
+
+    The leading axis must divide by the device count; use :func:`pad_batch`
+    plus masking to arrange that (the reference already zero-pads ragged
+    per-m arrays for collection, /root/reference/drift/core/
+    kltransform.py:387-391, so the semantics carry over).
+    """
+    mesh = mesh or get_mesh()
+    return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))

@@ -1,0 +1,144 @@
+"""Validation of the healpix geometry and the SHT engine against analytic
+spherical harmonics (the reference leans on libsharp here; we must prove
+our from-scratch engine, see SURVEY.md section 7 'hard parts' #1)."""
+
+import numpy as np
+import pytest
+
+from driftscan_tpu.ops import healpix, sht
+
+NSIDE = 16
+LMAX = 16
+
+
+def _ylm_analytic(l, m, theta, phi):
+    from scipy.special import sph_harm_y
+
+    return sph_harm_y(l, m, theta, phi)
+
+
+@pytest.fixture(scope="module")
+def geom():
+    return healpix.ring_geometry(NSIDE)
+
+
+def test_ring_geometry(geom):
+    assert geom.npix == 12 * NSIDE**2
+    assert geom.nring == 4 * NSIDE - 1
+    assert geom.nphi.sum() == geom.npix
+    # z strictly decreasing north to south, symmetric
+    assert np.all(np.diff(geom.cos_theta) < 0)
+    np.testing.assert_allclose(geom.cos_theta, -geom.cos_theta[::-1], atol=1e-14)
+    # equator ring exists
+    assert np.abs(geom.cos_theta).min() < 1e-14
+
+
+def test_ang_positions(geom):
+    ang = healpix.ang_positions(NSIDE)
+    assert ang.shape == (geom.npix, 2)
+    assert ang[:, 0].min() > 0 and ang[:, 0].max() < np.pi
+    # First pixel of ring 1 at phi = pi/4
+    assert np.isclose(ang[0, 1], np.pi / 4)
+
+
+@pytest.mark.parametrize("l,m", [(0, 0), (1, 0), (2, 1), (5, 3), (10, 10)])
+def test_synthesis_matches_analytic_ylm(l, m):
+    """Synthesis is exact evaluation of Y_lm at pixel centres."""
+    ang = healpix.ang_positions(NSIDE)
+    alm = np.zeros((1, LMAX + 1, LMAX + 1), dtype=np.complex128)
+    coeff = 0.7 - 0.3j if m > 0 else 1.0
+    alm[0, l, m] = coeff
+    maps = np.asarray(sht.synthesis_real(alm, NSIDE))[0]
+    y = _ylm_analytic(l, m, ang[:, 0], ang[:, 1])
+    expect = np.real(coeff * y) * (2.0 if m > 0 else 1.0)
+    np.testing.assert_allclose(maps, expect, atol=1e-12)
+
+
+def test_analysis_roundtrip_real():
+    rng = np.random.default_rng(42)
+    lmax = 12
+    ls = np.arange(lmax + 1)[:, None]
+    ms = np.arange(lmax + 1)[None, :]
+    a = rng.standard_normal((2, lmax + 1, lmax + 1)) + 1j * rng.standard_normal(
+        (2, lmax + 1, lmax + 1)
+    )
+    a = np.where(ms <= ls, a, 0)
+    a[:, :, 0] = a[:, :, 0].real
+
+    maps = sht.synthesis_real(a, NSIDE)
+    a2 = np.asarray(sht.analysis(maps, lmax, iters=3)[0])
+    mask = ms <= ls
+    err = (np.abs(a2 - a) * mask).max() / np.abs(a).max()
+    assert err < 1e-6
+
+
+def test_analysis_complex_field_negative_m():
+    """A complex map exercises the independent negative-m coefficients."""
+    rng = np.random.default_rng(1)
+    lmax = 8
+    ang = healpix.ang_positions(NSIDE)
+
+    # Build a complex field with known coefficients including m < 0.
+    coeffs = {(2, 1): 0.5 + 0.2j, (3, -2): -0.3 + 0.8j, (4, 0): 1.1 + 0.0j}
+    f = np.zeros(ang.shape[0], dtype=np.complex128)
+    for (l, m), c in coeffs.items():
+        f += c * _ylm_analytic(l, m, ang[:, 0], ang[:, 1])
+
+    pos, neg = sht.analysis(f[None], lmax, neg_m=True, iters=2)
+    pos, neg = np.array(pos)[0], np.array(neg)[0]
+
+    assert np.allclose(pos[2, 1], coeffs[(2, 1)], atol=1e-5)
+    assert np.allclose(neg[3, 1], coeffs[(3, -2)], atol=1e-5)  # column m-1
+    assert np.allclose(pos[4, 0], coeffs[(4, 0)], atol=1e-5)
+    # Everything else small
+    pos[2, 1] = pos[4, 0] = 0.0
+    neg[3, 1] = 0.0
+    assert np.abs(pos).max() < 1e-5
+    assert np.abs(neg).max() < 1e-5
+
+
+def test_complex_synthesis_roundtrip():
+    rng = np.random.default_rng(7)
+    lmax = 10
+    g = healpix.ring_geometry(NSIDE)
+    f = rng.standard_normal(g.npix) + 1j * rng.standard_normal(g.npix)
+    # Band-limit the field first
+    pos, neg = sht.analysis(f[None], lmax, neg_m=True, iters=3)
+    f_bl = np.asarray(sht.synthesis_complex(pos, neg, NSIDE))
+    pos2, neg2 = sht.analysis(f_bl, lmax, neg_m=True, iters=3)
+    np.testing.assert_allclose(np.asarray(pos2), np.asarray(pos), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(neg2), np.asarray(neg), atol=1e-6)
+
+
+def test_pack_fftlike():
+    lmax, lside = 3, 5
+    pos = np.zeros((lmax + 1, lmax + 1), dtype=np.complex128)
+    neg = np.zeros((lmax + 1, lmax), dtype=np.complex128)
+    pos[2, 1] = 1 + 2j
+    neg[3, 0] = 4j  # m = -1
+    packed = sht.pack_fftlike(pos, neg, lside)
+    assert packed.shape == (lside + 1, 2 * lside + 1)
+    assert packed[2, 1] == 1 + 2j
+    assert packed[3, -1] == 4j
+
+
+def test_high_m_polar_stability():
+    """Legendre recurrence must survive underflow at the poles (large m)."""
+    lmax = 3 * 32 - 1
+    nside = 32
+    g = healpix.ring_geometry(nside)
+    # Unit power in the highest (l, m): synth then analyse must round trip.
+    alm = np.zeros((1, lmax + 1, lmax + 1), dtype=np.complex128)
+    alm[0, lmax, lmax - 1] = 1.0
+    alm[0, lmax, 5] = 1.0
+    maps = sht.synthesis_real(alm, nside)
+    assert np.isfinite(np.asarray(maps)).all()
+    a2 = np.asarray(sht.analysis(maps, lmax, iters=3)[0])
+    assert np.isfinite(a2).all()
+    assert np.abs(a2[0, lmax, lmax - 1] - 1.0) < 1e-2
+    assert np.abs(a2[0, lmax, 5] - 1.0) < 1e-2
+
+
+def test_nside_for_lmax():
+    assert healpix.nside_for_lmax(40, accuracy_boost=1) == 64
+    assert healpix.nside_for_lmax(1, accuracy_boost=0) >= 1
