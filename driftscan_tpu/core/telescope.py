@@ -1,0 +1,853 @@
+"""Abstract transit-telescope model and the batched transfer-matrix driver.
+
+Functional parity with /root/reference/drift/core/telescope.py (fresh
+implementation).  Metadata (feed layout, unique-baseline discovery,
+frequency binning, noise model) is host-side numpy; the hot path — beam
+map construction, fringes, Stokes products and the spherical harmonic
+transform — is batched JAX over (baseline, frequency) work units instead
+of the reference's per-unit Python loop over Cython kernels
+(/root/reference/drift/core/telescope.py:818-828).
+"""
+
+from __future__ import annotations
+
+import abc
+import logging
+from functools import cached_property
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..ops import healpix, kernels, sht
+
+logger = logging.getLogger(__name__)
+
+# Speed of light (m/s) — for wavelength conversion from MHz channels.
+C_LIGHT = 299792458.0
+# Sidereal day in seconds (used in the radiometer noise model).
+T_SIDEREAL = 23.9344696 * 3600.0
+
+
+def in_range(arr, min, max):
+    """True if all entries lie in [min, max)."""
+    return (arr >= min).all() and (arr < max).all()
+
+
+def out_of_range(arr, min, max):
+    return not in_range(arr, min, max)
+
+
+def map_half_plane(arr):
+    """Map 2D separations into the half plane with positive u (E pointing)."""
+    arr = np.where((arr[:, 0] < 0.0)[:, np.newaxis], -arr, arr)
+    arr = np.where(
+        np.logical_and(arr[:, 0] == 0.0, arr[:, 1] < 0.0)[:, np.newaxis], -arr, arr
+    )
+    return arr
+
+
+def _remap_keyarray(keyarray, mask=None):
+    """Assign dense integer labels to the equivalence classes of keys."""
+    if mask is None:
+        mask = np.ones(keyarray.shape, bool)
+
+    ind = np.where(mask)
+    un, inv = np.unique(keyarray[ind], return_inverse=True)
+
+    fmap = -1 * np.ones(keyarray.shape, dtype=np.int64)
+    fmap[ind] = np.arange(un.size)[inv]
+    return fmap
+
+
+def _merge_keyarray(keys1, keys2, mask1=None, mask2=None):
+    """Merge two key maps into labels for their joint equivalence classes."""
+    tmask1 = mask1 if mask1 is not None else np.ones_like(keys1, dtype=bool)
+    tmask2 = mask2 if mask2 is not None else np.ones_like(keys2, dtype=bool)
+
+    cmask = np.logical_and(tmask1, tmask2)
+    ckeys = _remap_keyarray(keys1 + 1.0j * keys2, mask=cmask)
+
+    if mask1 is None and mask2 is None:
+        return ckeys
+    return ckeys, cmask
+
+
+def _get_indices(keyarray, mask=None):
+    """One representative (i, j) feed pair per equivalence class."""
+    if mask is None:
+        mask = np.ones(keyarray.shape, bool)
+
+    wm = np.where(mask.ravel())[0]
+    keysflat = keyarray.ravel()[wm]
+    un, ind = np.unique(keysflat, return_index=True)
+    upairs = np.array([np.unravel_index(i1, keyarray.shape) for i1 in wm[ind]])
+    return upairs
+
+
+def max_lm(baselines, wavelengths, uwidth, vwidth=0.0):
+    """Maximum (l, m) a baseline is sensitive to.
+
+    Same angular-scale law as the reference
+    (/root/reference/drift/core/telescope.py:99-122):
+    ``mmax = ceil(2 pi u_max)``, ``lmax = ceil(hypot(mmax, 2 pi v_max))``.
+    """
+    umax = (np.abs(baselines[..., 0]) + uwidth) / wavelengths
+    vmax = (np.abs(baselines[..., 1]) + vwidth) / wavelengths
+
+    mmax = np.ceil(2 * np.pi * umax).astype(np.int64)
+    lmax = np.ceil((mmax**2 + (2 * np.pi * vmax) ** 2) ** 0.5).astype(np.int64)
+    return lmax, mmax
+
+
+class Observer(config.Reader):
+    """Minimal observer location (replaces caput.time.Observer)."""
+
+    latitude = config.Property(proptype=float, default=45.0)
+    longitude = config.Property(proptype=float, default=0.0)
+    altitude = config.Property(proptype=float, default=0.0)
+
+    def __init__(self, longitude=0.0, latitude=45.0, altitude=0.0, **kwargs):
+        self.longitude = longitude
+        self.latitude = latitude
+        self.altitude = altitude
+
+
+class TransitTelescope(Observer, metaclass=abc.ABCMeta):
+    """Base class for a transit interferometer.
+
+    Subclasses implement ``feedpositions``, ``beamclass``, ``u_width``,
+    ``v_width`` and the beam function(s); everything else — frequency
+    binning, unique-baseline discovery, lmax/mmax determination, the
+    transfer-matrix driver and the noise model — lives here.
+
+    Config attributes mirror /root/reference/drift/core/telescope.py:211-243.
+    """
+
+    freq_lower = config.Property(proptype=config.float_or_none, default=None)
+    freq_upper = config.Property(proptype=config.float_or_none, default=None)
+
+    freq_start = config.Property(proptype=float, default=800.0)
+    freq_end = config.Property(proptype=float, default=400.0)
+    num_freq = config.Property(proptype=int, default=1024)
+
+    freq_mode = config.enum(["centre", "centre_nyquist", "edge"], default="centre")
+
+    channel_bin = config.Property(proptype=int, default=1)
+    channel_range = config.Property(proptype=list)
+    channel_list = config.Property(proptype=list)
+
+    tsys_flat = config.Property(proptype=float, default=50.0, key="tsys")
+    ndays = config.Property(proptype=int, default=733)
+
+    accuracy_boost = config.Property(proptype=float, default=1.0)
+    l_boost = config.Property(proptype=float, default=1.0)
+    force_lmax = config.Property(proptype=int, default=None)
+    force_mmax = config.Property(proptype=int, default=None)
+
+    minlength = config.Property(proptype=float, default=0.0)
+    maxlength = config.Property(proptype=float, default=1.0e7)
+
+    auto_correlations = config.Property(proptype=bool, default=False)
+
+    local_origin = config.Property(proptype=bool, default=True)
+
+    skip_freq = config.list_type(type_=int, default=[])
+    skip_baselines = config.list_type(type_=int, default=[])
+
+    beam_cache_size = config.Property(proptype=int, default=200)
+
+    # Tolerance (decimal places) when comparing baselines for equivalence.
+    _bl_tol = 6
+
+    def __init__(self, latitude=45, longitude=0, **kwargs):
+        Observer.__init__(self, longitude, latitude, **kwargs)
+
+    # Attributes whose leading underscore would normally exclude them from
+    # pickling but should be kept.
+    _pickle_keys = []
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        for key in list(state):
+            if (key not in self._pickle_keys) and key.startswith("_"):
+                del state[key]
+        return state
+
+    # ======================= location =========================
+
+    @property
+    def zenith(self):
+        """Zenith direction in spherical polars [theta, phi]."""
+        theta = np.pi / 2.0 - np.radians(self.latitude)
+        phi = np.remainder(np.radians(self.longitude), 2 * np.pi)
+        phi = 0.0 if self.local_origin else phi
+        return np.array([theta, phi])
+
+    # ======================= baselines ========================
+
+    _baselines = None
+    _redundancy = None
+    _uniquepairs = None
+    _feedmap = None
+    _feedmask = None
+    _feedconj = None
+
+    @property
+    def baselines(self):
+        """The unique baselines (nbase, 2) in metres."""
+        if self._baselines is None:
+            self.calculate_feedpairs()
+        return self._baselines
+
+    @property
+    def redundancy(self):
+        if self._redundancy is None:
+            self.calculate_feedpairs()
+        return self._redundancy
+
+    @property
+    def nbase(self):
+        return self.npairs
+
+    @property
+    def npairs(self):
+        return self.uniquepairs.shape[0]
+
+    @property
+    def uniquepairs(self):
+        if self._uniquepairs is None:
+            self.calculate_feedpairs()
+        return self._uniquepairs
+
+    @property
+    def feedmap(self):
+        if self._feedmap is None:
+            self.calculate_feedpairs()
+        return self._feedmap
+
+    @property
+    def feedmask(self):
+        if self._feedmask is None:
+            self.calculate_feedpairs()
+        return self._feedmask
+
+    @property
+    def feedconj(self):
+        if self._feedconj is None:
+            self.calculate_feedpairs()
+        return self._feedconj
+
+    def calculate_feedpairs(self):
+        """Compute unique feed pairs, their redundancy and baselines."""
+        self._feedmap, self._feedmask, self._feedconj = self._get_unique()
+        self._make_ew()
+        self._sort_pairs()
+
+        tmask = np.logical_and(self._feedmask, np.logical_not(self._feedconj))
+        self._uniquepairs = _get_indices(self._feedmap, mask=tmask)
+        self._redundancy = np.bincount(self._feedmap[np.where(tmask)])
+        self._baselines = (
+            self.feedpositions[self._uniquepairs[:, 0]]
+            - self.feedpositions[self._uniquepairs[:, 1]]
+        )
+
+    def _make_ew(self):
+        """Conjugate pairs so baseline vectors point east (positive m)."""
+        tmask = np.logical_and(self._feedmask, np.logical_not(self._feedconj))
+        uniq = _get_indices(self._feedmap, mask=tmask)
+
+        conj_map = np.zeros(uniq.shape[0] + 1, dtype=bool)
+        for i in range(uniq.shape[0]):
+            sep = self.feedpositions[uniq[i, 0]] - self.feedpositions[uniq[i, 1]]
+            if sep[0] < 0.0 or (sep[0] == 0.0 and sep[1] < 0.0):
+                conj_map[i] = True
+
+        self._feedconj = np.logical_xor(self._feedconj, conj_map[self._feedmap])
+
+    def _unique_baselines(self):
+        """Key map of equivalent baseline separations + inclusion mask."""
+        fshape = [self.nfeed, self.nfeed]
+        f_ind = np.indices(fshape)
+
+        bl1 = self.feedpositions[f_ind[0]] - self.feedpositions[f_ind[1]]
+        bl2 = np.around(bl1[..., 0] + 1.0j * bl1[..., 1], self._bl_tol)
+
+        blen = np.sum(bl1**2, axis=-1) ** 0.5
+        mask = np.logical_and(blen >= self.minlength, blen <= self.maxlength)
+        if not self.auto_correlations:
+            mask = np.logical_and(blen > 0.0, mask)
+
+        return _remap_keyarray(bl2, mask), mask
+
+    def _unique_beams(self):
+        """Key map of equivalent beam pairs + inclusion mask."""
+        fshape = [self.nfeed, self.nfeed]
+        bci, bcj = np.broadcast_arrays(
+            self.beamclass[:, np.newaxis], self.beamclass[np.newaxis, :]
+        )
+        beam_map = _merge_keyarray(bci, bcj)
+
+        if self.auto_correlations:
+            beam_mask = np.ones(fshape, dtype=bool)
+        else:
+            beam_mask = np.logical_not(np.identity(self.nfeed, dtype=bool))
+
+        return beam_map, beam_mask
+
+    def _get_unique(self):
+        """Combine baseline and beam equivalence into unique feed pairs."""
+        base_map, base_mask = self._unique_baselines()
+        beam_map, beam_mask = self._unique_beams()
+        comb_map, comb_mask = _merge_keyarray(
+            base_map, beam_map, mask1=base_mask, mask2=beam_mask
+        )
+
+        conj_map = comb_map > comb_map.T
+        comb_map = np.dstack((comb_map, comb_map.T)).min(axis=-1)
+        comb_map = _remap_keyarray(comb_map, comb_mask)
+
+        return comb_map, comb_mask, conj_map
+
+    def _sort_pairs(self):
+        """Lexicographically order pairs by (u, v, beamclass_j, beamclass_i)."""
+        tmask = np.logical_and(self._feedmask, np.logical_not(self._feedconj))
+        uniq = _get_indices(self._feedmap, mask=tmask)
+        fi, fj = uniq[:, 0], uniq[:, 1]
+
+        bx = self.feedpositions[fi, 0] - self.feedpositions[fj, 0]
+        by = self.feedpositions[fi, 1] - self.feedpositions[fj, 1]
+        ci = self.beamclass[fi]
+        cj = self.beamclass[fj]
+
+        sort_arr = np.zeros(fi.size, dtype=np.dtype("f8,f8,i4,i4"))
+        sort_arr["f0"] = bx
+        sort_arr["f1"] = by
+        sort_arr["f2"] = cj
+        sort_arr["f3"] = ci
+
+        sort_ind = np.argsort(sort_arr)
+        inverse = np.empty_like(sort_ind)
+        inverse[sort_ind] = np.arange(sort_ind.size)
+
+        fm_copy = self._feedmap.copy()
+        wmask = np.where(self._feedmask)
+        fm_copy[wmask] = inverse[self._feedmap[wmask]]
+        self._feedmap = fm_copy
+
+    # ======================= frequencies ======================
+
+    _frequencies = None
+
+    @property
+    def frequencies(self):
+        """Band-centre frequencies in MHz."""
+        if self._frequencies is None:
+            self.calculate_frequencies()
+        return self._frequencies
+
+    def calculate_frequencies(self):
+        if self.freq_lower or self.freq_upper:
+            import warnings
+
+            warnings.warn(
+                "`freq_lower` and `freq_upper` parameters are deprecated",
+                DeprecationWarning,
+            )
+            self.freq_start = self.freq_lower
+            self.freq_end = self.freq_upper
+
+        if self.freq_mode == "centre":
+            frequencies = np.linspace(
+                self.freq_start, self.freq_end, self.num_freq, endpoint=False
+            )
+            df = abs(self.freq_end - self.freq_start) / self.num_freq
+        elif self.freq_mode == "centre_nyquist":
+            frequencies = np.linspace(
+                self.freq_start, self.freq_end, self.num_freq, endpoint=True
+            )
+            df = abs(self.freq_end - self.freq_start) / (self.num_freq - 1)
+        else:  # edge
+            df = abs(self.freq_end - self.freq_start) / self.num_freq
+            frequencies = self.freq_start + df * (np.arange(self.num_freq) + 0.5)
+
+        if self.channel_bin > 1:
+            if self.num_freq % self.channel_bin != 0:
+                raise ValueError(
+                    "Channel binning must exactly divide the total number of channels"
+                )
+            frequencies = frequencies.reshape(-1, self.channel_bin).mean(axis=1)
+            df = df * self.channel_bin
+
+        if self.channel_list is not None and len(self.channel_list):
+            raise NotImplementedError("`channel_list` is not supported")
+        if self.channel_range is not None and len(self.channel_range):
+            frequencies = frequencies[self.channel_range[0] : self.channel_range[1]]
+
+        self._frequencies = frequencies
+
+    @property
+    def wavelengths(self):
+        """Band-centre wavelengths in metres."""
+        return C_LIGHT / (1e6 * self.frequencies)
+
+    @property
+    def nfreq(self):
+        return self.frequencies.shape[0]
+
+    # ========================== feeds =========================
+
+    @property
+    def input_index(self):
+        """Correlator-input labels (draco compatible)."""
+        return np.array(np.arange(self.nfeed), dtype=[("chan_id", "u2")])
+
+    @property
+    def nfeed(self):
+        return self.feedpositions.shape[0]
+
+    # ====================== polarisation ======================
+
+    @property
+    def num_pol_sky(self):
+        """Sky polarisation components handled (1 = T, 3 = TQU, 4 = TQUV)."""
+        return self._npol_sky_
+
+    # ==================== harmonic spread =====================
+
+    @property
+    def lmax(self):
+        """Maximum l the telescope is sensitive to."""
+        if self.force_lmax is not None:
+            return self.force_lmax
+        lmax, mmax = max_lm(
+            self.baselines, self.wavelengths.min(), self.u_width, self.v_width
+        )
+        return int(np.ceil(lmax.max() * self.l_boost))
+
+    @property
+    def mmax(self):
+        """Maximum m the telescope is sensitive to."""
+        if self.force_mmax is not None:
+            return self.force_mmax
+        lmax, mmax = max_lm(
+            self.baselines, self.wavelengths.min(), self.u_width, self.v_width
+        )
+        return int(np.ceil(mmax.max() * self.l_boost))
+
+    # ==================== skipped entries =====================
+
+    def _skip_freq(self, freq_ind) -> bool:
+        return freq_ind in self.skip_freq
+
+    def _skip_baseline(self, bl_ind) -> bool:
+        return bl_ind in self.skip_baselines
+
+    @cached_property
+    def included_freq(self) -> np.ndarray:
+        return np.array(
+            [ind for ind in range(self.nfreq) if not self._skip_freq(ind)], dtype=int
+        )
+
+    @cached_property
+    def included_baseline(self) -> np.ndarray:
+        return np.array(
+            [ind for ind in range(self.nbase) if not self._skip_baseline(ind)],
+            dtype=int,
+        )
+
+    @cached_property
+    def included_pol(self) -> np.ndarray:
+        return np.arange(self.num_pol_sky)
+
+    # ================== transfer matrices =====================
+
+    def transfer_matrices(self, bl_indices, f_indices, global_lmax=True):
+        """Batched transfer matrices for (baseline, frequency) pairs.
+
+        Same contract as the reference
+        (/root/reference/drift/core/telescope.py:755-830): returns a
+        complex array of shape ``bl.shape + (npol, lside+1, 2*lside+1)``
+        in the FFT-like m packing.  Internally the units are evaluated as
+        one batched beam-map + SHT program instead of a per-unit loop.
+        """
+        bl_indices, f_indices = np.broadcast_arrays(bl_indices, f_indices)
+
+        if out_of_range(bl_indices, 0, self.npairs):
+            raise ValueError("Baseline indices aren't valid")
+        if out_of_range(f_indices, 0, self.nfreq):
+            raise ValueError("Frequency indices aren't valid")
+
+        lmax, mmax = np.ceil(
+            self.l_boost
+            * np.array(
+                max_lm(
+                    self.baselines[bl_indices],
+                    self.wavelengths[f_indices],
+                    self.u_width,
+                    self.v_width,
+                )
+            )
+        ).astype(np.int64)
+        lside = self.lmax if global_lmax else int(lmax.max())
+
+        tshape = bl_indices.shape + (self.num_pol_sky, lside + 1, 2 * lside + 1)
+        logger.info(
+            "Size: %i elements. Memory %f GB.",
+            np.prod(tshape),
+            2 * np.prod(tshape) * 8.0 / 2**30,
+        )
+
+        flat_bl = bl_indices.ravel()
+        flat_f = f_indices.ravel()
+
+        # Bucket the units by the nside their own lmax requires, so short
+        # baselines use smaller maps (the reference instead sorts by lmax
+        # and regenerates healpix geometry, telescope.py:818).
+        nsides = np.array(
+            [self._nside_for(lm) for lm in np.ravel(lmax)], dtype=np.int64
+        )
+        tarray = np.zeros((flat_bl.size,) + tshape[len(bl_indices.shape) :], np.complex128)
+
+        for ns in np.unique(nsides):
+            sel = np.nonzero(nsides == ns)[0]
+            sub_lmax = int(np.ravel(lmax)[sel].max())
+            block = self._transfer_batch(
+                flat_bl[sel], flat_f[sel], int(ns), sub_lmax, lside
+            )
+            tarray[sel] = block
+
+        return tarray.reshape(tshape)
+
+    def _nside_for(self, lmax: int) -> int:
+        return healpix.nside_for_lmax(int(lmax), accuracy_boost=self.accuracy_boost)
+
+    def _transfer_batch(self, bl_ind, f_ind, nside, lmax, lside):
+        """Compute transfer matrices for a batch of units at one nside.
+
+        Returns (nunit, npol, lside+1, 2*lside+1) complex128 numpy.
+        """
+        self._init_trans(nside)
+
+        cvis = self._beam_map_batch(bl_ind, f_ind)  # (nu, [npol,] npix)
+
+        # SHT with the reference's conjugation convention:
+        # btrans = SHT(conj(cvis)).conj()  (telescope.py:1188-1191)
+        pos, neg = sht.analysis(jnp.conj(cvis), lmax=lmax, neg_m=True)
+        pos = np.conj(np.asarray(pos))
+        neg = np.conj(np.asarray(neg))
+
+        packed = sht.pack_fftlike(pos, neg, lside)
+
+        nu = len(bl_ind)
+        if packed.ndim == 3:  # unpolarised: add the pol axis
+            packed = packed.reshape(nu, 1, lside + 1, 2 * lside + 1)
+
+        if packed.shape[1] < self.num_pol_sky:
+            pad = np.zeros(
+                (nu, self.num_pol_sky - packed.shape[1], lside + 1, 2 * lside + 1),
+                dtype=np.complex128,
+            )
+            packed = np.concatenate([packed, pad], axis=1)
+
+        return packed
+
+    @abc.abstractmethod
+    def _beam_map_batch(self, bl_ind, f_ind):
+        """Visibility beam maps for a batch of units at the current nside.
+
+        Returns (nunit, npix) complex for unpolarised telescopes or
+        (nunit, npol_transform, npix) for polarised ones.
+        """
+
+    def transfer_for_frequency(self, freq):
+        """All transfer matrices at one frequency."""
+        bi = np.arange(self.npairs)
+        fi = freq * np.ones_like(bi)
+        return self.transfer_matrices(bi, fi)
+
+    def transfer_for_baseline(self, baseline):
+        """All transfer matrices for one baseline."""
+        fi = np.arange(self.nfreq)
+        bi = baseline * np.ones_like(fi)
+        return self.transfer_matrices(bi, fi)
+
+    # ========================= noise ==========================
+
+    def tsys(self, f_indices=None):
+        """System temperature (K) at the given frequency indices."""
+        freq = (
+            self.frequencies if f_indices is None else self.frequencies[f_indices]
+        )
+        return np.ones_like(freq) * self.tsys_flat
+
+    def noisepower(self, bl_indices, f_indices, ndays=None):
+        """Radiometer noise power spectrum, white in m.
+
+        Matches /root/reference/drift/core/telescope.py:894-926.
+        """
+        ndays = self.ndays if not ndays else ndays
+
+        bl_indices, f_indices = np.broadcast_arrays(bl_indices, f_indices)
+
+        bw = np.abs(self.frequencies[1] - self.frequencies[0]) * 1e6
+        delnu = T_SIDEREAL * bw / (2 * np.pi)
+        noisepower = self.tsys(f_indices) ** 2 / (2 * np.pi * delnu * ndays)
+        noisebase = noisepower / self.redundancy[bl_indices]
+        return noisebase
+
+    def noisepower_feedpairs(self, fi, fj, f_indices, m, ndays=None):
+        ndays = self.ndays if not ndays else ndays
+        bw = np.abs(self.frequencies[1] - self.frequencies[0]) * 1e6
+        delnu = T_SIDEREAL * bw / (2 * np.pi)
+        noisepower = self.tsys(f_indices) ** 2 / (2 * np.pi * delnu * ndays)
+        return (
+            np.ones_like(fi) * np.ones_like(fj) * np.ones_like(m) * noisepower / 2.0
+        )
+
+    # ================== healpix working state =================
+
+    _nside = None
+
+    def _init_trans(self, nside):
+        """(Re)generate per-nside sky geometry: positions and horizon."""
+        if self._nside == nside:
+            return
+        self._nside = nside
+        self._angpos = healpix.ang_positions(nside)
+        self._angpos_cart = jnp.asarray(kernels.sph_to_cart(jnp.asarray(self._angpos)))
+        self._horizon = jnp.asarray(
+            kernels.horizon_mask(self._angpos_cart, jnp.asarray(self.zenith))
+        )
+
+    _beam_cache = None
+    _beam_cache_bytes = 0
+
+    def _beam(self, feed_ind, freq_ind):
+        """Beam map for a feed, cached by (nside, freq, beamclass)."""
+        if self._beam_cache is None:
+            self._beam_cache = {}
+            self._beam_cache_bytes = 0
+
+        beamclass = self.beamclass[feed_ind]
+        key = (self._nside, freq_ind, beamclass)
+
+        if key not in self._beam_cache:
+            beam = jnp.asarray(self.beam(feed_ind, freq_ind))
+            limit = self.beam_cache_size << 20
+            if self._beam_cache_bytes + beam.nbytes > limit:
+                self._beam_cache.clear()
+                self._beam_cache_bytes = 0
+            self._beam_cache[key] = beam
+            self._beam_cache_bytes += beam.nbytes
+        return self._beam_cache[key]
+
+    # ================= draco-compatible maps ==================
+
+    @cached_property
+    def prodstack(self):
+        """(input_a, input_b) structured array over unique pairs."""
+        upairs = self.uniquepairs
+        dtype = [("input_a", upairs.dtype), ("input_b", upairs.dtype)]
+        return upairs.ravel().view(dtype)
+
+    @cached_property
+    def index_map_prod(self):
+        """Full upper-triangle `index_map/prod` structured array."""
+        tpairs = np.array(np.triu_indices(self.nfeed))
+        dtype = [("input_a", tpairs.dtype), ("input_b", tpairs.dtype)]
+        return tpairs.T.flatten().view(dtype)
+
+    @cached_property
+    def index_map_stack(self):
+        """`index_map/stack` (prod index, conjugate) per unique pair."""
+
+        def ind2tri(i, j, n):
+            return (n * (n + 1) // 2) - ((n - i) * (n - i + 1) // 2) + (j - i)
+
+        upairs = self.uniquepairs
+        stack_map = np.empty(len(upairs), dtype=[("prod", "<u4"), ("conjugate", "u1")])
+        stack_map["conjugate"] = upairs[:, 0] > upairs[:, 1]
+        input_a, input_b = np.where(
+            stack_map["conjugate"], upairs[:, ::-1].T, upairs.T
+        )
+        stack_map["prod"] = ind2tri(input_a, input_b, self.nfeed)
+        return stack_map
+
+    @cached_property
+    def reverse_map_stack(self):
+        """`reverse_map/stack` (stack index, conjugate) per product."""
+        stack_revmap = np.empty(
+            self.nfeed * (self.nfeed + 1) // 2,
+            dtype=[("stack", "<i4"), ("conjugate", "u1")],
+        )
+        stack_revmap["stack"] = self.feedmap[np.triu_indices(self.nfeed)]
+        stack_revmap["conjugate"] = self.feedconj[np.triu_indices(self.nfeed)]
+        return stack_revmap
+
+    # ===================== abstract layer =====================
+
+    @property
+    @abc.abstractmethod
+    def feedpositions(self):
+        """(nfeed, 2) feed positions in metres."""
+
+    @property
+    @abc.abstractmethod
+    def beamclass(self):
+        """(nfeed,) integer label; equal labels mean identical beams."""
+
+    @property
+    @abc.abstractmethod
+    def u_width(self):
+        """Physical width (u direction) for angular-scale determination."""
+
+    @property
+    @abc.abstractmethod
+    def v_width(self):
+        """Physical width (v direction) for angular-scale determination."""
+
+
+class UnpolarisedTelescope(TransitTelescope, metaclass=abc.ABCMeta):
+    """Telescope with a scalar (total-intensity) beam."""
+
+    _npol_sky_ = 1
+
+    @abc.abstractmethod
+    def beam(self, feed, freq):
+        """Scalar healpix beam map (npix,) at the current nside."""
+
+    def _beam_map_batch(self, bl_ind, f_ind):
+        """Stacked normalised visibility maps for a batch of units."""
+        beams_i = []
+        beams_j = []
+        uvs = []
+        for bi, fi in zip(bl_ind, f_ind):
+            feedi, feedj = self.uniquepairs[bi]
+            beams_i.append(self._beam(feedi, fi))
+            beams_j.append(self._beam(feedj, fi))
+            uvs.append(self.baselines[bi] / self.wavelengths[fi])
+
+        beam_i = jnp.stack(beams_i)
+        beam_j = jnp.stack(beams_j)
+        uv = jnp.asarray(np.array(uvs))
+
+        fr = kernels.fringe(self._angpos_cart, jnp.asarray(self.zenith), uv)
+        return kernels.unpolarised_visibility(beam_i, beam_j, fr, self._horizon)
+
+    def noisepower(self, bl_indices, f_indices, ndays=None):
+        """Noise power with the factor-1/2 unpolarised correction."""
+        bnoise = TransitTelescope.noisepower(self, bl_indices, f_indices, ndays)
+        return bnoise[..., np.newaxis] * 0.5
+
+
+class PolarisedTelescope(TransitTelescope, metaclass=abc.ABCMeta):
+    """Telescope with vector (theta_hat, phi_hat) feed beams -> full Stokes.
+
+    Attributes ``skip_V`` / ``skip_pol`` mirror the reference
+    (/root/reference/drift/core/telescope.py:1251-1252): the omitted
+    transfer entries remain in the outputs but are zero.
+    """
+
+    skip_V = config.Property(proptype=bool, default=False)
+    skip_pol = config.Property(proptype=bool, default=False)
+
+    _npol_sky_ = 4
+
+    @property
+    def polarisation(self):
+        raise NotImplementedError("`polarisation` must be implemented.")
+
+    @abc.abstractmethod
+    def beam(self, feed, freq):
+        """(npix, 2) field pattern in (theta_hat, phi_hat) at current nside."""
+
+    def _beam_map_batch(self, bl_ind, f_ind):
+        beams_i = []
+        beams_j = []
+        uvs = []
+        for bi, fi in zip(bl_ind, f_ind):
+            feedi, feedj = self.uniquepairs[bi]
+            beams_i.append(self._beam(feedi, fi))
+            beams_j.append(self._beam(feedj, fi))
+            uvs.append(self.baselines[bi] / self.wavelengths[fi])
+
+        beam_i = jnp.stack(beams_i)  # (nu, npix, 2)
+        beam_j = jnp.stack(beams_j)
+        uv = jnp.asarray(np.array(uvs))
+
+        fr = kernels.fringe(self._angpos_cart, jnp.asarray(self.zenith), uv)
+        stokes = kernels.stokes_visibility(beam_i, beam_j, fr, self._horizon)
+
+        # Transform only the Stokes components we need; zero the rest.
+        if self.skip_pol:
+            npol_t = 1
+        elif self.skip_V:
+            npol_t = 3
+        else:
+            npol_t = 4
+        return stokes[:, :npol_t]
+
+    @cached_property
+    def included_pol(self) -> np.ndarray:
+        if self.skip_pol:
+            npol = 1
+        elif self.skip_V:
+            npol = 3
+        else:
+            npol = 4
+        return np.arange(npol)
+
+
+class SimpleUnpolarisedTelescope(UnpolarisedTelescope, metaclass=abc.ABCMeta):
+    """Single-beamclass unpolarised telescope (implement `_single_feedpositions`)."""
+
+    @property
+    def beamclass(self):
+        return np.zeros(self._single_feedpositions.shape[0], dtype=np.int64)
+
+    @property
+    @abc.abstractmethod
+    def _single_feedpositions(self):
+        """(nfeed, 2) positions of the (single polarisation) feeds."""
+
+    @property
+    def feedpositions(self):
+        return self._single_feedpositions
+
+
+class SimplePolarisedTelescope(PolarisedTelescope, metaclass=abc.ABCMeta):
+    """Dual-polarisation telescope: X and Y feeds at the same positions."""
+
+    @property
+    def polarisation(self):
+        return np.asarray(
+            ["X" if feed % 2 == 0 else "Y" for feed in self.beamclass], dtype=str
+        )
+
+    @property
+    def beamclass(self):
+        nsfeed = self._single_feedpositions.shape[0]
+        return np.concatenate((np.zeros(nsfeed), np.ones(nsfeed))).astype(np.int64)
+
+    def beam(self, feed, freq):
+        if self.beamclass[feed] % 2 == 0:
+            return self.beamx(feed, freq)
+        return self.beamy(feed, freq)
+
+    @property
+    @abc.abstractmethod
+    def _single_feedpositions(self):
+        """(nfeed, 2) positions of the single-polarisation feeds."""
+
+    @property
+    def feedpositions(self):
+        return np.concatenate((self._single_feedpositions, self._single_feedpositions))
+
+    @abc.abstractmethod
+    def beamx(self, feed, freq):
+        """(npix, 2) field pattern of the X feed."""
+
+    @abc.abstractmethod
+    def beamy(self, feed, freq):
+        """(npix, 2) field pattern of the Y feed."""
