@@ -1,0 +1,456 @@
+"""Karhunen-Loeve signal/foreground filtering.
+
+Functional parity with /root/reference/drift/core/kltransform.py: build
+signal and noise covariances in the SVD basis, solve the generalised
+eigenproblem per m, threshold-subset the modes, cache per-m HDF5
+eigenfiles and collect the spectra.  The covariance projections and the
+whitened eigensolve run on device (ops.linalg); the per-m orchestration,
+files and thresholds stay host-side.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import h5py
+import numpy as np
+
+from .. import config
+from ..ops import linalg
+from ..parallel import comm
+from ..util import util
+from . import skymodel
+
+logger = logging.getLogger(__name__)
+
+
+def collect_m_arrays(mlist, func, shapes, dtype):
+    """Evaluate func(mi) (a list of arrays) for each m and collect them.
+
+    Returns the stacked arrays on every process (rank0-only in the
+    reference; returning everywhere is strictly more useful).
+    """
+    data = [(mi, func(mi)) for mi in comm.partition_list_mpi(mlist)]
+    comm.barrier()
+
+    if comm.size() == 1:
+        p_all = [data]
+    else:  # pragma: no cover - multi-host
+        from jax.experimental import multihost_utils
+
+        p_all = multihost_utils.process_allgather(data, tiled=False)
+
+    marrays = [np.zeros((len(mlist),) + shape, dtype=dtype) for shape in shapes]
+    for p_process in p_all:
+        for mi, result in p_process:
+            for si in range(len(shapes)):
+                if result[si] is not None:
+                    marrays[si][mi] = result[si]
+
+    comm.barrier()
+    return marrays
+
+
+def collect_m_array(mlist, func, shape, dtype):
+    res = collect_m_arrays(mlist, lambda mi: [func(mi)], [shape], dtype)
+    return res[0]
+
+
+# Re-exported for parity with the reference module layout.
+eigh_gen = linalg.eigh_gen
+inv_gen = linalg.inv_gen
+
+
+class KLTransform(config.Reader):
+    """Perform the KL transform.
+
+    Attributes mirror /root/reference/drift/core/kltransform.py:146-177:
+    `subset`/`threshold` control S/N mode cuts, `inverse` caches the
+    inverse transform, `use_thermal`/`use_foregrounds` select the noise
+    content, and `_foreground_regulariser` sets the diagonal regulariser.
+    """
+
+    subset = config.Property(proptype=bool, default=True, key="subset")
+    inverse = config.Property(proptype=bool, default=False, key="inverse")
+
+    threshold = config.Property(proptype=float, default=0.1, key="threshold")
+
+    _foreground_regulariser = config.Property(
+        proptype=float, default=1e-14, key="regulariser"
+    )
+
+    use_thermal = config.Property(proptype=bool, default=True)
+    use_foregrounds = config.Property(proptype=bool, default=True)
+    use_polarised = config.Property(proptype=bool, default=True)
+
+    pol_length = config.Property(proptype=config.float_or_none, default=None)
+
+    evdir = ""
+
+    _cvfg = None
+    _cvsg = None
+
+    @property
+    def _evfile(self):
+        return self.evdir + "/ev_m_" + util.natpattern(self.telescope.mmax) + ".hdf5"
+
+    def __init__(self, bt, subdir=None):
+        self.beamtransfer = bt
+        self.telescope = self.beamtransfer.telescope
+
+        subdir = "ev" if subdir is None else subdir
+        self.evdir = self.beamtransfer.directory + "/" + subdir
+        if comm.rank0() and not os.path.exists(self.evdir):
+            os.makedirs(self.evdir)
+        comm.barrier()
+
+    # ================= covariances =================
+
+    def foreground(self):
+        """Foreground sky covariance [pol, pol, l, freq, freq]."""
+        if self._cvfg is None:
+            npol = self.telescope.num_pol_sky
+            if npol not in (1, 3, 4):
+                raise Exception(
+                    "Can only handle unpolarised (num_pol_sky = 1) or "
+                    "polarised (num_pol_sky = 3 or 4) cases."
+                )
+            if self.use_polarised:
+                self._cvfg = skymodel.foreground_model(
+                    self.telescope.lmax,
+                    self.telescope.frequencies,
+                    npol,
+                    pol_length=self.pol_length,
+                )
+            else:
+                self._cvfg = skymodel.foreground_model(
+                    self.telescope.lmax, self.telescope.frequencies, npol, pol_frac=0.0
+                )
+        return self._cvfg
+
+    def signal(self):
+        """21 cm signal sky covariance [pol, pol, l, freq, freq]."""
+        if self._cvsg is None:
+            npol = self.telescope.num_pol_sky
+            if npol not in (1, 3, 4):
+                raise Exception(
+                    "Can only handle unpolarised (num_pol_sky = 1) or "
+                    "polarised (num_pol_sky = 3 or 4) cases."
+                )
+            self._cvsg = skymodel.im21cm_model(
+                self.telescope.lmax, self.telescope.frequencies, npol
+            )
+        return self._cvsg
+
+    def sn_covariance(self, mi):
+        """Signal and noise covariances in the SVD basis at m.
+
+        Noise = foregrounds + regulariser + (possibly suppressed) thermal.
+        Parity with /root/reference/drift/core/kltransform.py:258-308.
+        """
+        if not (self.use_foregrounds or self.use_thermal):
+            raise Exception(
+                "Either `use_thermal` or `use_foregrounds`, or both must be True."
+            )
+
+        bt = self.beamtransfer
+
+        cvb_s = bt.project_matrix_sky_to_svd(mi, self.signal())
+        if self.use_foregrounds:
+            cvb_n = bt.project_matrix_sky_to_svd(mi, self.foreground())
+        else:
+            cvb_n = np.zeros_like(cvb_s)
+
+        # Regularise the noise matrix.
+        if cvb_n.size:
+            cnr = cvb_n.reshape((bt.ndof(mi), -1))
+            cnr[np.diag_indices_from(cnr)] += (
+                self._foreground_regulariser * cnr.max()
+            )
+
+        # Even with use_thermal off keep a tiny noise floor (Tsys -> 1 mK).
+        nc = 1.0
+        if not self.use_thermal:
+            nc = (1e-3 / self.telescope.tsys_flat) ** 2
+
+        bl = np.arange(self.telescope.npairs)
+        bl = np.concatenate((bl, bl))
+        npower = nc * self.telescope.noisepower(
+            bl[np.newaxis, :], np.arange(self.telescope.nfreq)[:, np.newaxis]
+        ).reshape(self.telescope.nfreq, bt.ntel)
+
+        cvb_n = cvb_n + bt.project_matrix_diagonal_telescope_to_svd(mi, npower)
+
+        return cvb_s, cvb_n
+
+    # ================= the transform =================
+
+    def _transform_m(self, mi):
+        """KL transform for one m: returns (evals, evecs rows, inv, extra)."""
+        logger.info("Solving for Eigenvalues....")
+
+        st = time.time()
+        nside = self.beamtransfer.ndof(mi)
+        if nside == 0:
+            return np.array([]), np.array([[]]), np.array([[]]), {"ac": 0.0}
+
+        cvb_sr, cvb_nr = [cv.reshape(nside, nside) for cv in self.sn_covariance(mi)]
+        logger.info("Covariance build time = %f", time.time() - st)
+
+        st = time.time()
+        evals, evecs, ac = linalg.eigh_gen(cvb_sr, cvb_nr, message=f"m = {mi}")
+        logger.info("Eigensolve time = %f", time.time() - st)
+
+        evecs = evecs.T.conj()
+
+        inv = None
+        if self.inverse:
+            inv = linalg.inv_gen(evecs).T
+
+        return evals, evecs, inv, {"ac": ac}
+
+    def transform_save(self, mi):
+        """Perform the transform for m and save the eigenfile."""
+        logger.info("Constructing signal and noise covariances for m = %i ...", mi)
+        evals, evecs, inv, evextra = self._transform_m(mi)
+
+        logger.info("Creating file %s ....", self._evfile % mi)
+        with h5py.File(self._evfile % mi, "w") as f:
+            f.attrs["m"] = mi
+            f.attrs["SUBSET"] = self.subset
+
+            # Zero-padded full spectrum (DoubleKL may have truncated).
+            nside = self.beamtransfer.ndof(mi)
+            evalsf = np.zeros(nside, dtype=np.float64)
+            if evals.size != 0:
+                evalsf[-evals.size :] = evals
+            f.create_dataset("evals_full", data=evalsf)
+
+            if self.subset:
+                i_ev = np.searchsorted(evals, self.threshold)
+                evals = evals[i_ev:]
+                evecs = evecs[i_ev:]
+                logger.info(
+                    "Modes with S/N > %f: %i of %i",
+                    self.threshold,
+                    evals.size,
+                    evalsf.size,
+                )
+
+            f.create_dataset("evals", data=evals)
+            f.create_dataset("evecs", data=evecs)
+            f.attrs["num_modes"] = evals.size
+
+            if self.inverse:
+                if self.subset:
+                    inv = inv[i_ev:]
+                f.create_dataset("evinv", data=inv)
+
+            self._ev_save_hook(f, evextra)
+
+        return evals, evecs
+
+    def _ev_save_hook(self, f, evextra):
+        ac = evextra["ac"]
+        if ac != 0.0:
+            f.attrs["add_const"] = ac
+            f.attrs["FLAGS"] = "NotPositiveDefinite"
+        else:
+            f.attrs["FLAGS"] = "Normal"
+
+    # ================= collection =================
+
+    def evals_all(self):
+        """Full eigenvalue spectrum for all m from disk."""
+        with h5py.File(self.evdir + "/evals.hdf5", "r") as f:
+            return f["evals"][:]
+
+    def _collect(self):
+        def evfunc(mi):
+            evf = np.zeros(self.beamtransfer.ndofmax)
+            with h5py.File(self._evfile % mi, "r") as f:
+                if f["evals_full"].shape[0] > 0:
+                    ev = f["evals_full"][:]
+                    evf[-ev.size :] = ev
+            return evf
+
+        if comm.rank0():
+            logger.info("Creating eigenvalues file (process 0 only).")
+
+        mlist = list(range(self.telescope.mmax + 1))
+        evarray = collect_m_array(mlist, evfunc, (self.beamtransfer.ndofmax,), np.float64)
+
+        if comm.rank0():
+            if os.path.exists(self.evdir + "/evals.hdf5"):
+                logger.info("File %s exists. Skipping...", self.evdir + "/evals.hdf5")
+                return
+            with h5py.File(self.evdir + "/evals.hdf5", "w") as f:
+                f.create_dataset("evals", data=evarray)
+
+    def generate(self, regen=False):
+        """KL transform every m and save the results."""
+        st = time.time()
+        if comm.rank0():
+            logger.info("======== Starting KL calculation ========")
+
+        for mi in comm.mpirange(self.telescope.mmax + 1):
+            if os.path.exists(self._evfile % mi) and not regen:
+                logger.info("m index %i. File exists. Skipping...", mi)
+                continue
+            self.transform_save(mi)
+
+        comm.barrier()
+        if comm.rank0():
+            logger.info(
+                "======== Ending KL calculation (time=%f) ========", time.time() - st
+            )
+
+        self._collect()
+
+    olddatafile = False
+
+    # ================= mode access =================
+
+    @util.cache_last
+    def modes_m(self, mi, threshold=None):
+        """(evals, evecs) for m with S/N above `threshold` (None, None if empty)."""
+        if not os.path.exists(self._evfile % mi):
+            modes = self.transform_save(mi)
+        else:
+            with h5py.File(self._evfile % mi, "r") as f:
+                if f["evals"].shape[0] == 0:
+                    modes = None, None
+                else:
+                    evals = f["evals"][:]
+                    startind = (
+                        np.searchsorted(evals, threshold)
+                        if threshold is not None
+                        else 0
+                    )
+                    if startind == evals.size:
+                        modes = None, None
+                    else:
+                        modes = (evals[startind:], f["evecs"][startind:])
+                        if self.olddatafile:
+                            modes = (modes[0], modes[1].conj())
+        return modes
+
+    @util.cache_last
+    def evals_m(self, mi, threshold=None):
+        """Eigenvalues for m above `threshold` (None if empty)."""
+        if not os.path.exists(self._evfile % mi):
+            modes = self.transform_save(mi)
+            return modes[0] if modes[0] is not None and modes[0].size else None
+
+        with h5py.File(self._evfile % mi, "r") as f:
+            if f["evals"].shape[0] == 0:
+                return None
+            evals = f["evals"][:]
+            startind = (
+                np.searchsorted(evals, threshold) if threshold is not None else 0
+            )
+            if startind == evals.size:
+                return None
+            return evals[startind:]
+
+    @util.cache_last
+    def invmodes_m(self, mi, threshold=None):
+        """Inverse modes (cached inverse or pseudo-inverse of evecs)."""
+        evals = self.evals_m(mi, threshold)
+
+        with h5py.File(self._evfile % mi, "r") as f:
+            if "evinv" in f:
+                inv = f["evinv"][:]
+                if threshold is not None:
+                    nevals = evals.size
+                    inv = inv[(-nevals):]
+                return inv.T
+            logger.info("Inverse not cached, generating pseudo-inverse.")
+            return linalg.pinv(self.modes_m(mi, threshold)[1])
+
+    @util.cache_last
+    def skymodes_m(self, mi, threshold=None):
+        """KL modes rotated into the sky (alm) basis."""
+        evals, evecs = self.modes_m(mi, threshold=threshold)
+        if evals is None:
+            raise Exception("Don't seem to be any evals to use.")
+
+        bt = self.beamtransfer
+        beam = bt.beam_m(mi).reshape((bt.nfreq, bt.ntel, bt.nsky))
+        evecs = evecs.reshape((-1, bt.nfreq, bt.ntel))
+
+        evsky = np.zeros((evecs.shape[0], bt.nfreq, bt.nsky), dtype=np.complex128)
+        for fi in range(bt.nfreq):
+            evsky[:, fi, :] = np.dot(evecs[:, fi, :], beam[fi])
+        return evsky
+
+    # ================= projections =================
+
+    def project_vector_svd_to_kl(self, mi, vec, threshold=None):
+        """SVD vector -> KL basis."""
+        evals, evecs = self.modes_m(mi, threshold)
+        if evals is None:
+            return np.zeros((0,), dtype=np.complex128)
+        if vec.shape[0] != evecs.shape[1]:
+            raise Exception("Vectors are incompatible.")
+        return np.dot(evecs, vec)
+
+    def project_vector_kl_to_svd(self, mi, vec, threshold=None):
+        """KL vector -> SVD basis (via the cached/pseudo- inverse)."""
+        evals, evecs = self.modes_m(mi, threshold)
+        if evals is None:
+            return np.zeros(self.beamtransfer.ndofmax, dtype=np.complex128)
+        if vec.shape[0] != evecs.shape[0]:
+            raise Exception("Vectors are incompatible.")
+        invmodes = self.invmodes_m(mi, threshold)
+        return np.dot(invmodes, vec)
+
+    def project_vector_sky_to_kl(self, mi, vec, threshold=None):
+        """Sky alm -> KL basis."""
+        tvec = self.beamtransfer.project_vector_sky_to_svd(mi, vec)
+        return self.project_vector_svd_to_kl(mi, tvec, threshold)
+
+    def project_matrix_svd_to_kl(self, mi, mat, threshold=None):
+        """SVD covariance -> KL basis."""
+        evals, evecs = self.modes_m(mi, threshold)
+        if (mat.shape[0] != evecs.shape[1]) or (mat.shape[0] != mat.shape[1]):
+            raise Exception("Matrix size incompatible.")
+        return np.dot(np.dot(evecs, mat), evecs.T.conj())
+
+    def project_matrix_sky_to_kl(self, mi, mat, threshold=None):
+        """Sky covariance -> KL basis."""
+        mproj = self.beamtransfer.project_matrix_sky_to_svd(mi, mat)
+        return self.project_matrix_svd_to_kl(mi, mproj, threshold)
+
+    def project_sky(self, sky, mlist=None, threshold=None, harmonic=False):
+        """Project a sky map (or alm) through the KL filter for a set of m."""
+        from ..ops import sht
+
+        if mlist is None:
+            mlist = list(range(self.telescope.mmax + 1))
+        mpart = comm.partition_list_mpi(mlist)
+
+        nmodes = self.beamtransfer.nfreq * self.beamtransfer.ntel
+
+        alm = (
+            sky
+            if harmonic
+            else sht.sphtrans_sky(sky, lmax=self.telescope.lmax)
+        )
+
+        def _proj(mi):
+            p1 = self.project_vector_sky_to_kl(mi, alm[..., mi], threshold)
+            p2 = np.zeros(nmodes, dtype=np.complex128)
+            p2[-p1.size :] = p1
+            return p2
+
+        proj_sec = [(mi, _proj(mi)) for mi in mpart]
+
+        proj_arr = np.zeros(
+            (2 * self.telescope.mmax + 1, nmodes), dtype=np.complex128
+        )
+        for mi, p in proj_sec:
+            proj_arr[mi] = p
+        return proj_arr

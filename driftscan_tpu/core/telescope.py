@@ -515,6 +515,13 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
             block = self._transfer_batch(
                 flat_bl[sel], flat_f[sel], int(ns), sub_lmax, lside
             )
+            # Zero each unit above its own lmax — the reference computes
+            # each unit only to its own band limit (telescope.py:821), and
+            # the m-mode packing relies on those entries being exactly 0.
+            ls = np.arange(lside + 1)
+            unit_lmax = np.ravel(lmax)[sel]
+            lmask = ls[np.newaxis, :] <= unit_lmax[:, np.newaxis]
+            block *= lmask[:, np.newaxis, :, np.newaxis]
             tarray[sel] = block
 
         return tarray.reshape(tshape)
