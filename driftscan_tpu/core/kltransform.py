@@ -157,9 +157,9 @@ class KLTransform(config.Reader):
 
         bt = self.beamtransfer
 
-        cvb_s = bt.project_matrix_sky_to_svd(mi, self.signal())
+        cvb_s = np.array(bt.project_matrix_sky_to_svd(mi, self.signal()))
         if self.use_foregrounds:
-            cvb_n = bt.project_matrix_sky_to_svd(mi, self.foreground())
+            cvb_n = np.array(bt.project_matrix_sky_to_svd(mi, self.foreground()))
         else:
             cvb_n = np.zeros_like(cvb_s)
 

@@ -1,0 +1,255 @@
+"""Manage generation of and access to the analysis products.
+
+Functional parity with /root/reference/drift/core/manager.py: the same
+YAML schema (``config:``, ``telescope:``, ``kltransform:``, ``psfisher:``
+sections), class registries, plugin loading of custom classes from a
+module or file, output-directory creation with a rewritten local copy of
+the config, and the ``generate()`` sequencing.
+"""
+
+from __future__ import annotations
+
+import logging
+import os.path
+import warnings
+
+import yaml
+
+from ..parallel import comm
+from ..telescope import (
+    cylinder,
+    disharray,
+    exotic_cylinder,
+    focalplane,
+    gmrt,
+    restrictedcylinder,
+)
+from . import beamtransfer, crosspower, doublekl, kltransform, psestimation, psmc
+from . import skymodel
+
+logger = logging.getLogger(__name__)
+
+
+teltype_dict = {
+    "UnpolarisedCylinder": cylinder.UnpolarisedCylinderTelescope,
+    "PolarisedCylinder": cylinder.PolarisedCylinderTelescope,
+    "GMRT": gmrt.GmrtUnpolarised,
+    "FocalPlane": focalplane.FocalPlaneArray,
+    "RestrictedCylinder": restrictedcylinder.RestrictedCylinder,
+    "RestrictedPolarisedCylinder": restrictedcylinder.RestrictedPolarisedCylinder,
+    "RestrictedExtra": restrictedcylinder.RestrictedExtra,
+    "GradientCylinder": exotic_cylinder.GradientCylinder,
+    "PertCylinder": exotic_cylinder.CylinderPerturbed,
+    "DishArray": disharray.DishArray,
+}
+
+
+kltype_dict = {"KLTransform": kltransform.KLTransform, "DoubleKL": doublekl.DoubleKL}
+
+
+pstype_dict = {
+    "Full": psestimation.PSExact,
+    "MonteCarlo": psmc.PSMonteCarlo,
+    "MonteCarloAlt": psmc.PSMonteCarloAlt,
+    "Cross": crosspower.CrossPower,
+}
+
+
+def _resolve_class(clstype, clsdict, objtype=""):
+    """Resolve a class from a registry name or a {module, class, file} dict."""
+    if isinstance(clstype, dict):
+        modname = clstype["module"]
+        clsname = clstype["class"]
+
+        if "file" in clstype:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(modname, clstype["file"])
+            module = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(module)
+        else:
+            import importlib
+
+            module = importlib.import_module(modname)
+        cls_ref = module.__dict__[clsname]
+
+    elif clstype in clsdict:
+        cls_ref = clsdict[clstype]
+    else:
+        raise Exception(f"Unsupported {objtype}")
+
+    return cls_ref
+
+
+class ProductManager:
+    """Access and generation of telescope products: BTMs, KL filters and
+    power spectrum estimators."""
+
+    directory = None
+
+    gen_beams = False
+    gen_kl = False
+    gen_ps = False
+    gen_proj = False
+
+    skip_svd = False
+    skip_svd_inv = False
+
+    @classmethod
+    def from_config(cls, configfile):
+        """Create a ProductManager from a YAML config file.
+
+        Creates the output directory and copies the (path-rewritten)
+        config into it, exactly like the reference
+        (/root/reference/drift/core/manager.py:100-175).
+        """
+        configfile = os.path.normpath(
+            os.path.expandvars(os.path.expanduser(configfile))
+        )
+
+        if not os.path.exists(configfile):
+            raise Exception(f"Configuration file does not exist {configfile}.")
+
+        if os.path.isdir(configfile):
+            configfile = configfile + "/config.yaml"
+
+        with open(configfile, "r") as f:
+            yconf = yaml.safe_load(f)
+
+        outdir = yconf["config"]["output_directory"]
+        dfile = os.path.join(outdir, "config.yaml")
+
+        if comm.rank0():
+            if not os.path.exists(outdir):
+                os.makedirs(outdir)
+
+            if not os.path.exists(dfile) or not os.path.samefile(configfile, dfile):
+                outdir_orig = outdir
+                if not os.path.isabs(outdir):
+                    outdir = os.path.abspath(
+                        os.path.normpath(
+                            os.path.join(os.path.dirname(configfile), outdir)
+                        )
+                    )
+
+                with open(configfile, "r") as f:
+                    config_contents = f.read()
+
+                if outdir_orig != outdir:
+                    config_contents = config_contents.replace(outdir_orig, outdir)
+
+                with open(dfile, "w+") as f:
+                    f.write(config_contents)
+
+        comm.barrier()
+
+        c = cls()
+        with open(dfile) as f:
+            yconf = yaml.safe_load(f)
+        c.apply_config(yconf)
+        return c
+
+    def apply_config(self, yconf):
+        """Instantiate the object graph from a parsed config dictionary."""
+        if "config" not in yconf:
+            raise ValueError("Configuration file must have an 'config' section.")
+        if "telescope" not in yconf:
+            raise ValueError("Configuration file must have an 'telescope' section.")
+
+        self.config = yconf
+
+        self.directory = yconf["config"]["output_directory"]
+        self.directory = os.path.expanduser(self.directory)
+        self.directory = os.path.expandvars(self.directory)
+
+        if comm.rank0():
+            logger.info("Product directory: %s", self.directory)
+
+        ## Telescope
+        teltype = yconf["telescope"]["type"]
+        telclass = _resolve_class(teltype, teltype_dict, "telescope")
+        self.telescope = telclass.from_config(yconf["telescope"])
+
+        if yconf["config"].get("reionisation"):
+            skymodel._reionisation = True
+
+        ## Beam transfers
+        btclass = beamtransfer.BeamTransfer
+        if yconf["config"].get("nosvd"):
+            btclass = beamtransfer.BeamTransferNoSVD
+        if yconf["config"].get("fullsvd"):
+            btclass = beamtransfer.BeamTransferFullSVD
+
+        self.beamtransfer = btclass(self.directory + "/bt/", telescope=self.telescope)
+        self.beamtransfer.read_config(yconf["config"])
+
+        if yconf["config"].get("beamtransfers"):
+            self.gen_beams = True
+
+        if yconf["config"].get("skip_svd"):
+            self.skip_svd = True
+
+        ## KL transforms
+        self.kltransforms = {}
+
+        if "kltransform" in yconf:
+            for klentry in yconf["kltransform"]:
+                kltype = klentry["type"]
+                klname = klentry["name"]
+                klclass = _resolve_class(kltype, kltype_dict, "KL filter")
+                kl = klclass.from_config(klentry, self.beamtransfer, subdir=klname)
+                self.kltransforms[klname] = kl
+
+        if yconf["config"].get("kltransform"):
+            self.gen_kl = True
+
+        ## PS estimators
+        self.psestimators = {}
+
+        if yconf["config"].get("psfisher"):
+            self.gen_ps = True
+            if "psfisher" not in yconf:
+                raise Exception(
+                    "Require a psfisher section if config: psfisher is Yes."
+                )
+
+        if "psfisher" in yconf:
+            for psentry in yconf["psfisher"]:
+                pstype = psentry["type"]
+                klname = psentry["klname"]
+                psname = psentry["name"] if "name" in psentry else "ps"
+
+                psclass = _resolve_class(pstype, pstype_dict, "PS estimator")
+
+                if klname not in self.kltransforms:
+                    warnings.warn(
+                        f"Desired KL object (name: {klname}) does not exist."
+                    )
+                    self.psestimators[psname] = None
+                else:
+                    self.psestimators[psname] = psclass.from_config(
+                        psentry, self.kltransforms[klname], subdir=psname
+                    )
+
+    def generate(self):
+        """Calculate all the configured analysis products."""
+        if not os.path.exists(self.directory):
+            os.makedirs(self.directory)
+
+        with open(os.path.join(self.directory, "configdump.yaml"), "w") as fh:
+            yaml.dump(self.config, fh)
+
+        if self.gen_beams:
+            self.beamtransfer.generate(skip_svd=self.skip_svd)
+
+        if self.gen_kl:
+            for klname, klobj in self.kltransforms.items():
+                klobj.generate()
+
+        if self.gen_ps:
+            for psname, psobj in self.psestimators.items():
+                psobj.generate()
+                psobj.delbands()
+
+        if comm.rank0():
+            logger.info("DONE GENERATING PRODUCTS")
