@@ -157,6 +157,11 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
 
     beam_cache_size = config.Property(proptype=int, default=200)
 
+    # Run the beam-map + SHT hot path in complex64.  The reference is
+    # complex128 throughout; single precision is ample for the BTM itself
+    # (test tolerances are rel 1e-4) and much faster on TPU.
+    single_precision = config.Property(proptype=bool, default=False)
+
     # Tolerance (decimal places) when comparing baselines for equivalence.
     _bl_tol = 6
 
@@ -537,6 +542,8 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
         self._init_trans(nside)
 
         cvis = self._beam_map_batch(bl_ind, f_ind)  # (nu, [npol,] npix)
+        if self.single_precision:
+            cvis = cvis.astype(jnp.complex64)
 
         # SHT with the reference's conjugation convention:
         # btrans = SHT(conj(cvis)).conj()  (telescope.py:1188-1191)
@@ -622,10 +629,13 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
             return
         self._nside = nside
         self._angpos = healpix.ang_positions(nside)
-        self._angpos_cart = jnp.asarray(kernels.sph_to_cart(jnp.asarray(self._angpos)))
-        self._horizon = jnp.asarray(
-            kernels.horizon_mask(self._angpos_cart, jnp.asarray(self.zenith))
-        )
+        cart = kernels.sph_to_cart(jnp.asarray(self._angpos))
+        horizon = kernels.horizon_mask(cart, jnp.asarray(self.zenith))
+        if self.single_precision:
+            cart = cart.astype(jnp.float32)
+            horizon = horizon.astype(jnp.float32)
+        self._angpos_cart = jnp.asarray(cart)
+        self._horizon = jnp.asarray(horizon)
 
     _beam_cache = None
     _beam_cache_bytes = 0
@@ -641,6 +651,10 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
 
         if key not in self._beam_cache:
             beam = jnp.asarray(self.beam(feed_ind, freq_ind))
+            if self.single_precision:
+                beam = beam.astype(
+                    jnp.complex64 if jnp.iscomplexobj(beam) else jnp.float32
+                )
             limit = self.beam_cache_size << 20
             if self._beam_cache_bytes + beam.nbytes > limit:
                 self._beam_cache.clear()

@@ -62,8 +62,10 @@ def fringe(angpos_cart, zenith, uv):
     uhat, vhat = phat, -that
     uv = jnp.asarray(uv)
     uv3 = uv[..., 0:1] * uhat + uv[..., 1:2] * vhat  # (..., 3)
+    # Match the pixel-grid precision so TPU runs stay in complex64.
+    uv3 = uv3.astype(angpos_cart.dtype)
     du = jnp.einsum("...k,pk->...p", uv3, angpos_cart)
-    phase = 2 * jnp.pi * du
+    phase = (2 * jnp.pi * du).astype(angpos_cart.dtype)
     return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 
 

@@ -169,8 +169,9 @@ def _analysis(maps, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: b
         m = -1, -2, ..., -mmax (only if ``neg_m``)
     """
     geom = ring_geometry(nside)
-    cdtype = jnp.complex128 if maps.dtype.itemsize >= 8 else jnp.complex64
-    rdtype = jnp.float64 if maps.dtype.itemsize >= 8 else jnp.float32
+    double = maps.dtype.itemsize >= (16 if jnp.iscomplexobj(maps) else 8)
+    cdtype = jnp.complex128 if double else jnp.complex64
+    rdtype = jnp.float64 if double else jnp.float32
 
     padded = _pad_rings(maps, geom).astype(cdtype)  # (B, nring, maxlen)
     phi = jnp.asarray(geom.phi)  # (nring, maxlen) f64
@@ -188,10 +189,14 @@ def _analysis(maps, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: b
     pixarea = jnp.asarray(geom.pixarea, dtype=rdtype)
 
     def chunk_fn(_, mv):
-        # Phase stage: F[b, i, r] = sum_j padded[b, r, j] exp(-i m_i phi_rj)
+        # Phase stage: F[b, i, r] = sum_j padded[b, r, j] exp(-i m_i phi_rj).
+        # Build the phase factors via lax.complex on pre-cast reals so no
+        # complex128 intermediate appears (TPUs do not support C128).
         phase = mv[:, None, None].astype(jnp.float64) * phi[None, :, :]
-        e_neg = (jnp.cos(phase) - 1j * jnp.sin(phase)) * mask[None]
-        e_neg = e_neg.astype(cdtype)  # (mc, nring, maxlen)
+        mr = mask[None].astype(rdtype)
+        e_neg = jax.lax.complex(
+            jnp.cos(phase).astype(rdtype) * mr, -jnp.sin(phase).astype(rdtype) * mr
+        )  # (mc, nring, maxlen)
         F = jnp.einsum("brj,mrj->bmr", padded, e_neg)
         lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
         # Legendre stage: a[b, l, i] = Omega * sum_r lam[l, i, r] F[b, i, r]
@@ -259,8 +264,10 @@ def _synthesis_real(alm, nside: int, lmax: int, mmax: int):
         # T[b, i, r] = sum_l lam[l, i, r] a[b, l, i]
         T = jnp.einsum("lmr,blm->bmr", lam, a_chunk)
         phase = mv[:, None, None].astype(jnp.float64) * phi[None, :, :]
-        e_pos = (jnp.cos(phase) + 1j * jnp.sin(phase)) * mask[None]
-        e_pos = e_pos.astype(cdtype)
+        mr = mask[None].astype(rdtype)
+        e_pos = jax.lax.complex(
+            jnp.cos(phase).astype(rdtype) * mr, jnp.sin(phase).astype(rdtype) * mr
+        )
         weight = jnp.where(mv == 0, 1.0, 2.0).astype(rdtype)  # m>0 counted twice
         contrib = jnp.einsum("bmr,mrj->brj", T * weight[None, :, None], e_pos)
         return acc + contrib.real.astype(rdtype), None
@@ -312,8 +319,10 @@ def _synthesis_complex(alm_pos, alm_neg, nside: int, lmax: int, mmax: int):
         signm = jnp.where(mv % 2 == 0, 1.0, -1.0).astype(rdtype)
         t_neg = t_neg * signm[None, :, None]
         phase = mv[:, None, None].astype(jnp.float64) * phi[None, :, :]
-        e_pos = (jnp.cos(phase) + 1j * jnp.sin(phase)) * mask[None]
-        e_pos = e_pos.astype(cdtype)
+        mr = mask[None].astype(rdtype)
+        e_pos = jax.lax.complex(
+            jnp.cos(phase).astype(rdtype) * mr, jnp.sin(phase).astype(rdtype) * mr
+        )
         contrib = jnp.einsum("bmr,mrj->brj", t_pos, e_pos)
         contrib += jnp.einsum("bmr,mrj->brj", t_neg, jnp.conj(e_pos))
         return acc + contrib, None
