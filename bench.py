@@ -8,10 +8,13 @@ Runs the two hot phases of the pipeline on the default accelerator:
 2. the batched per-m product step — SVD compression + KL eigenproblem
    for every m-mode (driftscan_tpu.parallel.mstep).
 
+On complex-free TPU runtimes both phases use the split-complex
+implementations automatically.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is the throughput ratio against the same program on the
-host CPU backend (the reference runs on CPU clusters; the north-star in
-BASELINE.md is >= 20x a many-rank CPU run), measured on a subset and
+host CPU backend (the reference runs on CPU clusters; BASELINE.md's
+north-star is beating many-rank CPU runs), measured on a subset and
 extrapolated.
 """
 
@@ -45,7 +48,7 @@ def build_telescope():
             single_precision=True,
         )
     else:
-        # Mid-scale cylinder: mmax ~ 200, 16 freq channels.
+        # Mid-scale cylinder: mmax ~ 230, 16 freq channels, 67 baselines.
         params = dict(
             num_freq=16,
             freq_start=400.0,
@@ -61,169 +64,174 @@ def build_telescope():
     return cylinder.UnpolarisedCylinderTelescope.from_config(params)
 
 
-def btm_phase(tel, device=None):
-    """Compute all BTMs (no file IO); returns (tarray, seconds)."""
+def btm_phase(tel, max_units=None):
+    """Compute BTMs for all (or max_units) fb units; returns (tarray, s, n)."""
     bl = np.arange(tel.npairs)
     fi = np.arange(tel.nfreq)
     blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+    if max_units is not None:
+        blg, fig = blg[:max_units], fig[:max_units]
 
-    # Warm up the compilation on a single unit, then time the full set.
+    # Warm up compilation on one unit
     tel.transfer_matrices(blg[:1], fig[:1])
 
     st = time.time()
     tarray = tel.transfer_matrices(blg, fig)
-    et = time.time()
-    return tarray.reshape(tel.npairs, tel.nfreq, tel.num_pol_sky, *tarray.shape[-2:]), (
-        et - st
-    )
+    dt = time.time() - st
+    return tarray, dt, len(blg)
 
 
-def product_phase(tel, tarray, mbatch=32, device=None, max_m=None):
-    """Run the batched SVD+KL product step over all m. Returns seconds/m."""
-    import jax.numpy as jnp
-
+def _covariances(tel):
     from driftscan_tpu.core import skymodel
-    from driftscan_tpu.parallel import mstep
 
-    nl = tel.lmax + 1
-    nm = tel.mmax + 1 if max_m is None else max_m
     npol = tel.num_pol_sky
-    nfreq = tel.nfreq
-    ntel = 2 * tel.npairs
-
-    # Sky covariances (host, once)
     cl_s = skymodel.im21cm_model(tel.lmax, tel.frequencies, npol)
     cl_n = skymodel.foreground_model(tel.lmax, tel.frequencies, npol)
 
     noisew = np.stack(
         [
-            np.concatenate([w := tel.noisepower(np.arange(tel.npairs), fi).flatten() ** -0.5, w])
-            for fi in range(nfreq)
+            np.concatenate([w, w])
+            for w in (
+                tel.noisepower(np.arange(tel.npairs), fi).flatten() ** -0.5
+                for fi in range(tel.nfreq)
+            )
         ]
     )
     npower = np.stack(
         [
-            np.concatenate([p := tel.noisepower(np.arange(tel.npairs), fi).flatten(), p])
-            for fi in range(nfreq)
+            np.concatenate([p, p])
+            for p in (
+                tel.noisepower(np.arange(tel.npairs), fi).flatten()
+                for fi in range(tel.nfreq)
+            )
         ]
     )
+    return cl_s.astype(np.float32), cl_n.astype(np.float32), noisew.astype(
+        np.float32
+    ), npower.astype(np.float32)
 
-    step = mstep.jit_product_step(npol=npol, nl=nl)
 
-    def beam_for_m(ms):
-        # Build the (M, F, T, npol*nl) m-major beam batch from the packed
-        # transfer array: positive and (-1)^m conj negative m rows.
-        M = len(ms)
-        out = np.zeros((M, nfreq, ntel, npol * nl), dtype=np.complex64)
-        for i, mi in enumerate(ms):
-            pos = tarray[:, :, :, :, mi]  # (npairs, nfreq, npol, nl)
-            neg = (-1) ** mi * np.conj(tarray[:, :, :, :, -mi]) if mi > 0 else np.zeros_like(pos)
-            blk = np.concatenate([pos, neg], axis=0)  # (2*npairs, nfreq, npol, nl)
-            out[i] = blk.transpose(1, 0, 2, 3).reshape(nfreq, ntel, npol * nl)
-        return out
+def _beam_batch(tarray, ms, tel, mbatch):
+    """(M, F, T, npol*nl) m-major c64 beam batch from the packed BTM array.
 
-    # Warm-up compile on one batch
-    ms0 = np.arange(min(mbatch, nm))
-    pad = mbatch - len(ms0)
-    beam0 = np.concatenate([beam_for_m(ms0), np.zeros((pad,) + beam_for_m(ms0).shape[1:], np.complex64)]) if pad else beam_for_m(ms0)
-    mv0 = np.concatenate([ms0, -np.ones(pad, int)]) if pad else ms0
-    res = step(beam0, noisew, cl_s, cl_n, npower, mv0.astype(np.int32))
+    tarray: (nunits, npol, nl, 2*nl-1) for unit-major (bl-major) ordering.
+    """
+    npairs, nfreq = tel.npairs, tel.nfreq
+    npol = tel.num_pol_sky
+    nl = tel.lmax + 1
+    ntel = 2 * npairs
+
+    t5 = tarray.reshape(npairs, nfreq, npol, nl, -1)
+    M = len(ms)
+    out = np.zeros((mbatch, nfreq, ntel, npol * nl), dtype=np.complex64)
+    for i, mi in enumerate(ms):
+        pos = t5[..., mi]  # (npairs, nfreq, npol, nl)
+        neg = (
+            (-1) ** mi * np.conj(t5[..., -mi]) if mi > 0 else np.zeros_like(pos)
+        )
+        blk = np.concatenate([pos, neg], axis=0)
+        out[i] = blk.transpose(1, 0, 2, 3).reshape(nfreq, ntel, npol * nl)
+    mv = np.full(mbatch, -1, np.int32)
+    mv[:M] = ms
+    return out, mv
+
+
+def product_phase(tel, tarray, mbatch=16, max_m=None):
+    """Run the batched SVD+KL product step over all m. Returns seconds."""
+    import driftscan_tpu.backend as backend
+    from driftscan_tpu.parallel import mstep
+
+    nl = tel.lmax + 1
+    nm = tel.mmax + 1 if max_m is None else max_m
+    npol = tel.num_pol_sky
+
+    cl_s, cl_n, noisew, npower = _covariances(tel)
+
+    split = backend.split_complex()
+    if split:
+        step = mstep.jit_product_step_split(npol=npol, nl=nl)
+    else:
+        step = mstep.jit_product_step(npol=npol, nl=nl)
+
+    def run(beam, mv):
+        if split:
+            return step(
+                np.ascontiguousarray(beam.real),
+                np.ascontiguousarray(beam.imag),
+                noisew,
+                cl_s,
+                cl_n,
+                npower,
+                mv,
+            )
+        return step(beam, noisew, cl_s, cl_n, npower, mv)
+
+    # Warm-up compile
+    beam0, mv0 = _beam_batch(tarray, np.arange(min(mbatch, nm)), tel, mbatch)
+    res = run(beam0, mv0)
     res.evals.block_until_ready()
 
-    # Timed run over all m
     st = time.time()
-    host_prep = 0.0
     for s in range(0, nm, mbatch):
         ms = np.arange(s, min(s + mbatch, nm))
-        hp0 = time.time()
-        beam = beam_for_m(ms)
-        if len(ms) < mbatch:
-            beam = np.concatenate(
-                [beam, np.zeros((mbatch - len(ms),) + beam.shape[1:], np.complex64)]
-            )
-            ms = np.concatenate([ms, -np.ones(mbatch - len(ms), int)])
-        host_prep += time.time() - hp0
-        res = step(beam, noisew, cl_s, cl_n, npower, ms.astype(np.int32))
+        beam, mv = _beam_batch(tarray, ms, tel, mbatch)
+        res = run(beam, mv)
     res.evals.block_until_ready()
-    et = time.time()
-
-    return (et - st), host_prep
-
-
-def run_on(device_kind):
-    """Run both phases with the default device set to `device_kind`."""
-    tel = build_telescope()
-    tarray, t_btm = btm_phase(tel)
-    nfb = tel.npairs * tel.nfreq
-
-    nm = tel.mmax + 1
-    t_prod, t_host = product_phase(tel, tarray)
-
-    return {
-        "nm": nm,
-        "nfb": nfb,
-        "t_btm": t_btm,
-        "t_prod": t_prod,
-        "t_host": t_host,
-        "total": t_btm + t_prod,
-    }
+    return time.time() - st
 
 
 def main():
     platform = jax.devices()[0].platform
 
-    res = run_on(platform)
-    mm_per_sec = res["nm"] / res["total"]
+    tel = build_telescope()
+    nm = tel.mmax + 1
+    nfb_total = tel.npairs * tel.nfreq
 
-    # CPU comparison: same program on the host CPU backend, subset of m.
+    tarray, t_btm, _ = btm_phase(tel)
+    t_prod = product_phase(tel, tarray)
+    total = t_btm + t_prod
+    mm_per_sec = nm / total
+
+    # CPU comparison on a subset of the same work, extrapolated.
     vs_baseline = None
     try:
-        cpu = jax.devices("cpu")[0]
-        if jax.devices()[0].platform != "cpu":
+        if platform != "cpu":
+            cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
-                tel = build_telescope()
-                # BTM subset: one frequency's worth of units
-                bl = np.arange(tel.npairs)
-                fi = np.zeros_like(bl)
-                tel.transfer_matrices(bl[:1], fi[:1])
-                st = time.time()
-                tel.transfer_matrices(bl, fi)
-                t_btm_cpu = (time.time() - st) * tel.nfreq
+                import driftscan_tpu.backend as backend
 
-                tarray, _ = None, None
-                # Reuse the full BTM from the accelerator run shape-wise:
-                # recompute a small tarray for the product subset.
-                tarr = tel.transfer_matrices(
-                    np.tile(bl, 2), np.repeat([0, 1], tel.npairs)
-                ).reshape(2, tel.npairs, tel.num_pol_sky, -1, 2 * tel.lmax + 1)
-                # Build a full-shape tarray by tiling the two computed freqs
-                full = np.tile(
-                    tarr.transpose(1, 0, 2, 3, 4),
-                    (1, (tel.nfreq + 1) // 2, 1, 1, 1),
-                )[:, : tel.nfreq]
-                nsub = max(8, (tel.mmax + 1) // 16)
-                t_prod_cpu, _ = product_phase(tel, full, mbatch=8, max_m=nsub)
-                t_prod_cpu *= (tel.mmax + 1) / nsub
+                backend.split_complex.cache_clear()
+                backend.has_device_fft.cache_clear()
+                os.environ["DRIFTSCAN_TPU_SPLIT_COMPLEX"] = "0"
 
-                cpu_total = t_btm_cpu + t_prod_cpu
-                cpu_rate = (tel.mmax + 1) / cpu_total
+                tel_c = build_telescope()
+                n_units = min(nfb_total, max(8, nfb_total // 8))
+                _, t_btm_sub, n_done = btm_phase(tel_c, max_units=n_units)
+                t_btm_cpu = t_btm_sub * nfb_total / n_done
+
+                nsub = max(4, nm // 16)
+                t_prod_cpu = product_phase(tel_c, tarray, max_m=nsub)
+                t_prod_cpu *= nm / nsub
+
+                cpu_rate = nm / (t_btm_cpu + t_prod_cpu)
                 vs_baseline = mm_per_sec / cpu_rate
+
+                del os.environ["DRIFTSCAN_TPU_SPLIT_COMPLEX"]
+                backend.split_complex.cache_clear()
+                backend.has_device_fft.cache_clear()
     except Exception:
         vs_baseline = None
 
     out = {
-        "metric": "m-modes/sec/chip (BTM+SVD+KL, unpolarised cylinder "
-        f"nfreq={16 if SCALE != 'small' else 4})",
+        "metric": "m-modes/sec/chip (BTM+SVD+KL, unpolarised cylinder, "
+        f"nm={nm}, nfb={nfb_total})",
         "value": round(mm_per_sec, 3),
         "unit": "m-modes/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "detail": {
             "platform": platform,
-            "nm": res["nm"],
-            "nfb": res["nfb"],
-            "t_btm_s": round(res["t_btm"], 2),
-            "t_product_s": round(res["t_prod"], 2),
-            "t_host_prep_s": round(res["t_host"], 2),
+            "t_btm_s": round(t_btm, 2),
+            "t_product_s": round(t_prod, 2),
         },
     }
     print(json.dumps(out))

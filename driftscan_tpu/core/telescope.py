@@ -541,19 +541,40 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
         """
         self._init_trans(nside)
 
-        cvis = self._beam_map_batch(bl_ind, f_ind)  # (nu, [npol,] npix)
-        if self.single_precision:
-            cvis = cvis.astype(jnp.complex64)
+        from .. import backend
+        from ..ops import zarray as za
 
-        # SHT with the reference's conjugation convention:
-        # btrans = SHT(conj(cvis)).conj()  (telescope.py:1188-1191)
-        pos, neg = sht.analysis(jnp.conj(cvis), lmax=lmax, neg_m=True)
-        pos = np.conj(np.asarray(pos))
-        neg = np.conj(np.asarray(neg))
+        # Pad the unit batch up to a power of two so jitted kernels and the
+        # SHT compile for a bounded set of shapes across chunks.
+        nu = len(bl_ind)
+        nu_pad = 1 << max(nu - 1, 0).bit_length()
+        if nu_pad != nu:
+            bl_ind = np.concatenate([bl_ind, np.repeat(bl_ind[-1], nu_pad - nu)])
+            f_ind = np.concatenate([f_ind, np.repeat(f_ind[-1], nu_pad - nu)])
+
+        if backend.split_complex():
+            # Split-complex path: conj(cvis) -> SHT -> conj, on (re, im)
+            # planes (complex dtypes unsupported on this accelerator).
+            cvis = self._beam_map_batch_split(bl_ind, f_ind)
+            if self.single_precision:
+                cvis = cvis.astype(jnp.float32)
+            pos_z, neg_z = sht.analysis_split(cvis.conj(), lmax=lmax, neg_m=True)
+            pos = np.conj(za.to_numpy(pos_z))
+            neg = np.conj(za.to_numpy(neg_z))
+        else:
+            cvis = self._beam_map_batch(bl_ind, f_ind)  # (nu, [npol,] npix)
+            if self.single_precision:
+                cvis = cvis.astype(jnp.complex64)
+
+            # SHT with the reference's conjugation convention:
+            # btrans = SHT(conj(cvis)).conj()  (telescope.py:1188-1191)
+            pos, neg = sht.analysis(jnp.conj(cvis), lmax=lmax, neg_m=True)
+            pos = np.conj(np.asarray(pos))
+            neg = np.conj(np.asarray(neg))
 
         packed = sht.pack_fftlike(pos, neg, lside)
+        packed = packed[:nu]
 
-        nu = len(bl_ind)
         if packed.ndim == 3:  # unpolarised: add the pol axis
             packed = packed.reshape(nu, 1, lside + 1, 2 * lside + 1)
 
@@ -641,7 +662,17 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
     _beam_cache_bytes = 0
 
     def _beam(self, feed_ind, freq_ind):
-        """Beam map for a feed, cached by (nside, freq, beamclass)."""
+        """Beam map for a feed, cached by (nside, freq, beamclass).
+
+        Beams are evaluated on the *host* CPU backend: they are small
+        one-off per-(freq, beamclass) computations built from arbitrary
+        subclass Python (possibly scipy), and eager dispatch of their op
+        chains to a remote accelerator costs far more than computing them
+        locally.  The batched hot path ships the cached maps to the
+        accelerator in one transfer.
+        """
+        import jax
+
         if self._beam_cache is None:
             self._beam_cache = {}
             self._beam_cache_bytes = 0
@@ -650,10 +681,12 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
         key = (self._nside, freq_ind, beamclass)
 
         if key not in self._beam_cache:
-            beam = jnp.asarray(self.beam(feed_ind, freq_ind))
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                beam = np.asarray(self.beam(feed_ind, freq_ind))
             if self.single_precision:
                 beam = beam.astype(
-                    jnp.complex64 if jnp.iscomplexobj(beam) else jnp.float32
+                    np.complex64 if np.iscomplexobj(beam) else np.float32
                 )
             limit = self.beam_cache_size << 20
             if self._beam_cache_bytes + beam.nbytes > limit:
@@ -662,6 +695,19 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
             self._beam_cache[key] = beam
             self._beam_cache_bytes += beam.nbytes
         return self._beam_cache[key]
+
+    def _gather_beams(self, bl_ind, f_ind):
+        """Stacked host beam maps and uv coordinates for a unit batch."""
+        beams_i, beams_j, uvs = [], [], []
+        for bi, fi in zip(bl_ind, f_ind):
+            feedi, feedj = self.uniquepairs[bi]
+            beams_i.append(self._beam(feedi, fi))
+            beams_j.append(self._beam(feedj, fi))
+            uvs.append(self.baselines[bi] / self.wavelengths[fi])
+        uv = np.array(uvs)
+        if self.single_precision:
+            uv = uv.astype(np.float32)
+        return np.stack(beams_i), np.stack(beams_j), uv
 
     # ================= draco-compatible maps ==================
 
@@ -740,21 +786,27 @@ class UnpolarisedTelescope(TransitTelescope, metaclass=abc.ABCMeta):
 
     def _beam_map_batch(self, bl_ind, f_ind):
         """Stacked normalised visibility maps for a batch of units."""
-        beams_i = []
-        beams_j = []
-        uvs = []
-        for bi, fi in zip(bl_ind, f_ind):
-            feedi, feedj = self.uniquepairs[bi]
-            beams_i.append(self._beam(feedi, fi))
-            beams_j.append(self._beam(feedj, fi))
-            uvs.append(self.baselines[bi] / self.wavelengths[fi])
+        beam_i, beam_j, uv = self._gather_beams(bl_ind, f_ind)
+        return kernels.unpol_visibility_map(
+            beam_i,
+            beam_j,
+            uv,
+            jnp.asarray(self.zenith),
+            self._angpos_cart,
+            self._horizon,
+        )
 
-        beam_i = jnp.stack(beams_i)
-        beam_j = jnp.stack(beams_j)
-        uv = jnp.asarray(np.array(uvs))
-
-        fr = kernels.fringe(self._angpos_cart, jnp.asarray(self.zenith), uv)
-        return kernels.unpolarised_visibility(beam_i, beam_j, fr, self._horizon)
+    def _beam_map_batch_split(self, bl_ind, f_ind):
+        """Split-complex variant of the batched visibility maps."""
+        beam_i, beam_j, uv = self._gather_beams(bl_ind, f_ind)
+        return kernels.unpol_visibility_map_split(
+            beam_i,
+            beam_j,
+            uv,
+            jnp.asarray(self.zenith),
+            self._angpos_cart,
+            self._horizon,
+        )
 
     def noisepower(self, bl_indices, f_indices, ndays=None):
         """Noise power with the factor-1/2 unpolarised correction."""
@@ -784,30 +836,41 @@ class PolarisedTelescope(TransitTelescope, metaclass=abc.ABCMeta):
         """(npix, 2) field pattern in (theta_hat, phi_hat) at current nside."""
 
     def _beam_map_batch(self, bl_ind, f_ind):
-        beams_i = []
-        beams_j = []
-        uvs = []
-        for bi, fi in zip(bl_ind, f_ind):
-            feedi, feedj = self.uniquepairs[bi]
-            beams_i.append(self._beam(feedi, fi))
-            beams_j.append(self._beam(feedj, fi))
-            uvs.append(self.baselines[bi] / self.wavelengths[fi])
-
-        beam_i = jnp.stack(beams_i)  # (nu, npix, 2)
-        beam_j = jnp.stack(beams_j)
-        uv = jnp.asarray(np.array(uvs))
-
-        fr = kernels.fringe(self._angpos_cart, jnp.asarray(self.zenith), uv)
-        stokes = kernels.stokes_visibility(beam_i, beam_j, fr, self._horizon)
-
+        beam_i, beam_j, uv = self._gather_beams(bl_ind, f_ind)
+        stokes = kernels.stokes_visibility_map(
+            beam_i,
+            beam_j,
+            uv,
+            jnp.asarray(self.zenith),
+            self._angpos_cart,
+            self._horizon,
+        )
         # Transform only the Stokes components we need; zero the rest.
+        return stokes[:, : self._npol_transform]
+
+    @property
+    def _npol_transform(self):
         if self.skip_pol:
-            npol_t = 1
-        elif self.skip_V:
-            npol_t = 3
-        else:
-            npol_t = 4
-        return stokes[:, :npol_t]
+            return 1
+        if self.skip_V:
+            return 3
+        return 4
+
+    def _beam_map_batch_split(self, bl_ind, f_ind):
+        """Split-complex variant of the batched Stokes visibility maps."""
+        from ..ops import zarray as za
+
+        beam_i, beam_j, uv = self._gather_beams(bl_ind, f_ind)
+        stokes = kernels.stokes_visibility_map_split(
+            beam_i,
+            beam_j,
+            uv,
+            jnp.asarray(self.zenith),
+            self._angpos_cart,
+            self._horizon,
+        )
+        np_t = self._npol_transform
+        return za.Z(stokes.re[:, :np_t], stokes.im[:, :np_t])
 
     @cached_property
     def included_pol(self) -> np.ndarray:

@@ -176,6 +176,115 @@ def rotate_ypr(rot, xhat, yhat, zhat):
     return xh3, yh2, zh3
 
 
+# ------------------------------------------------------------------
+# Fused, jitted visibility-map pipelines (one dispatch per batch)
+# ------------------------------------------------------------------
+
+
+@jax.jit
+def unpol_visibility_map(beam_i, beam_j, uv, zenith, angpos_cart, horizon):
+    """fringe + normalised unpolarised visibility, fused under one jit."""
+    fr = fringe(angpos_cart, zenith, uv)
+    return unpolarised_visibility(beam_i, beam_j, fr, horizon)
+
+
+@jax.jit
+def stokes_visibility_map(beam_i, beam_j, uv, zenith, angpos_cart, horizon):
+    """fringe + Stokes products, fused under one jit."""
+    fr = fringe(angpos_cart, zenith, uv)
+    return stokes_visibility(beam_i, beam_j, fr, horizon)
+
+
+@jax.jit
+def unpol_visibility_map_split(beam_i, beam_j, uv, zenith, angpos_cart, horizon):
+    """Split-complex fused unpolarised visibility map."""
+    from . import zarray as za
+
+    fr = fringe_split(angpos_cart, zenith, uv)
+    return unpolarised_visibility_split(za.of(beam_i), za.of(beam_j), fr, horizon)
+
+
+@jax.jit
+def stokes_visibility_map_split(beam_i, beam_j, uv, zenith, angpos_cart, horizon):
+    """Split-complex fused Stokes visibility maps."""
+    from . import zarray as za
+
+    fr = fringe_split(angpos_cart, zenith, uv)
+    return stokes_visibility_split(za.of(beam_i), za.of(beam_j), fr, horizon)
+
+
+# ------------------------------------------------------------------
+# Split-complex variants (for complex-free TPU backends; see backend.py)
+# ------------------------------------------------------------------
+
+
+def fringe_split(angpos_cart, zenith, uv):
+    """Split-complex fringe: Z(cos(2 pi n.u), sin(2 pi n.u))."""
+    from . import zarray as za
+
+    that, phat = thetaphi_plane_cart(jnp.asarray(zenith))
+    uhat, vhat = phat, -that
+    uv = jnp.asarray(uv)
+    uv3 = (uv[..., 0:1] * uhat + uv[..., 1:2] * vhat).astype(angpos_cart.dtype)
+    du = jnp.einsum("...k,pk->...p", uv3, angpos_cart)
+    phase = (2 * jnp.pi * du).astype(angpos_cart.dtype)
+    return za.Z(jnp.cos(phase), jnp.sin(phase))
+
+
+def unpolarised_visibility_split(beam_i, beam_j, fr, horizon):
+    """Split-complex unpolarised visibility map.
+
+    beam_i, beam_j : Z (..., npix); fr : Z fringe; horizon : real mask.
+    """
+    from . import zarray as za
+
+    npix = beam_i.shape[-1]
+    pxarea = 4 * jnp.pi / npix
+    om_i = jnp.sum(beam_i.abs2() * horizon, axis=-1) * pxarea
+    om_j = jnp.sum(beam_j.abs2() * horizon, axis=-1) * pxarea
+    inv_om = (1.0 / jnp.sqrt(om_i * om_j))[..., None]
+    bb = beam_i * beam_j.conj()
+    out = bb * fr
+    return za.Z(out.re * horizon * inv_om, out.im * horizon * inv_om)
+
+
+def stokes_visibility_split(beam_i, beam_j, fr, horizon):
+    """Split-complex Stokes I/Q/U/V visibility maps.
+
+    beam_i, beam_j : Z (..., npix, 2); output Z (..., 4, npix).
+    """
+    from . import zarray as za
+
+    pxarea = 4 * jnp.pi / beam_i.shape[-2]
+    pw_i = beam_i.abs2().sum(axis=-1)
+    pw_j = beam_j.abs2().sum(axis=-1)
+    om_i = jnp.sum(pw_i * horizon, axis=-1) * pxarea
+    om_j = jnp.sum(pw_j * horizon, axis=-1) * pxarea
+    pref = (1.0 / jnp.sqrt(om_i * om_j))[..., None]
+
+    tc = za.Z(fr.re * horizon * pref, fr.im * horizon * pref)
+
+    bit = za.Z(beam_i.re[..., 0], beam_i.im[..., 0])
+    bip = za.Z(beam_i.re[..., 1], beam_i.im[..., 1])
+    bjt = za.Z(beam_j.re[..., 0], -beam_j.im[..., 0])  # conj
+    bjp = za.Z(beam_j.re[..., 1], -beam_j.im[..., 1])
+
+    tt = bit * bjt
+    pp = bip * bjp
+    tp = bit * bjp
+    pt = bip * bjt
+
+    s_i = tc * (tt + pp)
+    s_q = tc * (tt - pp)
+    s_u = tc * (tp + pt)
+    v0 = tc * (tp - pt)
+    s_v = za.Z(-v0.im, v0.re)  # multiply by i
+
+    re = jnp.stack([s_i.re, s_q.re, s_u.re, s_v.re], axis=-2)
+    im = jnp.stack([s_i.im, s_q.im, s_u.im, s_v.im], axis=-2)
+    return za.Z(re, im)
+
+
 def polpattern(angpos_cart, dipole_cart):
     """Unit polarisation vectors of a dipole at each sky position.
 

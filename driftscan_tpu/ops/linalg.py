@@ -254,6 +254,87 @@ def triple_svd_batched(bfr, npol: int, nl: int, polsvcut: float = 1e-4):
     return jax.vmap(one)(bfr)
 
 
+@functools.partial(jax.jit, static_argnames=("npol", "nl"))
+def triple_svd_split_batched(bfr_re, bfr_im, npol: int, nl: int, polsvcut: float = 1e-4):
+    """Split-complex triple SVD (see :func:`triple_svd_batched`).
+
+    Uses Gram-eigendecomposition SVDs (ops.zarray.svd_eigh) so it runs on
+    complex-free TPU backends.  Singular values below ~sqrt(jitter) of the
+    maximum (~1e-6 relative) are noise of the Gram method, so the image
+    cuts are floored at 1e-5 relative — modes that faint carry 1e-10 of
+    the peak sensitivity in power and are discarded by the svcut (default
+    1e-6) downstream anyway.
+
+    Returns (ut Z-planes, beam Z-planes, sig, nmodes) with the same padded
+    shapes as the native version.
+    """
+    from . import zarray as za
+
+    ntel = bfr_re.shape[-2]
+    svd_len = min(nl, ntel)
+
+    gram_floor = 1e-5
+
+    def one(bf_re, bf_im):
+        bf = za.Z(bf_re, bf_im)
+
+        if npol == 1:
+            ut2 = None
+            bf2 = bf
+            pol_ok = jnp.asarray(True)
+        else:
+            u1, s1, _ = za.svd_eigh(bf)
+            mask1 = s1 > s1[0] * jnp.maximum(1e-10, gram_floor)
+            ut1 = za.Z(
+                (u1.re * mask1[None, :]).T, -(u1.im * mask1[None, :]).T
+            )  # u1^H with masked columns
+            bf1 = za.einsum("ij,jk->ik", ut1, bf)
+            pol_ok = (s1 > 0.0).any()
+
+            K1 = bf1.re.shape[0]
+            bfp = za.Z(
+                bf1.re.reshape(K1, npol, nl)[:, 1:].reshape(K1, (npol - 1) * nl),
+                bf1.im.reshape(K1, npol, nl)[:, 1:].reshape(K1, (npol - 1) * nl),
+            )
+            # Left-nullspace via the left Gram (K1, K1): keep directions
+            # with singular value below the polarisation cut.
+            u2, s2, _ = za.svd_eigh(bfp, gram_side="left", full_matrices=True)
+            keep2 = s2 < s2[0] * polsvcut
+            u2m = za.Z(u2.re * keep2[None, :], u2.im * keep2[None, :])
+            ut2 = za.einsum("ji,jk->ik", u2m.conj(), ut1)
+            bf2 = za.einsum("ij,jk->ik", ut2, bf)
+
+        K2 = bf2.re.shape[0]
+        bft = za.Z(
+            bf2.re.reshape(K2, npol, nl)[:, 0],
+            bf2.im.reshape(K2, npol, nl)[:, 0],
+        )
+        u3, s3, _ = za.svd_eigh(bft, gram_side="left")
+        mask3 = (s3 > s3[0] * gram_floor) & pol_ok
+        u3m = za.Z(u3.re * mask3[None, :], u3.im * mask3[None, :])
+        if npol == 1:
+            ut3 = u3m.conj().transpose(1, 0)
+        else:
+            ut3 = za.einsum("ji,jk->ik", u3m.conj(), ut2)
+        beam = za.einsum("ij,jk->ik", ut3, bf)
+        sig = s3 * mask3
+        nmodes = mask3.sum().astype(jnp.int32)
+
+        K3 = ut3.re.shape[0]
+        if K3 < svd_len:
+            pad = [(0, svd_len - K3), (0, 0)]
+            ut3 = za.Z(jnp.pad(ut3.re, pad), jnp.pad(ut3.im, pad))
+            beam = za.Z(jnp.pad(beam.re, pad), jnp.pad(beam.im, pad))
+            sig = jnp.pad(sig, (0, svd_len - K3))
+        else:
+            ut3 = za.Z(ut3.re[:svd_len], ut3.im[:svd_len])
+            beam = za.Z(beam.re[:svd_len], beam.im[:svd_len])
+            sig = sig[:svd_len]
+        return ut3.re, ut3.im, beam.re, beam.im, sig, nmodes
+
+    return jax.vmap(one)(bfr_re, bfr_im)
+
+
 @jax.jit
 def svd_simple_batched(bfr):
     """Plain SVD compression used by BeamTransferFullSVD / TempSVD.

@@ -334,6 +334,114 @@ def _synthesis_complex(alm_pos, alm_neg, nside: int, lmax: int, mmax: int):
     return flat[:, jnp.asarray(valid)]
 
 
+@functools.partial(jax.jit, static_argnames=("nside", "lmax", "mmax", "neg_m"))
+def _analysis_split(maps_re, maps_im, nside: int, lmax: int, mmax: int, neg_m: bool):
+    """Split-complex forward SHT (for complex-free TPU backends).
+
+    Identical math to :func:`_analysis`, with the complex phase/Legendre
+    contractions expanded into real einsums on (re, im) planes — the same
+    FLOP count, all MXU-eligible.
+
+    Returns (pos_re, pos_im, neg_re, neg_im); the negative blocks are
+    zeros when ``neg_m`` is False.
+    """
+    geom = ring_geometry(nside)
+    rdtype = maps_re.dtype
+
+    idx = jnp.asarray(geom.pix_index)
+    maskr = jnp.asarray(geom.mask).astype(rdtype)
+    p_re = jnp.take(maps_re, idx, axis=-1) * maskr
+    p_im = jnp.take(maps_im, idx, axis=-1) * maskr
+
+    phi = jnp.asarray(geom.phi)
+    cos_t = jnp.asarray(geom.cos_theta)
+    sin_t = jnp.asarray(geom.sin_theta)
+    logpref = jnp.asarray(_log_lambda_mm_prefactor(lmax))
+
+    nm = mmax + 1
+    mc = _chunk_size(geom.nring, geom.maxlen, nm)
+    nchunks = (nm + mc - 1) // mc
+    m_chunks = jnp.asarray(
+        np.arange(nchunks * mc, dtype=np.int64).reshape(nchunks, mc)
+    )
+
+    pixarea = jnp.asarray(geom.pixarea, dtype=rdtype)
+
+    def chunk_fn(_, mv):
+        phase = mv[:, None, None].astype(jnp.float64) * phi[None, :, :]
+        c = jnp.cos(phase).astype(rdtype) * maskr[None]
+        s = jnp.sin(phase).astype(rdtype) * maskr[None]
+
+        # F = sum_j p e^{-im phi}:  F.re = pr.c + pi.s ; F.im = pi.c - pr.s
+        rc = jnp.einsum("brj,mrj->bmr", p_re, c)
+        rs = jnp.einsum("brj,mrj->bmr", p_re, s)
+        ic = jnp.einsum("brj,mrj->bmr", p_im, c)
+        is_ = jnp.einsum("brj,mrj->bmr", p_im, s)
+        f_re = rc + is_
+        f_im = ic - rs
+
+        lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
+        a_re = pixarea * jnp.einsum("lmr,bmr->blm", lam, f_re)
+        a_im = pixarea * jnp.einsum("lmr,bmr->blm", lam, f_im)
+
+        if neg_m:
+            # G = sum_j p e^{+im phi}: G.re = pr.c - pi.s ; G.im = ic + rs
+            g_re = rc - is_
+            g_im = ic + rs
+            signm = jnp.where(mv % 2 == 0, 1.0, -1.0).astype(rdtype)
+            n_re = pixarea * jnp.einsum(
+                "lmr,bmr->blm", lam, g_re * signm[None, :, None]
+            )
+            n_im = pixarea * jnp.einsum(
+                "lmr,bmr->blm", lam, g_im * signm[None, :, None]
+            )
+            return None, (a_re, a_im, n_re, n_im)
+        return None, (a_re, a_im, a_re[..., :0], a_im[..., :0])
+
+    _, (a_re, a_im, n_re, n_im) = jax.lax.scan(chunk_fn, None, m_chunks)
+
+    B = maps_re.shape[0]
+
+    def _stitch(x, take):
+        x = jnp.moveaxis(x, 0, -2).reshape(B, lmax + 1, -1)
+        return x[..., :take]
+
+    pos_re = _stitch(a_re, nm)
+    pos_im = _stitch(a_im, nm)
+    if neg_m:
+        neg_re = _stitch(n_re, nm)[..., 1 : mmax + 1]
+        neg_im = _stitch(n_im, nm)[..., 1 : mmax + 1]
+    else:
+        neg_re = jnp.zeros((B, lmax + 1, 0), dtype=rdtype)
+        neg_im = jnp.zeros((B, lmax + 1, 0), dtype=rdtype)
+    return pos_re, pos_im, neg_re, neg_im
+
+
+def analysis_split(maps_z, lmax: int, mmax: Optional[int] = None, neg_m: bool = False):
+    """Forward SHT of split-complex maps (ops.zarray.Z in, Z out).
+
+    maps_z : Z with arrays (..., npix).
+    Returns (pos Z (..., lmax+1, mmax+1), neg Z (..., lmax+1, mmax) or None).
+    """
+    from . import zarray as za
+
+    mmax = lmax if mmax is None else mmax
+    npix = maps_z.re.shape[-1]
+    nside = int(np.sqrt(npix / 12))
+    if 12 * nside * nside != npix:
+        raise ValueError(f"npix {npix} is not a valid healpix size")
+
+    lead = maps_z.re.shape[:-1]
+    fr = maps_z.re.reshape((-1, npix))
+    fi = maps_z.im.reshape((-1, npix))
+    pr, pi, nr, ni = _analysis_split(fr, fi, nside, lmax, mmax, neg_m)
+    pos = za.Z(pr.reshape(lead + (lmax + 1, mmax + 1)), pi.reshape(lead + (lmax + 1, mmax + 1)))
+    if not neg_m:
+        return pos, None
+    neg = za.Z(nr.reshape(lead + (lmax + 1, mmax)), ni.reshape(lead + (lmax + 1, mmax)))
+    return pos, neg
+
+
 # ------------------------------------------------------------------
 # Public, batched API
 # ------------------------------------------------------------------

@@ -235,7 +235,7 @@ def whiten_eigh(s: Z, n: Z, floor: float = 0.0):
     return w, v, dmin
 
 
-def svd_eigh(m: Z, gram_side: str = "auto"):
+def svd_eigh(m: Z, gram_side: str = "auto", full_matrices: bool = False):
     """SVD of a split matrix via the Gram-matrix eigendecomposition.
 
     For M (p, q): if q <= p form H = M^H M (q, q), eigh -> V, s^2; then
@@ -244,10 +244,14 @@ def svd_eigh(m: Z, gram_side: str = "auto"):
     the 1e-4..1e-6 level used in the pipeline (f64 planes give ~1e-8).
 
     Returns (u Z(p, k), s (k,) descending, vh Z(k, q)), k = min(p, q).
+    With ``full_matrices`` and ``gram_side='left'``, u keeps all p columns
+    (the trailing ones spanning the left nullspace) and s has length p.
     """
     p, q = m.shape[-2], m.shape[-1]
     if gram_side == "auto":
         gram_side = "right" if q <= p else "left"
+    if full_matrices and gram_side != "left":
+        raise NotImplementedError("full_matrices requires gram_side='left'")
 
     if gram_side == "right":
         h = einsum("...ji,...jk->...ik", m.conj(), m)  # M^H M (q, q)
@@ -278,7 +282,7 @@ def svd_eigh(m: Z, gram_side: str = "auto"):
     w = w[..., ::-1]
     u = Z(u.re[..., ::-1], u.im[..., ::-1])
     s = jnp.sqrt(jnp.maximum(w, 0.0))
-    k = min(p, q)
+    k = p if full_matrices else min(p, q)
     u = Z(u.re[..., :k], u.im[..., :k])
     s = s[..., :k]
     sinv = jnp.where(s > 0, 1.0 / jnp.maximum(s, 1e-300), 0.0)

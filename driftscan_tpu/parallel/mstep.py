@@ -167,6 +167,159 @@ def kl_product_step(
     return ProductStepResult(*out)
 
 
+class ProductStepResultSplit(NamedTuple):
+    """Split-complex per-m outputs (re/im planes)."""
+
+    ut_re: jnp.ndarray
+    ut_im: jnp.ndarray
+    beam_re: jnp.ndarray
+    beam_im: jnp.ndarray
+    sig: jnp.ndarray
+    nmodes: jnp.ndarray
+    evals: jnp.ndarray
+    evecs_re: jnp.ndarray
+    evecs_im: jnp.ndarray
+
+
+def kl_product_step_split(
+    beam_re,
+    beam_im,
+    noisew,
+    cl_signal,
+    cl_noise,
+    npower,
+    m_values,
+    npol: int,
+    nl: int,
+    polsvcut: float = 1e-4,
+    svcut: float = 1e-6,
+    reg: float = 1e-14,
+) -> ProductStepResultSplit:
+    """Split-complex version of :func:`kl_product_step` (complex-free TPUs).
+
+    Same math with (re, im) planes: complex contractions via real MXU
+    einsums, SVDs via Gram eigendecompositions, the generalised
+    eigenproblem via the eigh-whitening of ops.zarray.whiten_eigh.
+    """
+    from ..ops import zarray as za
+
+    dt_r = beam_re.dtype
+    noisew = noisew.astype(dt_r)
+    cl_signal = cl_signal.astype(dt_r)
+    cl_noise = cl_noise.astype(dt_r)
+    npower = npower.astype(dt_r)
+
+    def proj_cov(bsvd: "za.Z", cl):
+        # T1[q, l, f, g, a] = sum_p B[f,a,p,l] C[p,q,l,f,g] (C real)
+        F, S = bsvd.re.shape[0], bsvd.re.shape[1]
+        b4_re = bsvd.re.reshape(F, S, npol, nl)
+        b4_im = bsvd.im.reshape(F, S, npol, nl)
+        t_re = jnp.einsum("fapl,pqlfg->faqlg", b4_re, cl, optimize=True)
+        t_im = jnp.einsum("fapl,pqlfg->faqlg", b4_im, cl, optimize=True)
+        t1 = za.Z(t_re, t_im)
+        bc = za.Z(b4_re, -b4_im)
+        mat = za.einsum("faqlg,gbql->fagb", t1, bc, optimize=True)
+        return mat.reshape(F * S, F * S)
+
+    def one_m(bm_re, bm_im, mval):
+        F = bm_re.shape[0]
+
+        ls = jnp.arange(nl)
+        lmask = (ls >= mval).astype(dt_r)
+        tile = jnp.tile(lmask, npol)[None, None, :]
+        bm_re = bm_re * tile
+        bm_im = bm_im * tile
+
+        bw_re = bm_re * noisew[:, :, None]
+        bw_im = bm_im * noisew[:, :, None]
+
+        ut_re, ut_im, bs_re, bs_im, sig, nmodes = linalg.triple_svd_split_batched(
+            bw_re, bw_im, npol=npol, nl=nl, polsvcut=polsvcut
+        )
+
+        S = ut_re.shape[1]
+
+        sigmax = sig.max()
+        svmask = (sig > sigmax * svcut).astype(dt_r)
+        ut = za.Z(ut_re * svmask[:, :, None], ut_im * svmask[:, :, None])
+        bsvd = za.Z(bs_re * svmask[:, :, None], bs_im * svmask[:, :, None])
+
+        s_mat = proj_cov(bsvd, cl_signal)
+        n_mat = proj_cov(bsvd, cl_noise)
+
+        nmax = jnp.maximum(jnp.abs(n_mat.re).max(), jnp.abs(n_mat.im).max())
+        eye = jnp.eye(n_mat.re.shape[0], dtype=dt_r)
+        n_mat = za.Z(n_mat.re + reg * nmax * eye, n_mat.im)
+
+        weighted_power = npower * noisew**2
+        # Block-diagonal noise projection: blocks[f,a,b] = U d U^H
+        xw = za.Z(ut.re * weighted_power[:, None, :], ut.im * weighted_power[:, None, :])
+        blocks = za.einsum("fat,fbt->fab", xw, ut.conj())
+        eyeF = jnp.eye(F, dtype=dt_r)
+        nb_re = (eyeF[:, None, :, None] * blocks.re[:, :, None, :]).reshape(
+            F * S, F * S
+        )
+        nb_im = (eyeF[:, None, :, None] * blocks.im[:, :, None, :]).reshape(
+            F * S, F * S
+        )
+        n_mat = za.Z(n_mat.re + nb_re, n_mat.im + nb_im)
+
+        valid = svmask.reshape(-1)
+        n_mat = za.Z(n_mat.re + jnp.diag(1.0 - valid), n_mat.im)
+
+        evals, evecs, _ = za.whiten_eigh(s_mat, n_mat)
+        evecs = evecs.conj().transpose(1, 0)  # rows are KL modes
+
+        is_pad = (mval < 0).astype(dt_r)
+        keep = 1.0 - is_pad
+        return (
+            ut.re * keep,
+            ut.im * keep,
+            bsvd.re * keep,
+            bsvd.im * keep,
+            sig * keep,
+            (nmodes * (1 - (mval < 0))).astype(jnp.int32),
+            evals * keep,
+            evecs.re * keep,
+            evecs.im * keep,
+        )
+
+    out = jax.vmap(one_m)(beam_re, beam_im, m_values)
+    return ProductStepResultSplit(*out)
+
+
+def jit_product_step_split(
+    npol: int,
+    nl: int,
+    polsvcut: float = 1e-4,
+    svcut: float = 1e-6,
+    reg: float = 1e-14,
+    mesh=None,
+):
+    """jit (and optionally mesh-shard over m) the split product step."""
+    fn = functools.partial(
+        kl_product_step_split,
+        npol=npol,
+        nl=nl,
+        polsvcut=polsvcut,
+        svcut=svcut,
+        reg=reg,
+    )
+
+    if mesh is None:
+        return jax.jit(fn)
+
+    ax = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(ax))
+    repl = NamedSharding(mesh, P())
+
+    return jax.jit(
+        fn,
+        in_shardings=(shard, shard, repl, repl, repl, repl, shard),
+        out_shardings=ProductStepResultSplit(*([shard] * 9)),
+    )
+
+
 def jit_product_step(
     npol: int,
     nl: int,
