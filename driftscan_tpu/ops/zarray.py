@@ -128,16 +128,22 @@ _JITTER_CACHE = {}
 
 
 def _jitter_matrix(n: int, dtype) -> Z:
-    """A fixed random Hermitian matrix of unit scale (cached per size)."""
+    """A fixed random Hermitian matrix of unit scale (cached per size).
+
+    The cache holds host numpy arrays (device arrays created inside a jit
+    trace would leak tracers); jnp.asarray at the use site is free.
+    """
     key = (n, np.dtype(dtype).name)
     if key not in _JITTER_CACHE:
         rng = np.random.default_rng(1234567)
         a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
         hmat = (a + a.conj().T) / (2 * np.sqrt(n))
-        _JITTER_CACHE[key] = Z(
-            jnp.asarray(hmat.real.astype(dtype)), jnp.asarray(hmat.imag.astype(dtype))
+        _JITTER_CACHE[key] = (
+            np.ascontiguousarray(hmat.real, dtype=dtype),
+            np.ascontiguousarray(hmat.imag, dtype=dtype),
         )
-    return _JITTER_CACHE[key]
+    re, im = _JITTER_CACHE[key]
+    return Z(jnp.asarray(re), jnp.asarray(im))
 
 
 def eigh(h: Z, jitter: float = 1e-12):
