@@ -23,12 +23,10 @@ import time
 from typing import Optional
 
 import h5py
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .. import config
-from ..ops import linalg, truncate
+from ..ops import linalg, projections, truncate
 from ..parallel import comm
 from ..util import util
 
@@ -53,34 +51,6 @@ def svd_gen(A, errmsg=None, *args, **kwargs):
 
 matrix_image = linalg.matrix_image
 matrix_nullspace = linalg.matrix_nullspace
-
-
-# ------------------------------------------------------------------
-# jitted projection kernels
-# ------------------------------------------------------------------
-
-
-@jax.jit
-def _proj_matrix_sky_to_svd(beam, cl):
-    """matf[f,a,g,b] = sum_{p,q,l} B[f,a,p,l] C[p,q,l,f,g] conj(B[g,b,q,l]).
-
-    The reference's quadruple (pol^2 x freq^2) loop of matmuls
-    (/root/reference/drift/core/beamtransfer.py:1168-1187) as one einsum.
-    """
-    return jnp.einsum(
-        "fapl,pqlfg,gbql->fagb", beam, cl, beam.conj(), optimize=True
-    )
-
-
-@jax.jit
-def _proj_matrix_diag_tel_to_svd(beam_ut, dmat):
-    """matf[f,a,b] = sum_t U[f,a,t] d[f,t] conj(U[f,b,t]) (block diagonal)."""
-    return jnp.einsum("fat,ft,fbt->fab", beam_ut, dmat, beam_ut.conj())
-
-
-@jax.jit
-def _block_matvec(mats, vecs):
-    return jnp.einsum("fij,fj...->fi...", mats, vecs)
 
 
 # ------------------------------------------------------------------
@@ -201,7 +171,7 @@ class BeamTransfer(config.Reader):
             beam = beam * noisew[:, np.newaxis, np.newaxis]
 
         beam = beam.reshape((self.nfreq, self.ntel, self.nsky))
-        ibeam = linalg.pinv_dm(beam, rcond=1e-6)
+        ibeam = projections.block_pinv(beam, rcond=1e-6)
 
         if self.noise_weight:
             ibeam = ibeam.reshape((-1, tel.npairs))
@@ -472,13 +442,9 @@ class BeamTransfer(config.Reader):
         noisew = np.stack([self._noise_weights(fi) for fi in range(nfreq)])
         bfm_w = bfm * noisew[:, :, np.newaxis]
 
-        ut, beam, sig, nmodes = linalg.triple_svd_batched(
-            jnp.asarray(bfm_w), npol=npol, nl=nl, polsvcut=self.polsvcut
+        ut, beam, sig, nmodes = projections.triple_svd(
+            bfm_w, npol=npol, nl=nl, polsvcut=self.polsvcut
         )
-        ut = np.asarray(ut)
-        beam = np.asarray(beam)
-        sig = np.asarray(sig)
-        nmodes = np.asarray(nmodes)
 
         # Undo the noise weighting on the telescope side of U^H.
         ut_out = ut * noisew[:, np.newaxis, :]
@@ -489,7 +455,7 @@ class BeamTransfer(config.Reader):
         # Pseudo-inverse of the (padded) sky->SVD beam, batched on device.
         ibeam = None
         if not skip_svd_inv:
-            ibeam = np.asarray(jnp.linalg.pinv(jnp.asarray(beam)))
+            ibeam = projections.block_pinv(beam, rcond=1e-15)
 
         tmpfile = self._svdfile(mi) + ".tmp"
         with h5py.File(tmpfile, "w") as fs:
@@ -548,7 +514,7 @@ class BeamTransfer(config.Reader):
             beam = _load_beam_f(self._mfile(mi), "beam_m").reshape(
                 nfreq_trim, -1, nsky_trim
             )
-            t = np.asarray(_block_matvec(jnp.asarray(beam), jnp.asarray(vtrim)))
+            t = projections.block_matvec(beam, vtrim)
             t = t.reshape(nfreq_trim, 2, len(tel.included_baseline))
             fsel = np.ix_(tel.included_freq, np.arange(2), tel.included_baseline)
             vecf[fsel] = t
@@ -566,7 +532,7 @@ class BeamTransfer(config.Reader):
                 (self.nfreq, tel.num_pol_sky, tel.lmax + 1), dtype=np.complex128
             )
         ibeam = self.invbeam_m(mi).reshape((self.nfreq, self.nsky, self.ntel))
-        vecb = np.asarray(_block_matvec(jnp.asarray(ibeam), jnp.asarray(vec)))
+        vecb = projections.block_matvec(ibeam, vec)
         return vecb.reshape((self.nfreq, tel.num_pol_sky, tel.lmax + 1))
 
     project_vector_backward = project_vector_telescope_to_sky
@@ -596,11 +562,11 @@ class BeamTransfer(config.Reader):
         beam = self.beam_m(mi).reshape(
             (self.nfreq, self.ntel, self.telescope.num_pol_sky, lside)
         )
-        matf = _proj_matrix_sky_to_svd(
-            jnp.asarray(beam[:, :, :npol]),
-            jnp.asarray(np.asarray(mat)[:npol, :npol]),
+        matf = projections.sky_covariance_projection(
+            np.ascontiguousarray(beam[:, :, :npol]),
+            np.ascontiguousarray(np.asarray(mat)[:npol, :npol].real),
         )
-        return np.asarray(matf)
+        return matf
 
     project_matrix_forward = project_matrix_sky_to_telescope
 
@@ -629,11 +595,11 @@ class BeamTransfer(config.Reader):
         npol = 1 if temponly else self.telescope.num_pol_sky
 
         beam = self.beam_svd(mi)  # (nfreq, svd_len, npol, lside)
-        matf = _proj_matrix_sky_to_svd(
-            jnp.asarray(beam[:, :, :npol]),
-            jnp.asarray(np.asarray(mat)[:npol, :npol]),
+        matf = projections.sky_covariance_projection(
+            np.ascontiguousarray(beam[:, :, :npol]),
+            np.ascontiguousarray(np.asarray(mat)[:npol, :npol].real),
         )
-        matf = np.asarray(matf).reshape(
+        matf = matf.reshape(
             self.nfreq * self.svd_len, self.nfreq * self.svd_len
         )
         idx, _, _ = self._compact_indices(mi)
@@ -642,8 +608,8 @@ class BeamTransfer(config.Reader):
     def project_matrix_diagonal_telescope_to_svd(self, mi, dmat):
         """Diagonal telescope covariance [f, ntel] -> compact SVD [nsvd,nsvd]."""
         beam_ut = self.beam_ut(mi)  # (nfreq, svd_len, ntel)
-        blocks = np.asarray(
-            _proj_matrix_diag_tel_to_svd(jnp.asarray(beam_ut), jnp.asarray(dmat))
+        blocks = projections.diag_noise_projection(
+            beam_ut, np.ascontiguousarray(np.asarray(dmat).real)
         )
         # Assemble block diagonal then compact
         n = self.nfreq * self.svd_len
@@ -661,8 +627,8 @@ class BeamTransfer(config.Reader):
         if np.all(np.asarray(vec) == 0):
             return vecf
         beam = self.beam_ut(mi)
-        out = np.asarray(
-            _block_matvec(jnp.asarray(beam), jnp.asarray(vec).reshape(self.nfreq, self.ntel, -1))
+        out = projections.block_matvec(
+            beam, np.asarray(vec).reshape(self.nfreq, self.ntel, -1)
         )
         out = out.reshape((self.nfreq * self.svd_len,) + vecf.shape[1:])
         return out[idx]
@@ -702,7 +668,7 @@ class BeamTransfer(config.Reader):
         lside = self.telescope.lmax + 1
         b2 = beam[:, :, :npol].reshape(self.nfreq, self.svd_len, npol * lside)
         v2 = vec[:, :npol].reshape((self.nfreq, npol * lside) + vec.shape[3:])
-        out = np.asarray(_block_matvec(jnp.asarray(b2), jnp.asarray(v2)))
+        out = projections.block_matvec(b2, v2)
         out = out.reshape((self.nfreq * self.svd_len,) + vec.shape[3:])
         return out[idx]
 
@@ -737,7 +703,7 @@ class BeamTransfer(config.Reader):
             beam = self.invbeam_svd(mi)[:, :npol]  # (f, npol, l, svd)
             b2 = beam.reshape(self.nfreq, npol * lside, self.svd_len)
 
-        out = np.asarray(_block_matvec(jnp.asarray(b2), jnp.asarray(spad)))
+        out = projections.block_matvec(b2, spad)
         vecf[:, :npol] = out.reshape(
             (self.nfreq, npol, lside) + vec.shape[1:]
         )
@@ -787,16 +753,14 @@ class BeamTransferTempSVD(BeamTransfer):
         noisew = np.stack([self._noise_weights(fi) for fi in range(nfreq)])
         bfm_w = bfm * noisew[:, :, np.newaxis, np.newaxis]
 
-        ut, sig = linalg.svd_simple_batched(jnp.asarray(bfm_w[:, :, 0, :]))
-        ut = np.asarray(ut)[:, : self.svd_len]
-        sig = np.asarray(sig)[:, : self.svd_len]
+        u, sig, _ = np.linalg.svd(bfm_w[:, :, 0, :], full_matrices=False)
+        ut = np.swapaxes(u, -1, -2).conj()[:, : self.svd_len]
+        sig = sig[:, : self.svd_len]
 
         bsvd = np.einsum(
             "fst,ftk->fsk", ut, bfm_w.reshape(nfreq, self.ntel, npol * nl)
         )
-        ibsvd = None if skip_svd_inv else np.asarray(
-            jnp.linalg.pinv(jnp.asarray(bsvd))
-        )
+        ibsvd = None if skip_svd_inv else projections.block_pinv(bsvd, rcond=1e-15)
 
         tmpfile = self._svdfile(mi) + ".tmp"
         with h5py.File(tmpfile, "w") as fs:
@@ -828,14 +792,12 @@ class BeamTransferFullSVD(BeamTransfer):
         noisew = np.stack([self._noise_weights(fi) for fi in range(nfreq)])
         bfm_w = bfm * noisew[:, :, np.newaxis]
 
-        ut, sig = linalg.svd_simple_batched(jnp.asarray(bfm_w))
-        ut = np.asarray(ut)[:, : self.svd_len]
-        sig = np.asarray(sig)[:, : self.svd_len]
+        u, sig, _ = np.linalg.svd(bfm_w, full_matrices=False)
+        ut = np.swapaxes(u, -1, -2).conj()[:, : self.svd_len]
+        sig = sig[:, : self.svd_len]
 
         bsvd = np.einsum("fst,ftk->fsk", ut, bfm_w)
-        ibsvd = None if skip_svd_inv else np.asarray(
-            jnp.linalg.pinv(jnp.asarray(bsvd))
-        )
+        ibsvd = None if skip_svd_inv else projections.block_pinv(bsvd, rcond=1e-15)
 
         tmpfile = self._svdfile(mi) + ".tmp"
         with h5py.File(tmpfile, "w") as fs:
@@ -908,12 +870,10 @@ class BeamTransferNoSVD(BeamTransfer):
 
         if conj:
             beam = self.beam_m(mi).reshape((self.nfreq, self.ntel, self.nsky))
-            out = np.asarray(
-                _block_matvec(jnp.swapaxes(jnp.asarray(beam), 1, 2).conj(), jnp.asarray(vr))
-            )
+            out = projections.block_matvec(np.swapaxes(beam, 1, 2).conj(), vr)
         else:
             ibeam = self.invbeam_m(mi).reshape((self.nfreq, self.nsky, self.ntel))
-            out = np.asarray(_block_matvec(jnp.asarray(ibeam), jnp.asarray(vr)))
+            out = projections.block_matvec(ibeam, vr)
 
         return out.reshape(
             (self.nfreq, tel.num_pol_sky, tel.lmax + 1) + vec.shape[1:]

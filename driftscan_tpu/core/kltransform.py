@@ -18,7 +18,7 @@ import h5py
 import numpy as np
 
 from .. import config
-from ..ops import linalg
+from ..ops import linalg, projections
 from ..parallel import comm
 from ..util import util
 from . import skymodel
@@ -58,8 +58,8 @@ def collect_m_array(mlist, func, shape, dtype):
     return res[0]
 
 
-# Re-exported for parity with the reference module layout.
-eigh_gen = linalg.eigh_gen
+# Re-exported for parity with the reference module layout (dispatching).
+eigh_gen = projections.generalised_eigh
 inv_gen = linalg.inv_gen
 
 
@@ -200,7 +200,7 @@ class KLTransform(config.Reader):
         logger.info("Covariance build time = %f", time.time() - st)
 
         st = time.time()
-        evals, evecs, ac = linalg.eigh_gen(cvb_sr, cvb_nr, message=f"m = {mi}")
+        evals, evecs, ac = projections.generalised_eigh(cvb_sr, cvb_nr, message=f"m = {mi}")
         logger.info("Eigensolve time = %f", time.time() - st)
 
         evecs = evecs.T.conj()
@@ -368,7 +368,7 @@ class KLTransform(config.Reader):
                     inv = inv[(-nevals):]
                 return inv.T
             logger.info("Inverse not cached, generating pseudo-inverse.")
-            return linalg.pinv(self.modes_m(mi, threshold)[1])
+            return np.linalg.pinv(self.modes_m(mi, threshold)[1])
 
     @util.cache_last
     def skymodes_m(self, mi, threshold=None):

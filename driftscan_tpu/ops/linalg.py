@@ -114,12 +114,19 @@ def eigh_gen_batched(A, B):
 
 
 def inv_gen(A):
-    """Inverse with pseudo-inverse fallback (reference inv_gen parity)."""
-    A = jnp.asarray(A)
-    inv = jnp.linalg.inv(A)
-    if not bool(jnp.isfinite(inv).all()):
-        inv = jnp.linalg.pinv(A)
-    return np.asarray(inv)
+    """Inverse with pseudo-inverse fallback (reference inv_gen parity).
+
+    Host numpy: per-m matrices are small and this avoids requiring
+    complex support on the accelerator.
+    """
+    A = np.asarray(A)
+    try:
+        inv = np.linalg.inv(A)
+        if not np.isfinite(inv).all():
+            raise np.linalg.LinAlgError
+    except np.linalg.LinAlgError:
+        inv = np.linalg.pinv(A)
+    return inv
 
 
 # ------------------------------------------------------------------
@@ -352,31 +359,31 @@ def svd_simple_batched(bfr):
 
 
 def svd_dm(matrix, full_matrices: bool = True):
-    """Batched SVD of the blocks of a block-diagonal matrix."""
-    u, s, v = jnp.linalg.svd(jnp.asarray(matrix), full_matrices=full_matrices)
-    return np.asarray(u), np.asarray(s), np.asarray(v)
+    """Batched SVD of the blocks of a block-diagonal matrix (host)."""
+    u, s, v = np.linalg.svd(np.asarray(matrix), full_matrices=full_matrices)
+    return u, s, v
 
 
 def multiply_dm_v(matrix, vector, conj: bool = False):
-    """Batched matrix @ vector over blocks."""
-    m = jnp.asarray(matrix)
+    """Batched matrix @ vector over blocks (host)."""
+    m = np.asarray(matrix)
     if conj:
-        m = jnp.swapaxes(m, -1, -2).conj()
-    return np.asarray(jnp.einsum("bij,bj->bi", m, jnp.asarray(vector)))
+        m = np.swapaxes(m, -1, -2).conj()
+    return np.einsum("bij,bj->bi", m, np.asarray(vector))
 
 
 def multiply_dm_dm(matrix1, matrix2):
-    """Batched matrix @ matrix over blocks."""
-    return np.asarray(jnp.einsum("bij,bjk->bik", jnp.asarray(matrix1), jnp.asarray(matrix2)))
+    """Batched matrix @ matrix over blocks (host)."""
+    return np.einsum("bij,bjk->bik", np.asarray(matrix1), np.asarray(matrix2))
 
 
 def pinv_dm(matrix, rcond: float = 1e-15, **kwargs):
-    """Batched pseudo-inverse over blocks."""
-    return np.asarray(jnp.linalg.pinv(jnp.asarray(matrix), rcond=rcond))
+    """Batched pseudo-inverse over blocks (host)."""
+    return np.linalg.pinv(np.asarray(matrix), rcond=rcond)
 
 
 def pinv(A, rcond: float = 1e-15):
-    return np.asarray(jnp.linalg.pinv(jnp.asarray(A), rcond=rcond))
+    return np.linalg.pinv(np.asarray(A), rcond=rcond)
 
 
 __all__ = [

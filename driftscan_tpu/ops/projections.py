@@ -1,0 +1,161 @@
+"""Backend-dispatched projection kernels for the product pipeline.
+
+Each function takes/returns host numpy and runs the device computation in
+either native complex (CPU/GPU) or split-complex (complex-free TPU) form,
+selected by :mod:`driftscan_tpu.backend`.  These are the jitted einsums
+behind BeamTransfer's projection API and the KL covariance build.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import backend
+from . import zarray as za
+
+
+@jax.jit
+def _proj_sky_native(beam, cl):
+    return jnp.einsum("fapl,pqlfg,gbql->fagb", beam, cl, beam.conj(), optimize=True)
+
+
+@jax.jit
+def _proj_sky_split(b_re, b_im, cl):
+    t_re = jnp.einsum("fapl,pqlfg->faqlg", b_re, cl, optimize=True)
+    t_im = jnp.einsum("fapl,pqlfg->faqlg", b_im, cl, optimize=True)
+    out = za.einsum(
+        "faqlg,gbql->fagb", za.Z(t_re, t_im), za.Z(b_re, -b_im), optimize=True
+    )
+    return out.re, out.im
+
+
+def sky_covariance_projection(beam4: np.ndarray, cl: np.ndarray) -> np.ndarray:
+    """matf[f,a,g,b] = sum_{p,q,l} B[f,a,p,l] C[p,q,l,f,g] conj(B[g,b,q,l]).
+
+    The reference's quadruple (pol^2 x freq^2) loop of matmuls
+    (/root/reference/drift/core/beamtransfer.py:1168-1187) as one fused
+    contraction.  `cl` must be real (angular power spectra are).
+    """
+    if backend.split_complex():
+        re, im = _proj_sky_split(
+            np.ascontiguousarray(beam4.real),
+            np.ascontiguousarray(beam4.imag),
+            np.asarray(cl, dtype=beam4.real.dtype),
+        )
+        return np.asarray(re) + 1j * np.asarray(im)
+    return np.asarray(_proj_sky_native(jnp.asarray(beam4), jnp.asarray(cl)))
+
+
+@jax.jit
+def _diag_native(beam_ut, dmat):
+    return jnp.einsum("fat,ft,fbt->fab", beam_ut, dmat, beam_ut.conj())
+
+
+@jax.jit
+def _diag_split(u_re, u_im, dmat):
+    x = za.Z(u_re * dmat[:, None, :], u_im * dmat[:, None, :])
+    out = za.einsum("fat,fbt->fab", x, za.Z(u_re, -u_im))
+    return out.re, out.im
+
+
+def diag_noise_projection(beam_ut: np.ndarray, dmat: np.ndarray) -> np.ndarray:
+    """blocks[f,a,b] = sum_t U[f,a,t] d[f,t] conj(U[f,b,t]) (d real)."""
+    if backend.split_complex():
+        re, im = _diag_split(
+            np.ascontiguousarray(beam_ut.real),
+            np.ascontiguousarray(beam_ut.imag),
+            np.asarray(dmat, dtype=beam_ut.real.dtype),
+        )
+        return np.asarray(re) + 1j * np.asarray(im)
+    return np.asarray(_diag_native(jnp.asarray(beam_ut), jnp.asarray(dmat)))
+
+
+@jax.jit
+def _matvec_native(mats, vecs):
+    return jnp.einsum("fij,fj...->fi...", mats, vecs)
+
+
+@jax.jit
+def _matvec_split(m_re, m_im, v_re, v_im):
+    out = za.einsum("fij,fj...->fi...", za.Z(m_re, m_im), za.Z(v_re, v_im))
+    return out.re, out.im
+
+
+def block_matvec(mats: np.ndarray, vecs: np.ndarray) -> np.ndarray:
+    """Batched (block-diagonal) matrix @ vector."""
+    if backend.split_complex():
+        vecs = np.asarray(vecs)
+        re, im = _matvec_split(
+            np.ascontiguousarray(np.asarray(mats).real),
+            np.ascontiguousarray(np.asarray(mats).imag),
+            np.ascontiguousarray(vecs.real),
+            np.ascontiguousarray(vecs.imag),
+        )
+        return np.asarray(re) + 1j * np.asarray(im)
+    return np.asarray(_matvec_native(jnp.asarray(mats), jnp.asarray(vecs)))
+
+
+def block_pinv(mats: np.ndarray, rcond: float = 1e-6) -> np.ndarray:
+    """Batched pseudo-inverse of (possibly complex) blocks."""
+    if backend.split_complex():
+        out = za.pinv(za.of(jnp.asarray(mats)), rcond=rcond)
+        return za.to_numpy(out)
+    return np.asarray(jnp.linalg.pinv(jnp.asarray(mats), rcond=rcond))
+
+
+def triple_svd(bfm_w: np.ndarray, npol: int, nl: int, polsvcut: float):
+    """Dispatching triple SVD: returns numpy (ut, beam, sig, nmodes)."""
+    from . import linalg
+
+    if backend.split_complex():
+        ur, ui, br, bi, sig, nmodes = linalg.triple_svd_split_batched(
+            np.ascontiguousarray(bfm_w.real),
+            np.ascontiguousarray(bfm_w.imag),
+            npol=npol,
+            nl=nl,
+            polsvcut=polsvcut,
+        )
+        ut = np.asarray(ur) + 1j * np.asarray(ui)
+        beam = np.asarray(br) + 1j * np.asarray(bi)
+        return ut, beam, np.asarray(sig), np.asarray(nmodes)
+
+    ut, beam, sig, nmodes = linalg.triple_svd_batched(
+        jnp.asarray(bfm_w), npol=npol, nl=nl, polsvcut=polsvcut
+    )
+    return (
+        np.asarray(ut),
+        np.asarray(beam),
+        np.asarray(sig),
+        np.asarray(nmodes),
+    )
+
+
+def generalised_eigh(A: np.ndarray, B: np.ndarray, message: str = ""):
+    """Dispatching generalised Hermitian eigensolve (see linalg.eigh_gen)."""
+    from . import linalg
+
+    if not backend.split_complex():
+        return linalg.eigh_gen(A, B, message=message)
+
+    if (A == 0).all():
+        return (
+            np.zeros(A.shape[0], dtype=A.real.dtype),
+            np.identity(A.shape[0], dtype=A.dtype),
+            0.0,
+        )
+
+    w, v, dmin = za.whiten_eigh(za.of(jnp.asarray(A)), za.of(jnp.asarray(B)))
+    add_const = 0.0
+    if not (np.isfinite(np.asarray(w)).all() and float(dmin) > 0):
+        # Mirror the reference's regularisation ladder
+        evb = np.sort(np.asarray(za.eigvalsh(za.of(jnp.asarray(B)))))
+        add_const = 1e-15 * evb[-1] - 2.0 * evb[0] + 1e-60
+        Breg = B + add_const * np.identity(B.shape[0], dtype=B.dtype)
+        w, v, dmin = za.whiten_eigh(
+            za.of(jnp.asarray(A)), za.of(jnp.asarray(Breg))
+        )
+    return np.asarray(w), za.to_numpy(v), float(add_const)

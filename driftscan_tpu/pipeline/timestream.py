@@ -13,7 +13,6 @@ import os
 import pickle
 
 import h5py
-import jax.numpy as jnp
 import numpy as np
 
 from ..core import kltransform
@@ -98,8 +97,10 @@ class Timestream:
         for lfi, fi in enumerate(range(sfreq, efreq)):
             tstream[lfi] = self.timestream_f(fi)
 
-        # FFT over time (XLA) to get the m-modes.
-        row_mmodes = np.asarray(jnp.fft.fft(jnp.asarray(tstream), axis=-1)) / self.ntime
+        # FFT over time to get the m-modes (device FFT when available).
+        from .. import backend
+
+        row_mmodes = backend.fft(tstream, axis=-1) / self.ntime
 
         ## Combine positive and negative m parts.
         row_mpairs = np.zeros((lfreq, 2, tel.npairs, mmax + 1), dtype=np.complex128)
@@ -560,7 +561,9 @@ def simulate(m, outdir, maps=[], ndays=None, resolution=0, seed=None, **kwargs):
         del noise_vis
 
     # Inverse FFT over m to get the timestream.
-    vis_stream = np.asarray(jnp.fft.ifft(jnp.asarray(col_vis), axis=-1)) * ntime
+    from .. import backend
+
+    vis_stream = backend.ifft(col_vis, axis=-1) * ntime
     vis_stream = vis_stream.reshape(tel.npairs, lfreq, ntime)
 
     tphi = np.linspace(0, 2 * np.pi, ntime, endpoint=False)
