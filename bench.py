@@ -48,9 +48,9 @@ def build_telescope():
             single_precision=True,
         )
     else:
-        # Mid-scale cylinder: mmax ~ 230, 16 freq channels, 67 baselines.
+        # Mid-scale cylinder: mmax ~ 230, 8 freq channels, 67 baselines.
         params = dict(
-            num_freq=16,
+            num_freq=8,
             freq_start=400.0,
             freq_end=450.0,
             freq_mode="edge",
@@ -136,7 +136,7 @@ def _beam_batch(tarray, ms, tel, mbatch):
     return out, mv
 
 
-def product_phase(tel, tarray, mbatch=16, max_m=None):
+def product_phase(tel, tarray, mbatch=None, max_m=None):
     """Run the batched SVD+KL product step over all m. Returns seconds."""
     import driftscan_tpu.backend as backend
     from driftscan_tpu.parallel import mstep
@@ -144,6 +144,13 @@ def product_phase(tel, tarray, mbatch=16, max_m=None):
     nl = tel.lmax + 1
     nm = tel.mmax + 1 if max_m is None else max_m
     npol = tel.num_pol_sky
+
+    if mbatch is None:
+        # Bound the vmapped-eigh working set: ~10 live copies of the
+        # (2*ndof)^2 embedding per batch element, within ~4 GB.
+        ndof = tel.nfreq * min(nl, 2 * tel.npairs)
+        per_m = (2 * ndof) ** 2 * 4 * 10
+        mbatch = int(max(1, min(16, 4e9 // max(per_m, 1))))
 
     cl_s, cl_n, noisew, npower = _covariances(tel)
 
@@ -176,7 +183,9 @@ def product_phase(tel, tarray, mbatch=16, max_m=None):
         ms = np.arange(s, min(s + mbatch, nm))
         beam, mv = _beam_batch(tarray, ms, tel, mbatch)
         res = run(beam, mv)
-    res.evals.block_until_ready()
+        # Sync per batch: keeps the async queue (and device memory for
+        # the large evecs outputs) bounded.
+        res.evals.block_until_ready()
     return time.time() - st
 
 
