@@ -359,6 +359,9 @@ class BeamTransfer(config.Reader):
             open(self.directory + "/beam_m/COMPLETED", "a").close()
             logger.info("=== BTM generation took %f s ===", time.time() - st)
 
+    # m-modes SVD-compressed per compiled batch (1 disables batching).
+    svd_mbatch = config.Property(proptype=int, default=8)
+
     def _generate_svdfiles(self, regen=False, skip_svd_inv=False):
         """SVD-compress every m-mode."""
         m_list = np.arange(self.telescope.mmax + 1)
@@ -382,12 +385,83 @@ class BeamTransfer(config.Reader):
         m_list = comm.bcast(m_list)
         comm.barrier()
 
-        for mi in comm.partition_list_mpi(list(m_list)):
-            logger.info("m index %i. Creating SVD file: %s", mi, self._svdfile(mi))
-            self._generate_svdfile_m(mi, skip_svd_inv=skip_svd_inv)
+        local_m = comm.partition_list_mpi(list(m_list))
+
+        # Batched path: one compiled triple-SVD program serves every
+        # m-chunk.  Subclasses with their own per-m SVD policy fall back.
+        use_batched = (
+            self.svd_mbatch > 1
+            and type(self)._generate_svdfile_m == BeamTransfer._generate_svdfile_m
+        )
+
+        if use_batched and len(local_m):
+            for s in range(0, len(local_m), self.svd_mbatch):
+                chunk = local_m[s : s + self.svd_mbatch]
+                self._generate_svdfiles_mbatch(chunk, skip_svd_inv=skip_svd_inv)
+        else:
+            for mi in local_m:
+                logger.info(
+                    "m index %i. Creating SVD file: %s", mi, self._svdfile(mi)
+                )
+                self._generate_svdfile_m(mi, skip_svd_inv=skip_svd_inv)
 
         comm.barrier()
         self._collect_svd_spectrum()
+
+    def _generate_svdfiles_mbatch(self, m_chunk, skip_svd_inv=False):
+        """Triple-SVD a chunk of m-modes in one device batch.
+
+        Pads the chunk to `svd_mbatch` (repeating the last m) so the jitted
+        kernel compiles once for the whole run.
+        """
+        tel = self.telescope
+        nfreq, npol, nl = tel.nfreq, tel.num_pol_sky, tel.lmax + 1
+
+        mbatch = self.svd_mbatch
+        ms = list(m_chunk) + [m_chunk[-1]] * (mbatch - len(m_chunk))
+
+        noisew = np.stack([self._noise_weights(fi) for fi in range(nfreq)])
+
+        bfm = np.stack(
+            [self.beam_m(mi).reshape(nfreq, self.ntel, npol * nl) for mi in ms]
+        )
+        bfm_w = bfm * noisew[np.newaxis, :, :, np.newaxis]
+
+        flat = bfm_w.reshape(mbatch * nfreq, self.ntel, npol * nl)
+        ut, beam, sig, nmodes = projections.triple_svd(
+            flat, npol=npol, nl=nl, polsvcut=self.polsvcut
+        )
+        ut = ut.reshape(mbatch, nfreq, self.svd_len, self.ntel)
+        beam = beam.reshape(mbatch, nfreq, self.svd_len, npol * nl)
+        sig = sig.reshape(mbatch, nfreq, self.svd_len)
+
+        ibeam = None
+        if not skip_svd_inv:
+            ibeam = projections.block_pinv(
+                beam.reshape(mbatch * nfreq, self.svd_len, npol * nl), rcond=1e-15
+            ).reshape(mbatch, nfreq, npol * nl, self.svd_len)
+
+        ut_out = ut * noisew[np.newaxis, :, np.newaxis, :]
+
+        for i, mi in enumerate(m_chunk):
+            logger.info("m index %i. Writing SVD file: %s", mi, self._svdfile(mi))
+            tmpfile = self._svdfile(mi) + ".tmp"
+            with h5py.File(tmpfile, "w") as fs:
+                dset_bsvd, dset_ibsvd, dset_ut, dset_sig = self._svd_dsets(
+                    fs, skip_svd_inv
+                )
+                dset_bsvd[:] = beam[i].reshape(nfreq, self.svd_len, npol, nl)
+                if dset_ibsvd is not None:
+                    dset_ibsvd[:] = ibeam[i].reshape(
+                        nfreq, npol, nl, self.svd_len
+                    )
+                dset_ut[:] = ut_out[i]
+                dset_sig[:] = sig[i]
+
+                fs.attrs["baselines"] = tel.baselines
+                fs.attrs["m"] = mi
+                fs.attrs["frequencies"] = tel.frequencies
+            os.replace(tmpfile, self._svdfile(mi))
 
     def _svd_dsets(self, fs, skip_svd_inv):
         """Create the four SVD datasets with the reference's layout."""

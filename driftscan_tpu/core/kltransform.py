@@ -289,17 +289,36 @@ class KLTransform(config.Reader):
             with h5py.File(self.evdir + "/evals.hdf5", "w") as f:
                 f.create_dataset("evals", data=evarray)
 
+    # m-modes KL-transformed per compiled batch (1 disables batching).
+    mbatch = config.Property(proptype=int, default=8)
+
     def generate(self, regen=False):
         """KL transform every m and save the results."""
         st = time.time()
         if comm.rank0():
             logger.info("======== Starting KL calculation ========")
 
-        for mi in comm.mpirange(self.telescope.mmax + 1):
-            if os.path.exists(self._evfile % mi) and not regen:
-                logger.info("m index %i. File exists. Skipping...", mi)
-                continue
-            self.transform_save(mi)
+        mlist = [
+            mi
+            for mi in comm.mpirange(self.telescope.mmax + 1)
+            if regen or not os.path.exists(self._evfile % mi)
+        ]
+
+        # Batched path: one compiled covariance-projection + whitened-eigh
+        # program serves every m-chunk.  Subclasses with custom transforms
+        # (DoubleKL) fall back to the per-m path.
+        use_batched = (
+            self.mbatch > 1
+            and not self.inverse
+            and type(self)._transform_m == KLTransform._transform_m
+        )
+
+        if use_batched and mlist:
+            for s in range(0, len(mlist), self.mbatch):
+                self._transform_save_mbatch(mlist[s : s + self.mbatch])
+        else:
+            for mi in mlist:
+                self.transform_save(mi)
 
         comm.barrier()
         if comm.rank0():
@@ -308,6 +327,135 @@ class KLTransform(config.Reader):
             )
 
         self._collect()
+
+    def _noise_power(self):
+        """Diagonal instrumental noise power [nfreq, ntel] (with the
+        thermal-off suppression of sn_covariance)."""
+        bt = self.beamtransfer
+        nc = 1.0
+        if not self.use_thermal:
+            nc = (1e-3 / self.telescope.tsys_flat) ** 2
+        bl = np.arange(self.telescope.npairs)
+        bl = np.concatenate((bl, bl))
+        return nc * self.telescope.noisepower(
+            bl[np.newaxis, :], np.arange(self.telescope.nfreq)[:, np.newaxis]
+        ).reshape(self.telescope.nfreq, bt.ntel)
+
+    def _transform_save_mbatch(self, m_chunk):
+        """KL-transform a chunk of m-modes in one device batch.
+
+        Builds padded (svcut-masked) beam batches from the SVD files,
+        projects both covariances and solves the whitened eigenproblem for
+        the whole chunk at once, then compacts and writes the per-m
+        eigenfiles with the same contract as the per-m path.
+        """
+        bt = self.beamtransfer
+        tel = self.telescope
+        nfreq, npol, nl = tel.nfreq, tel.num_pol_sky, tel.lmax + 1
+        S = bt.svd_len
+
+        mbatch = self.mbatch
+        ms = list(m_chunk) + [m_chunk[-1]] * (mbatch - len(m_chunk))
+
+        # Load padded SVD beams + telescope projections, masked by svcut.
+        bsvd = np.zeros((mbatch, nfreq, S, npol, nl), dtype=np.complex128)
+        ut = np.zeros((mbatch, nfreq, S, 2 * tel.npairs), dtype=np.complex128)
+        idx_list = []
+        for i, mi in enumerate(ms):
+            svnum, svbounds = bt._svd_num(mi)
+            mask = np.zeros((nfreq, S))
+            for fi in range(nfreq):
+                mask[fi, : svnum[fi]] = 1.0
+            bsvd[i] = bt.beam_svd(mi) * mask[:, :, None, None]
+            ut[i] = bt.beam_ut(mi) * mask[:, :, None]
+            idx_list.append(bt._compact_indices(mi)[0])
+
+        # Covariance projections (batched, dispatching).
+        s_pad = projections.sky_covariance_projection_m(
+            bsvd, np.ascontiguousarray(self.signal().real)
+        ).reshape(mbatch, nfreq * S, nfreq * S)
+
+        if self.use_foregrounds:
+            n_pad = np.array(
+                projections.sky_covariance_projection_m(
+                    bsvd, np.ascontiguousarray(self.foreground().real)
+                ).reshape(mbatch, nfreq * S, nfreq * S)
+            )
+        else:
+            n_pad = np.zeros_like(s_pad)
+
+        # Foreground regulariser (per m, on the padded matrix)
+        eye = np.eye(nfreq * S)
+        for i in range(mbatch):
+            n_pad[i] += self._foreground_regulariser * n_pad[i].real.max() * eye
+
+        # Instrumental noise (block diagonal)
+        blocks = projections.diag_noise_projection_m(ut, self._noise_power())
+        for i in range(mbatch):
+            for fi in range(nfreq):
+                sl = slice(fi * S, (fi + 1) * S)
+                n_pad[i][sl, sl] += blocks[i, fi]
+
+        # Identity on the padded (invalid) directions so N is PD; S is
+        # exactly zero there so those modes come out with eval == 0 and
+        # unit support on the padded axes.
+        for i in range(mbatch):
+            valid = np.zeros(nfreq * S)
+            valid[idx_list[i]] = 1.0
+            n_pad[i] += np.diag(1.0 - valid)
+
+        evals_b, evecs_b = projections.generalised_eigh_batched(s_pad, n_pad)
+
+        for i, mi in enumerate(m_chunk):
+            idx = idx_list[i]
+            ndof = len(idx)
+
+            v = evecs_b[i]  # columns are modes, padded coordinates
+            w = evals_b[i]
+
+            # Genuine modes have (N-normalised) support on the compact
+            # directions; padding modes are unit vectors on padded axes.
+            support = np.abs(v[idx, :]) ** 2
+            keep = support.sum(axis=0) > 0.5
+            if keep.sum() != ndof:
+                # Fall back to the per-m path for this m if the padding
+                # separation is ambiguous.
+                logger.warning(
+                    "m index %i: padded-mode separation ambiguous "
+                    "(%i of %i); falling back to per-m transform.",
+                    mi,
+                    int(keep.sum()),
+                    ndof,
+                )
+                self.transform_save(mi)
+                continue
+
+            evals = w[keep]
+            evecs = v[:, keep][idx, :].T.conj()  # rows modes, compact coords
+
+            order = np.argsort(evals)
+            evals = evals[order]
+            evecs = evecs[order]
+
+            logger.info("Writing KL file for m = %i: %s", mi, self._evfile % mi)
+            with h5py.File(self._evfile % mi, "w") as f:
+                f.attrs["m"] = mi
+                f.attrs["SUBSET"] = self.subset
+
+                evalsf = np.zeros(ndof, dtype=np.float64)
+                if evals.size != 0:
+                    evalsf[-evals.size :] = evals
+                f.create_dataset("evals_full", data=evalsf)
+
+                if self.subset:
+                    i_ev = np.searchsorted(evals, self.threshold)
+                    evals = evals[i_ev:]
+                    evecs = evecs[i_ev:]
+
+                f.create_dataset("evals", data=evals)
+                f.create_dataset("evecs", data=np.ascontiguousarray(evecs))
+                f.attrs["num_modes"] = evals.size
+                self._ev_save_hook(f, {"ac": 0.0})
 
     olddatafile = False
 

@@ -134,6 +134,79 @@ def triple_svd(bfm_w: np.ndarray, npol: int, nl: int, polsvcut: float):
     )
 
 
+# ------------------------------------------------------------------
+# m-batched variants (one compile serves every m-chunk of generate())
+# ------------------------------------------------------------------
+
+
+@jax.jit
+def _proj_sky_native_m(beam, cl):
+    return jnp.einsum(
+        "mfapl,pqlfg,mgbql->mfagb", beam, cl, beam.conj(), optimize=True
+    )
+
+
+@jax.jit
+def _proj_sky_split_m(b_re, b_im, cl):
+    t_re = jnp.einsum("mfapl,pqlfg->mfaqlg", b_re, cl, optimize=True)
+    t_im = jnp.einsum("mfapl,pqlfg->mfaqlg", b_im, cl, optimize=True)
+    out = za.einsum(
+        "mfaqlg,mgbql->mfagb", za.Z(t_re, t_im), za.Z(b_re, -b_im), optimize=True
+    )
+    return out.re, out.im
+
+
+def sky_covariance_projection_m(beam5: np.ndarray, cl: np.ndarray) -> np.ndarray:
+    """m-batched sky covariance projection: (M,F,S,P,L) -> (M,F,S,F,S)."""
+    if backend.split_complex():
+        re, im = _proj_sky_split_m(
+            np.ascontiguousarray(beam5.real),
+            np.ascontiguousarray(beam5.imag),
+            np.asarray(cl, dtype=beam5.real.dtype),
+        )
+        return np.asarray(re) + 1j * np.asarray(im)
+    return np.asarray(_proj_sky_native_m(jnp.asarray(beam5), jnp.asarray(cl)))
+
+
+@jax.jit
+def _diag_native_m(beam_ut, dmat):
+    return jnp.einsum("mfat,ft,mfbt->mfab", beam_ut, dmat, beam_ut.conj())
+
+
+@jax.jit
+def _diag_split_m(u_re, u_im, dmat):
+    x = za.Z(u_re * dmat[None, :, None, :], u_im * dmat[None, :, None, :])
+    out = za.einsum("mfat,mfbt->mfab", x, za.Z(u_re, -u_im))
+    return out.re, out.im
+
+
+def diag_noise_projection_m(beam_ut: np.ndarray, dmat: np.ndarray) -> np.ndarray:
+    """m-batched diagonal noise projection: (M,F,S,T), (F,T) -> (M,F,S,S)."""
+    if backend.split_complex():
+        re, im = _diag_split_m(
+            np.ascontiguousarray(beam_ut.real),
+            np.ascontiguousarray(beam_ut.imag),
+            np.asarray(dmat, dtype=beam_ut.real.dtype),
+        )
+        return np.asarray(re) + 1j * np.asarray(im)
+    return np.asarray(_diag_native_m(jnp.asarray(beam_ut), jnp.asarray(dmat)))
+
+
+def generalised_eigh_batched(A: np.ndarray, B: np.ndarray):
+    """m-batched generalised Hermitian eigensolve.
+
+    A, B : (M, n, n).  Returns (w (M, n) ascending, v (M, n, n) columns).
+    B must be positive definite (callers pad invalid rows with identity).
+    """
+    from . import linalg
+
+    if backend.split_complex():
+        w, v, _ = za.whiten_eigh(za.of(jnp.asarray(A)), za.of(jnp.asarray(B)))
+        return np.asarray(w), za.to_numpy(v)
+    w, v, _ = linalg.eigh_gen_batched(jnp.asarray(A), jnp.asarray(B))
+    return np.asarray(w), np.asarray(v)
+
+
 def generalised_eigh(A: np.ndarray, B: np.ndarray, message: str = ""):
     """Dispatching generalised Hermitian eigensolve (see linalg.eigh_gen)."""
     from . import linalg

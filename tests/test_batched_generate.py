@@ -1,0 +1,96 @@
+"""The batched-m generate paths must reproduce the per-m products."""
+
+import h5py
+import numpy as np
+import pytest
+
+from driftscan_tpu.core import beamtransfer, kltransform
+from driftscan_tpu.telescope import cylinder
+
+
+PARAMS = dict(
+    num_freq=2,
+    freq_start=100.0,
+    freq_end=110.0,
+    freq_mode="edge",
+    num_cylinders=2,
+    cylinder_width=2.0,
+    num_feeds=2,
+    feed_spacing=1.5,
+    tsys=50.0,
+)
+
+
+@pytest.fixture(scope="module")
+def pair(tmp_path_factory):
+    """Two identical product runs: per-m and batched."""
+    runs = {}
+    for mode in ["per_m", "batched"]:
+        tel = cylinder.UnpolarisedCylinderTelescope.from_config(PARAMS)
+        d = tmp_path_factory.mktemp(f"bg_{mode}")
+        bt = beamtransfer.BeamTransfer(str(d), telescope=tel)
+        if mode == "per_m":
+            bt.svd_mbatch = 1
+        bt.generate()
+        kl = kltransform.KLTransform.from_config(
+            {"subset": False}, bt, subdir="kl"
+        )
+        if mode == "per_m":
+            kl.mbatch = 1
+        kl.generate()
+        runs[mode] = (bt, kl)
+    return runs
+
+
+def test_svd_files_match(pair):
+    bt_p, _ = pair["per_m"]
+    bt_b, _ = pair["batched"]
+    tel = bt_p.telescope
+
+    for mi in range(tel.mmax + 1):
+        np.testing.assert_allclose(
+            bt_b.beam_singularvalues(mi),
+            bt_p.beam_singularvalues(mi),
+            rtol=1e-9,
+            atol=1e-12,
+        )
+        # The SVD bases are unique up to phases; compare the projector
+        # B^H B (gauge invariant).
+        for fi in range(tel.nfreq):
+            bp = bt_p.beam_svd(mi)[fi].reshape(bt_p.svd_len, -1)
+            bb = bt_b.beam_svd(mi)[fi].reshape(bt_b.svd_len, -1)
+            np.testing.assert_allclose(
+                bb.conj().T @ bb, bp.conj().T @ bp, atol=1e-8
+            )
+
+
+def test_kl_spectra_match(pair):
+    bt_p, kl_p = pair["per_m"]
+    bt_b, kl_b = pair["batched"]
+    tel = bt_p.telescope
+
+    for mi in range(tel.mmax + 1):
+        ep = kl_p.evals_m(mi)
+        eb = kl_b.evals_m(mi)
+        if ep is None:
+            assert eb is None or eb.size == 0
+            continue
+        assert eb.size == ep.size
+        np.testing.assert_allclose(eb, ep, rtol=1e-6, atol=1e-9)
+
+
+def test_kl_evecs_diagonalise(pair):
+    """Batched eigenvectors must diagonalise the same covariances."""
+    bt, kl = pair["batched"]
+    mi = 1
+    evals, evecs = kl.modes_m(mi)
+    nside = bt.ndof(mi)
+    S, N = kl.sn_covariance(mi)
+    np.testing.assert_allclose(
+        evecs @ N @ evecs.conj().T, np.eye(nside), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        evecs @ S @ evecs.conj().T,
+        np.diag(evals),
+        atol=max(np.abs(evals).max(), 1.0) * 1e-6,
+    )
