@@ -150,7 +150,7 @@ def product_phase(tel, tarray, mbatch=None, max_m=None):
         # (2*ndof)^2 embedding per batch element, within ~4 GB.
         ndof = tel.nfreq * min(nl, 2 * tel.npairs)
         per_m = (2 * ndof) ** 2 * 4 * 10
-        mbatch = int(max(1, min(16, 4e9 // max(per_m, 1))))
+        mbatch = int(max(1, min(8, 4e9 // max(per_m, 1))))
 
     cl_s, cl_n, noisew, npower = _covariances(tel)
 
