@@ -520,7 +520,22 @@ def synthesis_complex(alm_pos, alm_neg, nside: int):
 
 # ------------------------------------------------------------------
 # driftscan/cora compatible wrappers (numpy in / numpy out)
+#
+# These one-shot transforms (map making, timestream simulation) need
+# complex arithmetic on device; on complex-free TPU runtimes they run on
+# the host CPU backend instead (the BTM hot path routes through
+# analysis_split separately).
 # ------------------------------------------------------------------
+
+import contextlib
+
+
+def _wrapper_device():
+    from .. import backend
+
+    if backend.split_complex():
+        return jax.default_device(jax.devices("cpu")[0])
+    return contextlib.nullcontext()
 
 
 def pack_fftlike(pos: np.ndarray, neg: Optional[np.ndarray], lside: int) -> np.ndarray:
@@ -554,8 +569,10 @@ def sphtrans_complex(
     nside = int(np.sqrt(hpmap.shape[-1] / 12))
     lmax = 3 * nside - 1 if lmax is None else lmax
     lside = lmax if lside is None else lside
-    pos, neg = analysis(hpmap, lmax, neg_m=True)
-    return pack_fftlike(np.asarray(pos), np.asarray(neg), lside)
+    with _wrapper_device():
+        pos, neg = analysis(hpmap, lmax, neg_m=True)
+        pos, neg = np.asarray(pos), np.asarray(neg)
+    return pack_fftlike(pos, neg, lside)
 
 
 def sphtrans_complex_pol(hpmaps, lmax=None, lside=None, centered=False):
@@ -572,8 +589,9 @@ def sphtrans_sky(skymap, lmax: Optional[int] = None) -> np.ndarray:
     skymap = np.asarray(skymap)
     nside = int(np.sqrt(skymap.shape[-1] / 12))
     lmax = 3 * nside - 1 if lmax is None else lmax
-    pos, _ = analysis(skymap, lmax)
-    return np.asarray(pos)
+    with _wrapper_device():
+        pos, _ = analysis(skymap, lmax)
+        return np.asarray(pos)
 
 
 def sphtrans_inv_sky(alm, nside: int) -> np.ndarray:
@@ -582,7 +600,8 @@ def sphtrans_inv_sky(alm, nside: int) -> np.ndarray:
     Equivalent of ``hputil.sphtrans_inv_sky`` used at
     /root/reference/drift/pipeline/timestream.py:262.
     """
-    return np.asarray(synthesis_real(np.asarray(alm), nside))
+    with _wrapper_device():
+        return np.asarray(synthesis_real(np.asarray(alm), nside))
 
 
 __all__ = [

@@ -15,15 +15,13 @@ with pjit — XLA inserts any ICI collectives.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops import linalg
-from . import mesh as meshmod
 
 
 class ProductStepResult(NamedTuple):
