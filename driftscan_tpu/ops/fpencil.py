@@ -1,0 +1,323 @@
+"""Factored-covariance KL pencil solver (split-complex, f32-safe).
+
+The KL stage solves the generalised Hermitian problem
+
+    S v = w N v,   S = signal covariance,  N = noise + foreground covariance
+
+projected into the SVD basis (reference: /root/reference/drift/core/
+kltransform.py:258-355).  The foreground covariance spans ~14 decades, so
+*forming* the dense projected matrices and eigendecomposing them in f32
+destroys the small eigenvalues (absolute eigh error ~ n*eps*||N||), and
+near-zero/negative roundoff eigenvalues turn the whitening into inf/NaN —
+the TPU eigh kernel then faults.
+
+This module never forms the ill-conditioned dense covariances.  Instead:
+
+* each per-l sky covariance block C_l is Cholesky-factored **once on the
+  host in f64** (shared by every m) — ``factor_cl``;
+* per m, the projected covariance factor ``A = B_svd @ L`` is built by one
+  einsum — its entries span only *half* the decades of the covariance
+  (``sqrt``), so f32 carries them comfortably — ``beam_factor``;
+* the eigen-spectrum of ``A A^H`` is recovered over the full dynamic range
+  by **multi-level Gram deflation** (``gram_bands``): each Gram
+  eigendecomposition resolves ~sqrt(eps) of its own top; deflating the
+  converged band and re-Gramming the remainder recovers the next decades.
+  All heavy ops are (n x K)(K x n) MXU matmuls plus small eighs;
+* the noise whitening uses the *identity-plus-low-rank* structure
+  ``N = I + A_f A_f^H`` (the radiometer noise projects to exactly the
+  identity because the beams are noise-prewhitened):
+  ``W = N^(-1/2) = I - Q diag(1 - 1/sqrt(1+s^2)) Q^H`` — no inversion of
+  an ill-conditioned matrix anywhere.
+
+Everything is jit/vmap-compatible with static shapes and runs on
+complex-free TPU runtimes via the split-complex ``Z`` representation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import zarray as za
+
+
+# ------------------------------------------------------------------
+# Host-side: factor the per-l sky covariance blocks (f64, once per run)
+# ------------------------------------------------------------------
+
+
+def factor_cl(cl, out_dtype=np.float32):
+    """Factor per-l sky covariance blocks: C_l = L_l L_l^H (host, f64).
+
+    Parameters
+    ----------
+    cl : (npol, npol, nl, F, F) real array
+        Angular covariance blocks C_l[p, q, f, g] (as produced by
+        skymodel.foreground_model / im21cm_model).
+    out_dtype
+        dtype of the returned factor (factor entries span only half the
+        decades of the covariance, so f32 is adequate for f32 pipelines).
+
+    Returns
+    -------
+    L : (nl, npol, F, K) array with K = npol * F, such that
+        C_l[p,q,f,g] = sum_k L[l,p,f,k] L[l,q,g,k].
+    """
+    cl = np.asarray(cl, dtype=np.float64)
+    npol, _, nl, F, _ = cl.shape
+    npf = npol * F
+
+    # M_l[(p,f),(q,g)] = cl[p,q,l,f,g]
+    m = cl.transpose(2, 0, 3, 1, 4).reshape(nl, npf, npf)
+    m = 0.5 * (m + m.transpose(0, 2, 1))
+
+    w, q = np.linalg.eigh(m)  # batched over l
+    w = np.maximum(w, 0.0)  # covariances are PSD; clip roundoff
+    L = q * np.sqrt(w)[:, None, :]
+    return np.ascontiguousarray(L.reshape(nl, npol, F, npf).astype(out_dtype))
+
+
+# ------------------------------------------------------------------
+# Device-side: project a factor through the SVD beam
+# ------------------------------------------------------------------
+
+
+def beam_factor(bsvd: za.Z, L) -> za.Z:
+    """Projected covariance factor A = B_svd L, in factored (tall) form.
+
+    bsvd : Z with planes (F, S, npol, nl) — the sky->SVD projection.
+    L : (nl, npol, F, K) real — output of :func:`factor_cl`.
+
+    Returns Z with planes (F*S, nl*K):
+    A[(f a), (l k)] = sum_p bsvd[f,a,p,l] * L[l,p,f,k].
+    """
+    F, S = bsvd.re.shape[0], bsvd.re.shape[1]
+    K = L.shape[-1]
+    nl = L.shape[0]
+    a_re = jnp.einsum("fapl,lpfk->falk", bsvd.re, L, optimize=True)
+    a_im = jnp.einsum("fapl,lpfk->falk", bsvd.im, L, optimize=True)
+    return za.Z(a_re.reshape(F * S, nl * K), a_im.reshape(F * S, nl * K))
+
+
+# ------------------------------------------------------------------
+# Multi-level Gram deflation
+# ------------------------------------------------------------------
+
+
+class GramBands(NamedTuple):
+    """Banded left singular structure of a factor X (n, K).
+
+    qs[i] : Z (n, n) — eigenvector columns of level i, zeroed outside the
+        level's band.  Bands are mutually orthogonal (each level works on
+        the deflated remainder of the previous).
+    ss[i] : (n,) singular values, zeroed outside the band; the *last*
+        level keeps every column (its tail is unconverged but tiny).
+    """
+
+    qs: Sequence[za.Z]
+    ss: Sequence[jnp.ndarray]
+
+
+def gram_bands(x: za.Z, levels: int = 3, band_rel: float = 3e-2) -> GramBands:
+    """Left singular structure of X over ~levels*|log10(band_rel)| decades.
+
+    Each level forms the Gram matrix G = X X^H (one MXU matmul), takes its
+    eigendecomposition, keeps the singular values above
+    ``band_rel * s_max_level`` (the part a single f32 Gram actually
+    resolves: eigh error ~ n*eps*s_max^2, and sqrt halves the exponent),
+    then deflates that subspace out of X and repeats on the remainder.
+    """
+    n = x.re.shape[-2]
+    qs, ss = [], []
+    for level in range(levels):
+        g = za.einsum("...ik,...jk->...ij", x, x.conj())
+        g = za.Z(
+            0.5 * (g.re + jnp.swapaxes(g.re, -1, -2)),
+            0.5 * (g.im - jnp.swapaxes(g.im, -1, -2)),
+        )
+        w, q = za.eigh(g)  # ascending
+        w = w[..., ::-1]
+        q = za.Z(q.re[..., ::-1], q.im[..., ::-1])
+        s = jnp.sqrt(jnp.maximum(w, 0.0))
+
+        if level == levels - 1:
+            mask = jnp.ones_like(s, dtype=bool)
+        else:
+            mask = s > s[..., :1] * band_rel
+        maskf = mask.astype(s.dtype)
+        qm = za.Z(q.re * maskf[..., None, :], q.im * maskf[..., None, :])
+        qs.append(qm)
+        ss.append(s * maskf)
+
+        if level < levels - 1:
+            # deflate: X <- (I - Qm Qm^H) X, applied twice (CGS2) — a single
+            # pass leaks ~eps * s_max_level into the remainder, which would
+            # floor every later level at that leak.
+            for _ in range(2):
+                proj = za.einsum("...ji,...jk->...ik", qm.conj(), x)
+                x = x - za.einsum("...ij,...jk->...ik", qm, proj)
+    return GramBands(qs, ss)
+
+
+def _select_complete_basis(bands: GramBands):
+    """Pick n mutually-orthogonal columns across bands, by singular value.
+
+    In-band columns rank by their s; masked-out columns get key -1 so the
+    top-n selection takes the k_i converged columns of each level plus the
+    head of the last level (whose tail duplicates already-selected
+    directions at s ~ 0).  Returns (q Z(n, n) columns desc by s, s (n,)).
+    """
+    n = bands.ss[0].shape[-1]
+    nlev = len(bands.ss)
+    keys = []
+    for i, s in enumerate(bands.ss):
+        if i == nlev - 1:
+            keys.append(s)
+        else:
+            in_band = s > 0
+            keys.append(jnp.where(in_band, s, -1.0))
+    keys = jnp.concatenate(keys, axis=-1)  # (nlev*n,)
+    qcat_re = jnp.concatenate([q.re for q in bands.qs], axis=-1)
+    qcat_im = jnp.concatenate([q.im for q in bands.qs], axis=-1)
+    order = jnp.argsort(-keys, axis=-1)[..., :n]
+    q = za.Z(
+        jnp.take_along_axis(qcat_re, order[..., None, :], axis=-1),
+        jnp.take_along_axis(qcat_im, order[..., None, :], axis=-1),
+    )
+    s = jnp.maximum(jnp.take_along_axis(keys, order, axis=-1), 0.0)
+    return q, s
+
+
+# ------------------------------------------------------------------
+# Whitening operators
+# ------------------------------------------------------------------
+
+
+def whiten_apply_idpluslr(bands: GramBands, y: za.Z) -> za.Z:
+    """Apply W = (I + A A^H)^(-1/2) to y, A given by its Gram bands.
+
+    W = I - sum_i Q_i diag(alpha_i) Q_i^H with alpha = 1 - 1/sqrt(1+s^2);
+    alpha -> 0 as s -> 0, so unconverged/duplicate tail columns are
+    harmless and no basis compaction is needed.
+    """
+    out = y
+    for q, s in zip(bands.qs, bands.ss):
+        alpha = 1.0 - 1.0 / jnp.sqrt(1.0 + s * s)
+        proj = za.einsum("...ji,...jk->...ik", q.conj(), out)
+        proj = za.Z(proj.re * alpha[..., :, None], proj.im * alpha[..., :, None])
+        out = out - za.einsum("...ij,...jk->...ik", q, proj)
+    return out
+
+
+def whiten_apply_floor(bands: GramBands, y: za.Z, floor_rel: float) -> za.Z:
+    """Apply W = (A A^H)^(-1/2) to y with a relative eigenvalue floor.
+
+    For foreground-only whitening (DoubleKL stage 1, where the thermal
+    noise is excluded: reference doublekl.py:30-88): *eigenvalues* of
+    A A^H below ``floor_rel * lambda_max`` are clamped before inversion
+    (i.e. singular values below sqrt(floor_rel) * s_max).
+    """
+    q, s = _select_complete_basis(bands)
+    smax = s[..., :1]
+    sc = jnp.maximum(s, np.sqrt(floor_rel) * smax + 1e-30)
+    proj = za.einsum("...ji,...jk->...ik", q.conj(), y)
+    proj = za.Z(proj.re / sc[..., :, None], proj.im / sc[..., :, None])
+    return za.einsum("...ij,...jk->...ik", q, proj)
+
+
+# ------------------------------------------------------------------
+# The KL pencil solve
+# ------------------------------------------------------------------
+
+
+class KLResult(NamedTuple):
+    evals: jnp.ndarray  # (n,) ascending
+    evecs: za.Z  # (n, n) columns, N-orthonormal
+
+
+def kl_solve(
+    a_signal: za.Z,
+    a_fg: za.Z,
+    with_thermal: bool = True,
+    fg_levels: int = 8,
+    sig_levels: int = 5,
+    band_rel: float = 1e-1,
+    fg_floor: float = 1e-6,
+) -> KLResult:
+    """Solve S v = w N v with S = A_s A_s^H, N = [I +] A_f A_f^H.
+
+    Parameters
+    ----------
+    a_signal, a_fg : Z (n, K_s), (n, K_f)
+        Factored projected signal and foreground covariances
+        (:func:`beam_factor`).
+    with_thermal
+        True: N includes the (identity) projected radiometer noise —
+        requires the beams to be noise-prewhitened, which makes
+        U N_inst U^H == I exactly (the standard KLTransform case).
+        False: N is the foreground alone (DoubleKL stage 1); its
+        spectrum is floored at ``fg_floor`` relative for the whitening.
+    fg_levels, sig_levels
+        Gram deflation depth.  Each level extends the resolved range by
+        a factor 1/band_rel of singular value (squared in eigenvalue).
+        8 levels at 1e-1 cover 8 decades of s — 16 decades of
+        covariance — enough for the foreground's ~14.  band_rel trades
+        per-level coverage against band-boundary accuracy: cutting too
+        close to the Gram resolution floor (~sqrt(n*eps)) deflates
+        poorly-converged directions and pollutes later levels (measured
+        end-to-end KL eval error: (5,3,3e-2) -> 3.6e-3; (6,4,5e-2) ->
+        7e-4; (8,5,1e-1) -> 1.4e-4, matching the reference's KL
+        tolerance tier).  Lower the depth for speed-over-accuracy runs.
+
+    Returns
+    -------
+    KLResult with evals ascending (matching eigh convention) and evecs as
+    columns satisfying v^H N v = I on the resolved subspace.
+    """
+    fg = gram_bands(a_fg, levels=fg_levels, band_rel=band_rel)
+
+    if with_thermal:
+        y = whiten_apply_idpluslr(fg, a_signal)
+    else:
+        y = whiten_apply_floor(fg, a_signal, floor_rel=fg_floor)
+
+    yb = gram_bands(y, levels=sig_levels, band_rel=band_rel)
+    u, sy = _select_complete_basis(yb)
+    evals = sy * sy  # descending
+
+    if with_thermal:
+        v = whiten_apply_idpluslr(fg, u)
+    else:
+        v = whiten_apply_floor(fg, u, floor_rel=fg_floor)
+
+    # ascending, to match jnp.linalg.eigh / the reference's eigh_gen
+    evals = evals[..., ::-1]
+    v = za.Z(v.re[..., ::-1], v.im[..., ::-1])
+    return KLResult(evals, v)
+
+
+# ------------------------------------------------------------------
+# Dense f64 reference implementation (tests / CPU golden path)
+# ------------------------------------------------------------------
+
+
+def kl_solve_dense_ref(a_signal, a_fg, with_thermal=True, fg_floor=1e-6):
+    """Host complex/f64 direct solve of the same pencil (for validation)."""
+    import scipy.linalg as sla
+
+    a_s = np.asarray(a_signal, dtype=np.complex128)
+    a_f = np.asarray(a_fg, dtype=np.complex128)
+    n = a_s.shape[0]
+    S = a_s @ a_s.conj().T
+    F = a_f @ a_f.conj().T
+    if with_thermal:
+        N = F + np.eye(n)
+    else:
+        w, q = np.linalg.eigh(0.5 * (F + F.conj().T))
+        w = np.maximum(w, (fg_floor * w.max()) ** 2 * 0 + fg_floor * w.max())
+        N = (q * w) @ q.conj().T
+    evals, evecs = sla.eigh(0.5 * (S + S.conj().T), 0.5 * (N + N.conj().T))
+    return evals, evecs
