@@ -153,6 +153,7 @@ def product_phase(tel, tarray, mbatch=None, max_m=None):
         mbatch = int(max(1, min(8, 4e9 // max(per_m, 1))))
 
     cl_s, cl_n, noisew, npower = _covariances(tel)
+    ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)
 
     split = backend.split_complex()
     if split:
@@ -166,12 +167,11 @@ def product_phase(tel, tarray, mbatch=None, max_m=None):
                 np.ascontiguousarray(beam.real),
                 np.ascontiguousarray(beam.imag),
                 noisew,
-                cl_s,
-                cl_n,
-                npower,
+                ls,
+                lf,
                 mv,
             )
-        return step(beam, noisew, cl_s, cl_n, npower, mv)
+        return step(beam, noisew, ls, lf, mv)
 
     # Warm-up compile
     beam0, mv0 = _beam_batch(tarray, np.arange(min(mbatch, nm)), tel, mbatch)

@@ -1,91 +1,192 @@
-"""Manage generation of and access to the analysis products.
+"""Product manager: YAML config -> object graph -> generated products.
 
-Functional parity with /root/reference/drift/core/manager.py: the same
-YAML schema (``config:``, ``telescope:``, ``kltransform:``, ``psfisher:``
-sections), class registries, plugin loading of custom classes from a
-module or file, output-directory creation with a rewritten local copy of
-the config, and the ``generate()`` sequencing.
+Behavioural parity with the reference driftscan manager
+(/root/reference/drift/core/manager.py): consumes the same YAML schema
+(``config:`` / ``telescope:`` / ``kltransform:`` / ``psfisher:``
+sections), supports registry names or ``{module, class[, file]}`` plugin
+specs for every component type, stages the output directory with a
+path-rewritten copy of the config, and sequences generation as
+beam-transfers -> KL filters -> PS estimators.
+
+The implementation here is organised around small Registry objects and
+per-section builder methods rather than the reference's inline parsing.
 """
 
 from __future__ import annotations
 
 import logging
-import os.path
+import os
 import warnings
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
 
 import yaml
 
 from ..parallel import comm
-from ..telescope import (
-    cylinder,
-    disharray,
-    exotic_cylinder,
-    focalplane,
-    gmrt,
-    restrictedcylinder,
-)
-from . import beamtransfer, crosspower, doublekl, kltransform, psestimation, psmc
-from . import skymodel
 
 logger = logging.getLogger(__name__)
 
 
-teltype_dict = {
-    "UnpolarisedCylinder": cylinder.UnpolarisedCylinderTelescope,
-    "PolarisedCylinder": cylinder.PolarisedCylinderTelescope,
-    "GMRT": gmrt.GmrtUnpolarised,
-    "FocalPlane": focalplane.FocalPlaneArray,
-    "RestrictedCylinder": restrictedcylinder.RestrictedCylinder,
-    "RestrictedPolarisedCylinder": restrictedcylinder.RestrictedPolarisedCylinder,
-    "RestrictedExtra": restrictedcylinder.RestrictedExtra,
-    "GradientCylinder": exotic_cylinder.GradientCylinder,
-    "PertCylinder": exotic_cylinder.CylinderPerturbed,
-    "DishArray": disharray.DishArray,
-}
+# ------------------------------------------------------------------
+# Component registries
+# ------------------------------------------------------------------
 
 
-kltype_dict = {"KLTransform": kltransform.KLTransform, "DoubleKL": doublekl.DoubleKL}
+@dataclass
+class Registry:
+    """Name -> class lookup with plugin loading.
+
+    A component ``type`` in the YAML is either a registered name or a
+    mapping ``{module: ..., class: ..., file: ...}``; with ``file`` the
+    module is loaded from that path, otherwise imported normally.
+    """
+
+    kind: str
+    entries: Dict[str, Callable]
+
+    def resolve(self, spec):
+        if isinstance(spec, dict):
+            return self._load_plugin(spec)
+        try:
+            return self.entries[spec]
+        except KeyError:
+            known = ", ".join(sorted(self.entries))
+            raise Exception(
+                f"Unsupported {self.kind} type {spec!r} (known: {known})"
+            ) from None
+
+    @staticmethod
+    def _load_plugin(spec):
+        import importlib
+        import importlib.util
+
+        modname, clsname = spec["module"], spec["class"]
+        if "file" in spec:
+            loader_spec = importlib.util.spec_from_file_location(
+                modname, spec["file"]
+            )
+            module = importlib.util.module_from_spec(loader_spec)
+            loader_spec.loader.exec_module(module)
+        else:
+            module = importlib.import_module(modname)
+        return getattr(module, clsname)
 
 
-pstype_dict = {
-    "Full": psestimation.PSExact,
-    "MonteCarlo": psmc.PSMonteCarlo,
-    "MonteCarloAlt": psmc.PSMonteCarloAlt,
-    "Cross": crosspower.CrossPower,
-}
+def _telescope_registry() -> Registry:
+    from ..telescope import (
+        cylinder,
+        disharray,
+        exotic_cylinder,
+        focalplane,
+        gmrt,
+        restrictedcylinder,
+    )
+
+    return Registry(
+        "telescope",
+        {
+            "UnpolarisedCylinder": cylinder.UnpolarisedCylinderTelescope,
+            "PolarisedCylinder": cylinder.PolarisedCylinderTelescope,
+            "GMRT": gmrt.GmrtUnpolarised,
+            "FocalPlane": focalplane.FocalPlaneArray,
+            "RestrictedCylinder": restrictedcylinder.RestrictedCylinder,
+            "RestrictedPolarisedCylinder": (
+                restrictedcylinder.RestrictedPolarisedCylinder
+            ),
+            "RestrictedExtra": restrictedcylinder.RestrictedExtra,
+            "GradientCylinder": exotic_cylinder.GradientCylinder,
+            "PertCylinder": exotic_cylinder.CylinderPerturbed,
+            "DishArray": disharray.DishArray,
+        },
+    )
+
+
+def _kl_registry() -> Registry:
+    from . import doublekl, kltransform
+
+    return Registry(
+        "KL filter",
+        {
+            "KLTransform": kltransform.KLTransform,
+            "DoubleKL": doublekl.DoubleKL,
+        },
+    )
+
+
+def _ps_registry() -> Registry:
+    from . import crosspower, psestimation, psmc
+
+    return Registry(
+        "PS estimator",
+        {
+            "Full": psestimation.PSExact,
+            "MonteCarlo": psmc.PSMonteCarlo,
+            "MonteCarloAlt": psmc.PSMonteCarloAlt,
+            "Cross": crosspower.CrossPower,
+        },
+    )
+
+
+# Backwards-compatible module-level dicts (some callers/tests poke these).
+teltype_dict = _telescope_registry().entries
+kltype_dict = _kl_registry().entries
+pstype_dict = _ps_registry().entries
 
 
 def _resolve_class(clstype, clsdict, objtype=""):
-    """Resolve a class from a registry name or a {module, class, file} dict."""
-    if isinstance(clstype, dict):
-        modname = clstype["module"]
-        clsname = clstype["class"]
+    """Resolve a class from a registry name or a plugin spec dict."""
+    return Registry(objtype or "object", clsdict).resolve(clstype)
 
-        if "file" in clstype:
-            import importlib.util
 
-            spec = importlib.util.spec_from_file_location(modname, clstype["file"])
-            module = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(module)
-        else:
-            import importlib
+# ------------------------------------------------------------------
+# Config-file staging
+# ------------------------------------------------------------------
 
-            module = importlib.import_module(modname)
-        cls_ref = module.__dict__[clsname]
 
-    elif clstype in clsdict:
-        cls_ref = clsdict[clstype]
-    else:
-        raise Exception(f"Unsupported {objtype}")
+def _expand(path: str) -> str:
+    return os.path.normpath(os.path.expandvars(os.path.expanduser(path)))
 
-    return cls_ref
+
+def _stage_config(configfile: str) -> str:
+    """Copy the config into its own output directory, rewriting a relative
+    ``output_directory`` to an absolute path, and return the staged path.
+
+    Only process 0 writes; everyone synchronises after.
+    """
+    with open(configfile) as f:
+        raw = f.read()
+    outdir = yaml.safe_load(raw)["config"]["output_directory"]
+    staged = os.path.join(outdir, "config.yaml")
+
+    if comm.rank0():
+        os.makedirs(outdir, exist_ok=True)
+        same = os.path.exists(staged) and os.path.samefile(configfile, staged)
+        if not same:
+            if not os.path.isabs(outdir):
+                absdir = os.path.abspath(
+                    os.path.join(os.path.dirname(configfile), outdir)
+                )
+                raw = raw.replace(outdir, absdir)
+            with open(staged, "w") as f:
+                f.write(raw)
+    comm.barrier()
+    return staged
+
+
+# ------------------------------------------------------------------
+# The manager
+# ------------------------------------------------------------------
 
 
 class ProductManager:
-    """Access and generation of telescope products: BTMs, KL filters and
-    power spectrum estimators."""
+    """Builds and owns the telescope / BTM / KL / PS object graph.
 
-    directory = None
+    Attributes after :meth:`apply_config`: ``telescope``,
+    ``beamtransfer``, ``kltransforms`` (name -> object), ``psestimators``
+    (name -> object), ``directory``.
+    """
+
+    directory: Optional[str] = None
 
     gen_beams = False
     gen_kl = False
@@ -97,159 +198,134 @@ class ProductManager:
 
     @classmethod
     def from_config(cls, configfile):
-        """Create a ProductManager from a YAML config file.
-
-        Creates the output directory and copies the (path-rewritten)
-        config into it, exactly like the reference
-        (/root/reference/drift/core/manager.py:100-175).
-        """
-        configfile = os.path.normpath(
-            os.path.expandvars(os.path.expanduser(configfile))
-        )
-
+        """Create a ProductManager from a YAML config file or directory."""
+        configfile = _expand(configfile)
         if not os.path.exists(configfile):
             raise Exception(f"Configuration file does not exist {configfile}.")
-
         if os.path.isdir(configfile):
-            configfile = configfile + "/config.yaml"
+            configfile = os.path.join(configfile, "config.yaml")
 
-        with open(configfile, "r") as f:
+        staged = _stage_config(configfile)
+        with open(staged) as f:
             yconf = yaml.safe_load(f)
 
-        outdir = yconf["config"]["output_directory"]
-        dfile = os.path.join(outdir, "config.yaml")
+        m = cls()
+        m.apply_config(yconf)
+        return m
 
-        if comm.rank0():
-            if not os.path.exists(outdir):
-                os.makedirs(outdir)
-
-            if not os.path.exists(dfile) or not os.path.samefile(configfile, dfile):
-                outdir_orig = outdir
-                if not os.path.isabs(outdir):
-                    outdir = os.path.abspath(
-                        os.path.normpath(
-                            os.path.join(os.path.dirname(configfile), outdir)
-                        )
-                    )
-
-                with open(configfile, "r") as f:
-                    config_contents = f.read()
-
-                if outdir_orig != outdir:
-                    config_contents = config_contents.replace(outdir_orig, outdir)
-
-                with open(dfile, "w+") as f:
-                    f.write(config_contents)
-
-        comm.barrier()
-
-        c = cls()
-        with open(dfile) as f:
-            yconf = yaml.safe_load(f)
-        c.apply_config(yconf)
-        return c
+    # -------------------- construction --------------------
 
     def apply_config(self, yconf):
         """Instantiate the object graph from a parsed config dictionary."""
-        if "config" not in yconf:
-            raise ValueError("Configuration file must have an 'config' section.")
-        if "telescope" not in yconf:
-            raise ValueError("Configuration file must have an 'telescope' section.")
+        for required in ("config", "telescope"):
+            if required not in yconf:
+                raise ValueError(
+                    f"Configuration file must have an '{required}' section."
+                )
 
         self.config = yconf
+        cfg = yconf["config"]
 
-        self.directory = yconf["config"]["output_directory"]
-        self.directory = os.path.expanduser(self.directory)
-        self.directory = os.path.expandvars(self.directory)
-
+        self.directory = _expand(cfg["output_directory"])
         if comm.rank0():
             logger.info("Product directory: %s", self.directory)
 
-        ## Telescope
-        teltype = yconf["telescope"]["type"]
-        telclass = _resolve_class(teltype, teltype_dict, "telescope")
-        self.telescope = telclass.from_config(yconf["telescope"])
+        self._build_telescope(yconf["telescope"], cfg)
+        self._build_beamtransfer(cfg)
+        self._build_kltransforms(yconf.get("kltransform", ()), cfg)
+        self._build_psestimators(yconf.get("psfisher", ()), cfg)
 
-        if yconf["config"].get("reionisation"):
+    def _build_telescope(self, telconf, cfg):
+        telclass = _telescope_registry().resolve(telconf["type"])
+        self.telescope = telclass.from_config(telconf)
+
+        if cfg.get("reionisation"):
+            from . import skymodel
+
             skymodel._reionisation = True
 
-        ## Beam transfers
+    def _build_beamtransfer(self, cfg):
+        from . import beamtransfer
+
+        variants = {
+            "nosvd": beamtransfer.BeamTransferNoSVD,
+            "fullsvd": beamtransfer.BeamTransferFullSVD,
+        }
         btclass = beamtransfer.BeamTransfer
-        if yconf["config"].get("nosvd"):
-            btclass = beamtransfer.BeamTransferNoSVD
-        if yconf["config"].get("fullsvd"):
-            btclass = beamtransfer.BeamTransferFullSVD
+        for key, klass in variants.items():
+            if cfg.get(key):
+                btclass = klass
 
-        self.beamtransfer = btclass(self.directory + "/bt/", telescope=self.telescope)
-        self.beamtransfer.read_config(yconf["config"])
+        self.beamtransfer = btclass(
+            os.path.join(self.directory, "bt") + "/", telescope=self.telescope
+        )
+        self.beamtransfer.read_config(cfg)
 
-        if yconf["config"].get("beamtransfers"):
-            self.gen_beams = True
+        self.gen_beams = bool(cfg.get("beamtransfers"))
+        self.skip_svd = bool(cfg.get("skip_svd"))
 
-        if yconf["config"].get("skip_svd"):
-            self.skip_svd = True
-
-        ## KL transforms
+    def _build_kltransforms(self, entries, cfg):
+        registry = _kl_registry()
         self.kltransforms = {}
+        for entry in entries:
+            name = entry["name"]
+            klclass = registry.resolve(entry["type"])
+            self.kltransforms[name] = klclass.from_config(
+                entry, self.beamtransfer, subdir=name
+            )
+        self.gen_kl = bool(cfg.get("kltransform"))
 
-        if "kltransform" in yconf:
-            for klentry in yconf["kltransform"]:
-                kltype = klentry["type"]
-                klname = klentry["name"]
-                klclass = _resolve_class(kltype, kltype_dict, "KL filter")
-                kl = klclass.from_config(klentry, self.beamtransfer, subdir=klname)
-                self.kltransforms[klname] = kl
-
-        if yconf["config"].get("kltransform"):
-            self.gen_kl = True
-
-        ## PS estimators
+    def _build_psestimators(self, entries, cfg):
+        registry = _ps_registry()
         self.psestimators = {}
 
-        if yconf["config"].get("psfisher"):
-            self.gen_ps = True
-            if "psfisher" not in yconf:
-                raise Exception(
-                    "Require a psfisher section if config: psfisher is Yes."
+        self.gen_ps = bool(cfg.get("psfisher"))
+        if self.gen_ps and not entries:
+            raise Exception("Require a psfisher section if config: psfisher is Yes.")
+
+        for entry in entries:
+            psname = entry.get("name", "ps")
+            klname = entry["klname"]
+            psclass = registry.resolve(entry["type"])
+
+            kl = self.kltransforms.get(klname)
+            if kl is None:
+                warnings.warn(f"Desired KL object (name: {klname}) does not exist.")
+                self.psestimators[psname] = None
+            else:
+                self.psestimators[psname] = psclass.from_config(
+                    entry, kl, subdir=psname
                 )
 
-        if "psfisher" in yconf:
-            for psentry in yconf["psfisher"]:
-                pstype = psentry["type"]
-                klname = psentry["klname"]
-                psname = psentry["name"] if "name" in psentry else "ps"
-
-                psclass = _resolve_class(pstype, pstype_dict, "PS estimator")
-
-                if klname not in self.kltransforms:
-                    warnings.warn(
-                        f"Desired KL object (name: {klname}) does not exist."
-                    )
-                    self.psestimators[psname] = None
-                else:
-                    self.psestimators[psname] = psclass.from_config(
-                        psentry, self.kltransforms[klname], subdir=psname
-                    )
+    # -------------------- generation --------------------
 
     def generate(self):
-        """Calculate all the configured analysis products."""
+        """Run every enabled generation stage, in dependency order."""
         if not os.path.exists(self.directory):
             os.makedirs(self.directory)
 
         with open(os.path.join(self.directory, "configdump.yaml"), "w") as fh:
             yaml.dump(self.config, fh)
 
-        if self.gen_beams:
-            self.beamtransfer.generate(skip_svd=self.skip_svd)
-
-        if self.gen_kl:
-            for klname, klobj in self.kltransforms.items():
-                klobj.generate()
-
-        if self.gen_ps:
-            for psname, psobj in self.psestimators.items():
-                psobj.generate()
-                psobj.delbands()
+        for enabled, stage in (
+            (self.gen_beams, self._generate_beams),
+            (self.gen_kl, self._generate_kl),
+            (self.gen_ps, self._generate_ps),
+        ):
+            if enabled:
+                stage()
 
         if comm.rank0():
             logger.info("DONE GENERATING PRODUCTS")
+
+    def _generate_beams(self):
+        self.beamtransfer.generate(skip_svd=self.skip_svd)
+
+    def _generate_kl(self):
+        for klobj in self.kltransforms.values():
+            klobj.generate()
+
+    def _generate_ps(self):
+        for psobj in self.psestimators.values():
+            psobj.generate()
+            psobj.delbands()

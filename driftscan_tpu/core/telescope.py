@@ -47,27 +47,62 @@ def map_half_plane(arr):
     return arr
 
 
+def _label_classes(mask, *keys):
+    """Dense labels for equal key tuples inside ``mask``; -1 elsewhere.
+
+    Labels are assigned in lexicographic key order (complex keys sort by
+    real part, then imaginary — the ordering the conjugation logic in
+    :meth:`TransitTelescope._get_unique` relies on).
+    """
+    mask = np.asarray(mask, dtype=bool)
+    sel = np.nonzero(mask.ravel())[0]
+
+    cols = []
+    for k in keys:
+        k = np.asarray(k).ravel()[sel]
+        if np.iscomplexobj(k):
+            cols.extend([k.real, k.imag])
+        else:
+            cols.append(k)
+
+    # np.lexsort keys run last-to-first; we want keys[0] most significant.
+    order = np.lexsort(tuple(cols[::-1]))
+    boundary = np.zeros(sel.size, dtype=bool)
+    for c in cols:
+        cs = c[order]
+        boundary[1:] |= cs[1:] != cs[:-1]
+
+    labels = np.full(mask.size, -1, dtype=np.int64)
+    labels[sel[order]] = np.cumsum(boundary)
+    return labels.reshape(mask.shape)
+
+
+def _class_representatives(labels, mask):
+    """First (row-major) (i, j) index inside ``mask`` for every class."""
+    flat = labels.ravel()
+    sel = np.nonzero(np.asarray(mask, dtype=bool).ravel())[0]
+    labs = flat[sel]
+    first = np.full(labs.max() + 1, -1, dtype=np.int64)
+    first[labs[::-1]] = sel[::-1]  # reversed fill leaves the earliest index
+    return np.column_stack(np.unravel_index(first, labels.shape))
+
+
 def _remap_keyarray(keyarray, mask=None):
     """Assign dense integer labels to the equivalence classes of keys."""
     if mask is None:
         mask = np.ones(keyarray.shape, bool)
-
-    ind = np.where(mask)
-    un, inv = np.unique(keyarray[ind], return_inverse=True)
-
-    fmap = -1 * np.ones(keyarray.shape, dtype=np.int64)
-    fmap[ind] = np.arange(un.size)[inv]
-    return fmap
+    return _label_classes(mask, keyarray)
 
 
 def _merge_keyarray(keys1, keys2, mask1=None, mask2=None):
     """Merge two key maps into labels for their joint equivalence classes."""
-    tmask1 = mask1 if mask1 is not None else np.ones_like(keys1, dtype=bool)
-    tmask2 = mask2 if mask2 is not None else np.ones_like(keys2, dtype=bool)
+    cmask = np.ones(np.shape(keys1), dtype=bool)
+    if mask1 is not None:
+        cmask &= mask1
+    if mask2 is not None:
+        cmask &= mask2
 
-    cmask = np.logical_and(tmask1, tmask2)
-    ckeys = _remap_keyarray(keys1 + 1.0j * keys2, mask=cmask)
-
+    ckeys = _label_classes(cmask, keys1, keys2)
     if mask1 is None and mask2 is None:
         return ckeys
     return ckeys, cmask
@@ -77,12 +112,7 @@ def _get_indices(keyarray, mask=None):
     """One representative (i, j) feed pair per equivalence class."""
     if mask is None:
         mask = np.ones(keyarray.shape, bool)
-
-    wm = np.where(mask.ravel())[0]
-    keysflat = keyarray.ravel()[wm]
-    un, ind = np.unique(keysflat, return_index=True)
-    upairs = np.array([np.unravel_index(i1, keyarray.shape) for i1 in wm[ind]])
-    return upairs
+    return _class_representatives(keyarray, mask)
 
 
 def max_lm(baselines, wavelengths, uwidth, vwidth=0.0):
@@ -244,101 +274,112 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
         return self._feedconj
 
     def calculate_feedpairs(self):
-        """Compute unique feed pairs, their redundancy and baselines."""
-        self._feedmap, self._feedmask, self._feedconj = self._get_unique()
-        self._make_ew()
-        self._sort_pairs()
+        """Compute unique feed pairs, their redundancy and baselines.
 
-        tmask = np.logical_and(self._feedmask, np.logical_not(self._feedconj))
-        self._uniquepairs = _get_indices(self._feedmap, mask=tmask)
-        self._redundancy = np.bincount(self._feedmap[np.where(tmask)])
+        Pipeline: (1) label ordered feed pairs by joint (baseline, beam)
+        equivalence and join each class with its reversed-pair class
+        (:meth:`_get_unique`); (2) orient every class representative to
+        point east; (3) relabel classes in (u, v, beamclass_j,
+        beamclass_i) order.  Output contract (labels, representative
+        choice, redundancy, ordering) matches the reference
+        (/root/reference/drift/core/telescope.py:507-700).
+        """
+        fmap, mask, conj = self._get_unique()
+
+        conj = self._orient_east(fmap, mask, conj)
+        fmap = self._rank_pairs(fmap, mask, conj)
+
+        tmask = mask & ~conj
+        self._feedmap, self._feedmask, self._feedconj = fmap, mask, conj
+        self._uniquepairs = _class_representatives(fmap, tmask)
+        self._redundancy = np.bincount(fmap[tmask])
         self._baselines = (
             self.feedpositions[self._uniquepairs[:, 0]]
             - self.feedpositions[self._uniquepairs[:, 1]]
         )
 
-    def _make_ew(self):
-        """Conjugate pairs so baseline vectors point east (positive m)."""
-        tmask = np.logical_and(self._feedmask, np.logical_not(self._feedconj))
-        uniq = _get_indices(self._feedmap, mask=tmask)
+    def _pair_separations(self, pairs):
+        """Feed-position separations for an (n, 2) array of index pairs."""
+        return self.feedpositions[pairs[:, 0]] - self.feedpositions[pairs[:, 1]]
 
-        conj_map = np.zeros(uniq.shape[0] + 1, dtype=bool)
-        for i in range(uniq.shape[0]):
-            sep = self.feedpositions[uniq[i, 0]] - self.feedpositions[uniq[i, 1]]
-            if sep[0] < 0.0 or (sep[0] == 0.0 and sep[1] < 0.0):
-                conj_map[i] = True
+    def _orient_east(self, fmap, mask, conj):
+        """Flip the conjugation flag of classes whose representative
+        separation points west, so every effective baseline has u >= 0."""
+        reps = _class_representatives(fmap, mask & ~conj)
+        sep = self._pair_separations(reps)
+        west = (sep[:, 0] < 0.0) | ((sep[:, 0] == 0.0) & (sep[:, 1] < 0.0))
+        flip = np.zeros_like(conj)
+        flip[mask] = west[fmap[mask]]
+        return conj ^ flip
 
-        self._feedconj = np.logical_xor(self._feedconj, conj_map[self._feedmap])
+    def _rank_pairs(self, fmap, mask, conj):
+        """Relabel classes in lexicographic (u, v, bc_j, bc_i) order of
+        their (east-pointing) representatives."""
+        reps = _class_representatives(fmap, mask & ~conj)
+        sep = self._pair_separations(reps)
+        ci = self.beamclass[reps[:, 0]].astype(np.int32)
+        cj = self.beamclass[reps[:, 1]].astype(np.int32)
+
+        order = np.lexsort((ci, cj, sep[:, 1], sep[:, 0]))
+        rank = np.empty(order.size, dtype=np.int64)
+        rank[order] = np.arange(order.size)
+
+        out = np.full_like(fmap, -1)
+        out[mask] = rank[fmap[mask]]
+        return out
 
     def _unique_baselines(self):
-        """Key map of equivalent baseline separations + inclusion mask."""
-        fshape = [self.nfeed, self.nfeed]
-        f_ind = np.indices(fshape)
+        """Key map of equivalent baseline separations + inclusion mask.
 
-        bl1 = self.feedpositions[f_ind[0]] - self.feedpositions[f_ind[1]]
-        bl2 = np.around(bl1[..., 0] + 1.0j * bl1[..., 1], self._bl_tol)
+        Subclass hook: returns any key array whose equal entries mark
+        interchangeable separations (reversed pairs carry the negated
+        separation and therefore a different key), plus a symmetric
+        inclusion mask.
+        """
+        sep = self.feedpositions[:, np.newaxis] - self.feedpositions[np.newaxis, :]
+        key = np.around(sep[..., 0] + 1.0j * sep[..., 1], self._bl_tol)
 
-        blen = np.sum(bl1**2, axis=-1) ** 0.5
-        mask = np.logical_and(blen >= self.minlength, blen <= self.maxlength)
+        blen = np.hypot(sep[..., 0], sep[..., 1])
+        mask = (blen >= self.minlength) & (blen <= self.maxlength)
         if not self.auto_correlations:
-            mask = np.logical_and(blen > 0.0, mask)
+            mask &= blen > 0.0
 
-        return _remap_keyarray(bl2, mask), mask
+        return _label_classes(mask, key), mask
 
     def _unique_beams(self):
-        """Key map of equivalent beam pairs + inclusion mask."""
-        fshape = [self.nfeed, self.nfeed]
-        bci, bcj = np.broadcast_arrays(
-            self.beamclass[:, np.newaxis], self.beamclass[np.newaxis, :]
+        """Key map of equivalent beam pairs + inclusion mask (subclass hook)."""
+        bc = self.beamclass
+        beam_map = _label_classes(
+            np.ones((self.nfeed, self.nfeed), dtype=bool),
+            np.broadcast_to(bc[:, np.newaxis], (self.nfeed, self.nfeed)),
+            np.broadcast_to(bc[np.newaxis, :], (self.nfeed, self.nfeed)),
         )
-        beam_map = _merge_keyarray(bci, bcj)
 
         if self.auto_correlations:
-            beam_mask = np.ones(fshape, dtype=bool)
+            beam_mask = np.ones((self.nfeed, self.nfeed), dtype=bool)
         else:
-            beam_mask = np.logical_not(np.identity(self.nfeed, dtype=bool))
+            beam_mask = ~np.identity(self.nfeed, dtype=bool)
 
         return beam_map, beam_mask
 
     def _get_unique(self):
-        """Combine baseline and beam equivalence into unique feed pairs."""
+        """Label ordered feed pairs by joint (baseline, beam) equivalence
+        and join every class with its reversed-pair (conjugate) class.
+
+        Returns (labels, mask, conj) where ``conj`` marks the orientation
+        whose ordered-pair class had the larger label (the lexicographic
+        key order makes this deterministic; for zero separations it
+        resolves to ascending beamclass).
+        """
         base_map, base_mask = self._unique_baselines()
         beam_map, beam_mask = self._unique_beams()
-        comb_map, comb_mask = _merge_keyarray(
-            base_map, beam_map, mask1=base_mask, mask2=beam_mask
-        )
 
-        conj_map = comb_map > comb_map.T
-        comb_map = np.dstack((comb_map, comb_map.T)).min(axis=-1)
-        comb_map = _remap_keyarray(comb_map, comb_mask)
+        mask = base_mask & beam_mask
+        pair_lab = _label_classes(mask, base_map, beam_map)
 
-        return comb_map, comb_mask, conj_map
-
-    def _sort_pairs(self):
-        """Lexicographically order pairs by (u, v, beamclass_j, beamclass_i)."""
-        tmask = np.logical_and(self._feedmask, np.logical_not(self._feedconj))
-        uniq = _get_indices(self._feedmap, mask=tmask)
-        fi, fj = uniq[:, 0], uniq[:, 1]
-
-        bx = self.feedpositions[fi, 0] - self.feedpositions[fj, 0]
-        by = self.feedpositions[fi, 1] - self.feedpositions[fj, 1]
-        ci = self.beamclass[fi]
-        cj = self.beamclass[fj]
-
-        sort_arr = np.zeros(fi.size, dtype=np.dtype("f8,f8,i4,i4"))
-        sort_arr["f0"] = bx
-        sort_arr["f1"] = by
-        sort_arr["f2"] = cj
-        sort_arr["f3"] = ci
-
-        sort_ind = np.argsort(sort_arr)
-        inverse = np.empty_like(sort_ind)
-        inverse[sort_ind] = np.arange(sort_ind.size)
-
-        fm_copy = self._feedmap.copy()
-        wmask = np.where(self._feedmask)
-        fm_copy[wmask] = inverse[self._feedmap[wmask]]
-        self._feedmap = fm_copy
+        conj = pair_lab > pair_lab.T
+        joined = np.minimum(pair_lab, pair_lab.T)
+        return _label_classes(mask, joined), mask, conj
 
     # ======================= frequencies ======================
 

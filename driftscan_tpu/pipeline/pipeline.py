@@ -1,10 +1,16 @@
 """Config-driven orchestration of timestream analysis.
 
-Functional parity with /root/reference/drift/pipeline/pipeline.py.
+Behavioural parity with the reference pipeline manager
+(/root/reference/drift/pipeline/pipeline.py): the same YAML schema
+(``config:`` stage switches + ``timestreams:`` list + optional
+``crosspower:``), the same stage ordering (m-modes -> KL -> power
+spectra -> maps), and resumable simulation.  Structured here as a table
+of per-timestream stage callables.
 """
 
 from __future__ import annotations
 
+import logging
 import os.path
 
 import yaml
@@ -13,12 +19,12 @@ from .. import config
 from ..core import manager
 from . import timestream
 
+logger = logging.getLogger(__name__)
+
 
 def fixpath(path):
     """Expand user/vars and normalise a path."""
-    path = os.path.expanduser(path)
-    path = os.path.expandvars(path)
-    return os.path.normpath(path)
+    return os.path.normpath(os.path.expandvars(os.path.expanduser(path)))
 
 
 class PipelineManager(config.Reader):
@@ -55,6 +61,8 @@ class PipelineManager(config.Reader):
         self.timestreams = {}
         self.simulations = {}
 
+    # -------------------- loading --------------------
+
     @classmethod
     def from_configfile(cls, configfile):
         c = cls()
@@ -62,100 +70,111 @@ class PipelineManager(config.Reader):
         return c
 
     def load_configfile(self, configfile):
-        with open(configfile, "r") as f:
+        with open(configfile) as f:
             yconf = yaml.safe_load(f)
 
-        if "config" not in yconf:
-            raise Exception("Configuration file must have an 'config' section.")
+        for required in ("config", "timestreams"):
+            if required not in yconf:
+                raise Exception(
+                    f"Configuration file must have an '{required}' section."
+                )
 
         self.read_config(yconf["config"])
 
-        if "timestreams" not in yconf:
-            raise Exception("Configuration file must have an 'timestreams' section.")
-
         for tsconf in yconf["timestreams"]:
-            name = tsconf["name"]
-            tsdir = fixpath(tsconf["directory"])
+            self._add_timestream(tsconf)
 
-            pm = manager.ProductManager.from_config(self.product_directory)
-            ts = timestream.Timestream(tsdir, pm)
+        self.crosspower = list(yconf.get("crosspower", ()))
 
-            if "output_directory" in tsconf:
-                ts.output_directory = fixpath(tsconf["output_directory"])
+    def _add_timestream(self, tsconf):
+        pm = manager.ProductManager.from_config(self.product_directory)
+        ts = timestream.Timestream(fixpath(tsconf["directory"]), pm)
+        ts.no_m_zero = self.no_m_zero
+        if "output_directory" in tsconf:
+            ts.output_directory = fixpath(tsconf["output_directory"])
 
-            ts.no_m_zero = self.no_m_zero
-            self.timestreams[name] = ts
+        name = tsconf["name"]
+        self.timestreams[name] = ts
+        if "simulate" in tsconf:
+            self.simulations[name] = tsconf["simulate"]
 
-            if "simulate" in tsconf:
-                self.simulations[name] = tsconf["simulate"]
-
-        if "crosspower" in yconf:
-            self.crosspower = [xp for xp in yconf["crosspower"]]
+    # -------------------- simulation --------------------
 
     def simulate(self):
-        """Run any configured timestream simulations."""
+        """Run configured timestream simulations (skip existing ones)."""
         for tsname, simconf in self.simulations.items():
             ts = self.timestreams[tsname]
             if os.path.exists(ts._ffile(0)):
-                print("Looks like timestream already exists. Skipping....")
-            else:
-                m = manager.ProductManager.from_config(simconf["product_directory"])
-                simargs = {k: v for k, v in simconf.items() if k != "product_directory"}
-                timestream.simulate(m, ts.directory, **simargs)
+                logger.info(
+                    "Timestream %s already exists; skipping simulation", tsname
+                )
+                continue
+            pm = manager.ProductManager.from_config(simconf["product_directory"])
+            kwargs = {
+                k: v for k, v in simconf.items() if k != "product_directory"
+            }
+            timestream.simulate(pm, ts.directory, **kwargs)
+
+    # -------------------- generation stages --------------------
+
+    def _stage_modes(self, name, ts):
+        logger.info("Generating modes (%s)", name)
+        ts.generate_mmodes()
+        ts.generate_mmodes_svd()
+
+    def _stage_klmodes(self, name, ts):
+        for klname in self.klmodes:
+            logger.info("Generating KL filter (%s:%s)", name, klname)
+            ts.set_kltransform(klname)
+            ts.generate_mmodes_kl()
+            if self.collect_klmodes:
+                ts.collect_mmodes_kl()
+
+    def _stage_powerspectra(self, name, ts):
+        for ps in self.powerspectra:
+            logger.info("Estimating powerspectra (%s:%s)", name, ps["psname"])
+            ts.set_kltransform(ps["klname"])
+            ts.set_psestimator(ps["psname"])
+            ts.powerspectrum()
+
+    def _stage_maps(self, name, ts):
+        for klname in self.klmaps:
+            logger.info("Generating KL map (%s:%s)", name, klname)
+            ts.set_kltransform(klname)
+            ts.mapmake_kl(self.nside, f"map_{klname}.hdf5", wiener=self.wiener)
+
+        logger.info("Generating SVD map (%s)", name)
+        ts.mapmake_svd(self.nside, "map_svd.hdf5")
+
+        logger.info("Generating full map (%s)", name)
+        ts.mapmake_full(self.nside, "map_full.hdf5")
+
+    def _run_crosspower(self):
+        for xp in self.crosspower:
+            tslist = []
+            for tsname in xp["timestreams"]:
+                ts = self.timestreams[tsname]
+                ts.set_kltransform(xp["klname"])
+                ts.set_psestimator(xp["psname"])
+                tslist.append(ts)
+            timestream.cross_powerspectrum(
+                tslist, xp["psname"], fixpath(xp["psfile"])
+            )
 
     def generate(self):
-        """Generate all configured pipeline outputs."""
-        if self.generate_modes:
-            for tsname, tsobj in self.timestreams.items():
-                print("Generating modes (%s)" % tsname)
-                tsobj.generate_mmodes()
-                tsobj.generate_mmodes_svd()
-
-        if self.generate_klmodes:
-            for tsname, tsobj in self.timestreams.items():
-                for klname in self.klmodes:
-                    print("Generating KL filter (%s:%s)" % (tsname, klname))
-                    tsobj.set_kltransform(klname)
-                    tsobj.generate_mmodes_kl()
-                    if self.collect_klmodes:
-                        tsobj.collect_mmodes_kl()
-
-        if self.generate_powerspectra:
-            for tsname, tsobj in self.timestreams.items():
-                for ps in self.powerspectra:
-                    psname = ps["psname"]
-                    klname = ps["klname"]
-                    print("Estimating powerspectra (%s:%s)" % (tsname, psname))
-                    tsobj.set_kltransform(klname)
-                    tsobj.set_psestimator(psname)
-                    tsobj.powerspectrum()
-
-            for xp in self.crosspower:
-                psname = xp["psname"]
-                klname = xp["klname"]
-
-                tslist = []
-                for tsname in xp["timestreams"]:
-                    tsobj = self.timestreams[tsname]
-                    tsobj.set_kltransform(klname)
-                    tsobj.set_psestimator(psname)
-                    tslist.append(tsobj)
-
-                psfile = fixpath(xp["psfile"])
-                timestream.cross_powerspectrum(tslist, psname, psfile)
-
-        if self.generate_maps:
-            for tsname, tsobj in self.timestreams.items():
-                for klname in self.klmaps:
-                    print("Generating KL map (%s:%s)" % (tsname, klname))
-                    mapfile = "map_%s.hdf5" % klname
-                    tsobj.set_kltransform(klname)
-                    tsobj.mapmake_kl(self.nside, mapfile, wiener=self.wiener)
-
-                print("Generating SVD map (%s)" % tsname)
-                tsobj.mapmake_svd(self.nside, "map_svd.hdf5")
-
-                print("Generating full map (%s)" % tsname)
-                tsobj.mapmake_full(self.nside, "map_full.hdf5")
+        """Generate all configured pipeline outputs, in stage order."""
+        stages = (
+            (self.generate_modes, self._stage_modes),
+            (self.generate_klmodes, self._stage_klmodes),
+            (self.generate_powerspectra, self._stage_powerspectra),
+            (self.generate_maps, self._stage_maps),
+        )
+        for enabled, stage in stages:
+            if not enabled:
+                continue
+            for name, ts in self.timestreams.items():
+                stage(name, ts)
+            if stage is self._stage_powerspectra:
+                self._run_crosspower()
 
     run = generate

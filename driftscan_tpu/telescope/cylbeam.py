@@ -47,37 +47,44 @@ def beam_exptan(sintheta, fwhm):
 def fraunhofer_cylinder(fwhm_x: float, width: float, res: float = 1.0):
     """1-D Fraunhofer diffraction pattern of an ExpTan feed on a cylinder.
 
-    Matches the construction at
-    /root/reference/drift/telescope/cylbeam.py:52-95: sample the aperture
-    amplitude over sin(angle), zero-pad by ``res * 16``, FFT, normalise to
-    unit peak, and return an interpolation table over sin(theta).
+    Physics per the reference cylinder model
+    (/root/reference/drift/telescope/cylbeam.py:52-95): a feed at the
+    focus illuminates the aperture with an ExpTan profile in the angle to
+    the cylinder surface (``sin(angle) = 2u / (1 + u^2)`` for normalised
+    aperture coordinate ``u``); the far-field E-W beam is the Fourier
+    transform of that aperture distribution, evaluated against
+    ``sin(theta)`` in units of the cylinder width.
 
-    Returns (kx, fx) numpy sample arrays for interpolation.
+    Construction: the aperture is sampled directly on an fft-ordered,
+    ``res * 16``-fold zero-padded grid (no shift/pack step), transformed,
+    peak-normalised and trimmed to the physical region (a margin past
+    |sin(theta)| = 1).
+
+    Returns (sin_theta, amplitude) numpy sample arrays for interpolation,
+    in ascending sin_theta order.
     """
-    resi = int(res * 16)
-    num = 512
-    hnum = num // 2 - 1
+    half = 256  # aperture samples per unit of u
+    n = int(res * 16) * 2 * half  # padded grid length
 
-    ua = -1.0 * np.linspace(-1.0, 1.0, num, endpoint=False)[::-1]
+    # fft-ordered integer offsets -> aperture coordinate u in [-1, 1]
+    offs = np.fft.fftfreq(n, 1.0 / n)
+    u = offs / half
+    inside = np.abs(u) <= 1.0
 
-    # Aperture amplitude as a function of sin(angle) from feed to cylinder
-    st = 2 * ua / (1 + ua**2)
-    alpha = np.log(2.0) / (2 * np.tan(fwhm_x / 2.0) ** 2)
-    tan2 = st**2 / (1 - st**2 + 1e-100)
-    ax = np.exp(-alpha * tan2)
+    st = 2.0 * u / (1.0 + u * u)  # sin(feed -> surface angle)
+    alpha = np.log(2.0) / (2.0 * np.tan(0.5 * fwhm_x) ** 2)
+    tan2 = st * st / np.maximum(1.0 - st * st, 1e-100)
+    aperture = np.where(inside, np.exp(-alpha * tan2), 0.0)
 
-    axe = np.zeros(resi * num)
-    axe[: (hnum + 2)] = ax[hnum:]
-    axe[-hnum:] = ax[:hnum]
+    pattern = np.fft.fft(aperture).real
+    sin_theta = np.fft.fftfreq(n, 1.0 / (2.0 * half)) / width
 
-    fx = np.fft.fft(axe).real
-    kx = 2 * np.fft.fftfreq(resi * num, ua[1] - ua[0]) / width
-
-    fx = np.fft.fftshift(fx) / fx.max()
-    kx = np.fft.fftshift(kx)
-
-    sel = np.abs(kx) < 1.1
-    return kx[sel].copy(), fx[sel].copy()
+    keep = np.abs(sin_theta) < 1.1
+    order = np.argsort(sin_theta[keep])
+    return (
+        sin_theta[keep][order],
+        (pattern / pattern.max())[keep][order],
+    )
 
 
 def _basis(zenith, rot):

@@ -1,4 +1,11 @@
-"""Cylinder telescopes (parity with /root/reference/drift/telescope/cylinder.py)."""
+"""Cylinder telescopes.
+
+Behaviour matches the reference cylinder models
+(/root/reference/drift/telescope/cylinder.py): N-S oriented parabolic
+cylinders, regularly spaced feeds along each axis, optional exclusion of
+intra-cylinder baselines, and Fraunhofer-diffraction beams (cylbeam).
+The YAML property names are part of the config contract.
+"""
 
 from __future__ import annotations
 
@@ -7,6 +14,10 @@ import numpy as np
 from .. import config
 from ..core import telescope
 from . import cylbeam
+
+# FWHM of the fiducial dipole illumination (radians); the e/h width
+# properties scale it.
+_DIPOLE_FWHM = 2.0 * np.pi / 3.0
 
 
 class CylinderTelescope(telescope.TransitTelescope):
@@ -33,9 +44,8 @@ class CylinderTelescope(telescope.TransitTelescope):
     e_width = config.Property(proptype=float, default=0.7)
     h_width = config.Property(proptype=float, default=1.0)
 
-    # Fiducial widths (the 0.675 factor comes from the dipole model).
-    _fwhm_e = 2.0 * np.pi / 3.0
-    _fwhm_h = 2.0 * np.pi / 3.0
+    _fwhm_e = _DIPOLE_FWHM
+    _fwhm_h = _DIPOLE_FWHM
 
     @property
     def fwhm_e(self):
@@ -58,24 +68,17 @@ class CylinderTelescope(telescope.TransitTelescope):
     def _unique_baselines(self):
         """Optionally exclude intra-cylinder (u == 0) baselines."""
         base_map, base_mask = super()._unique_baselines()
+        if self.in_cylinder:
+            return base_map, base_mask
 
-        if not self.in_cylinder:
-            fshape = [self.nfeed, self.nfeed]
-            f_ind = np.indices(fshape)
-            bl1 = self.feedpositions[f_ind[0]] - self.feedpositions[f_ind[1]]
-            ic_mask = bl1[..., 0] != 0.0
-            base_mask = np.logical_and(base_mask, ic_mask)
-            base_map = telescope._remap_keyarray(base_map, base_mask)
-
-        return base_map, base_mask
-
-    @property
-    def _single_feedpositions(self):
-        fplist = [self.feed_positions_cylinder(i) for i in range(self.num_cylinders)]
-        return np.vstack(fplist)
-
-    # For unpolarised cylinders feedpositions == _single_feedpositions via
-    # SimpleUnpolarisedTelescope; keep direct access for subclasses.
+        # Separations with no east-west component connect feeds on the
+        # same cylinder; drop them and relabel the survivors.
+        du = (
+            self.feedpositions[:, np.newaxis, 0]
+            - self.feedpositions[np.newaxis, :, 0]
+        )
+        base_mask = base_mask & (du != 0.0)
+        return telescope._remap_keyarray(base_map, base_mask), base_mask
 
     @property
     def cylinder_spacing(self):
@@ -85,21 +88,37 @@ class CylinderTelescope(telescope.TransitTelescope):
             raise ValueError("Need to set cylinder spacing if not touching.")
         return self.cylspacing
 
-    def feed_positions_cylinder(self, cylinder_index):
-        """(num_feeds, 2) feed positions on one cylinder."""
-        if cylinder_index >= self.num_cylinders or cylinder_index < 0:
-            raise ValueError("Cylinder index is invalid.")
+    def _cylinder_layout(self, cylinder_index):
+        """(nfeed_cyl, spacing) for one cylinder.
 
-        nf = self.num_feeds
-        sp = self.feed_spacing
+        With ``non_commensurate`` each successive cylinder drops one feed
+        and stretches the spacing so the arrays stay co-extensive.
+        """
         if self.non_commensurate:
             nf = self.num_feeds - cylinder_index
-            sp = self.feed_spacing / (nf - 1.0) * nf
+            return nf, self.feed_spacing * nf / (nf - 1.0)
 
-        pos = np.empty([nf, 2], dtype=np.float64)
-        pos[:, 0] = cylinder_index * self.cylinder_spacing
-        pos[:, 1] = np.arange(nf) * sp
-        return pos
+        # commensurate layout: every cylinder identical
+        return self.num_feeds, self.feed_spacing
+
+    def feed_positions_cylinder(self, cylinder_index):
+        """(num_feeds, 2) feed positions on one cylinder."""
+        if not 0 <= cylinder_index < self.num_cylinders:
+            raise ValueError("Cylinder index is invalid.")
+
+        nf, sp = self._cylinder_layout(cylinder_index)
+        x = np.full(nf, cylinder_index * self.cylinder_spacing)
+        y = sp * np.arange(nf)
+        return np.column_stack([x, y])
+
+    @property
+    def _single_feedpositions(self):
+        return np.concatenate(
+            [
+                self.feed_positions_cylinder(ci)
+                for ci in range(self.num_cylinders)
+            ]
+        )
 
 
 class UnpolarisedCylinderTelescope(

@@ -84,37 +84,60 @@ def test_transfer_matrices_split_matches(monkeypatch, telcls, params):
     np.testing.assert_allclose(split, native, atol=1e-10)
 
 
-def test_product_step_split_matches_native():
-    """Split product step must match the native complex step (tolerating
-    the Gram-SVD noise floor ~1e-7 relative)."""
+def test_product_step_vs_dense_pencil():
+    """The product step's KL evals must match a dense f64 solve of the
+    same pencil built from its own SVD outputs."""
     import __graft_entry__ as g
-    import functools
-    import jax
+    from driftscan_tpu.ops import fpencil
     from driftscan_tpu.parallel import mstep
 
     npol, nl = 1, 8
-    beam, noisew, cl_s, cl_n, npower, m_values = g._example_args(
+    beam, noisew, ls, lf, m_values = g._example_args(
         nm=4, nfreq=2, ntel=8, npol=npol, nl=nl, dtype=np.complex128
     )
     noisew = noisew.astype(np.float64)
-    cl_s = cl_s.astype(np.float64)
-    cl_n = cl_n.astype(np.float64)
-    npower = npower.astype(np.float64)
+
+    res = mstep.kl_product_step(
+        beam, noisew, ls, lf, m_values, npol=npol, nl=nl
+    )
+
+    # Rebuild the factored pencil from the (complex) SVD outputs and solve
+    # densely in f64.
+    for i, mi in enumerate(m_values):
+        bsvd = np.asarray(res.beam_svd[i])  # (F, S, npol*nl)
+        F, S = bsvd.shape[0], bsvd.shape[1]
+        b4 = bsvd.reshape(F, S, npol, nl)
+        a_s = np.einsum("fapl,lpfk->falk", b4, ls).reshape(F * S, -1)
+        a_f = np.einsum("fapl,lpfk->falk", b4, lf).reshape(F * S, -1)
+        ev_ref, _ = fpencil.kl_solve_dense_ref(a_s, a_f, with_thermal=True)
+        ev = np.asarray(res.evals[i])
+        sel = ev_ref > 1e-2 * max(ev_ref.max(), 1.0)
+        np.testing.assert_allclose(ev[sel], ev_ref[sel], rtol=1e-3)
+
+
+def test_product_step_split_matches_native():
+    """Split planes and the native-complex wrapper agree exactly (the
+    wrapper routes through the same split implementation)."""
+    import __graft_entry__ as g
+    from driftscan_tpu.parallel import mstep
+
+    npol, nl = 1, 8
+    beam, noisew, ls, lf, m_values = g._example_args(
+        nm=4, nfreq=2, ntel=8, npol=npol, nl=nl
+    )
 
     native = mstep.kl_product_step(
-        beam, noisew, cl_s, cl_n, npower, m_values, npol=npol, nl=nl
+        beam, noisew, ls, lf, m_values, npol=npol, nl=nl
     )
     split = mstep.kl_product_step_split(
-        beam.real.copy(), beam.imag.copy(), noisew, cl_s, cl_n, npower,
-        m_values, npol=npol, nl=nl,
+        beam.real.copy(), beam.imag.copy(), noisew, ls, lf, m_values,
+        npol=npol, nl=nl,
     )
 
     np.testing.assert_allclose(
         np.asarray(split.sig), np.asarray(native.sig), rtol=1e-6, atol=1e-7
     )
-    np.testing.assert_allclose(
-        np.asarray(split.nmodes), np.asarray(native.nmodes)
-    )
+    np.testing.assert_allclose(np.asarray(split.nmodes), np.asarray(native.nmodes))
     np.testing.assert_allclose(
         np.asarray(split.evals), np.asarray(native.evals), rtol=1e-5, atol=1e-7
     )
@@ -128,13 +151,11 @@ def test_product_step_split_sharded():
 
     npol, nl = 1, 8
     nm = 8
-    beam, noisew, cl_s, cl_n, npower, m_values = g._example_args(
-        nm=nm, npol=npol, nl=nl
-    )
+    beam, noisew, ls, lf, m_values = g._example_args(nm=nm, npol=npol, nl=nl)
     mesh = meshmod.make_mesh(jax.devices()[:8])
     step = mstep.jit_product_step_split(npol=npol, nl=nl, mesh=mesh)
     res = step(
-        beam.real.copy(), beam.imag.copy(), noisew, cl_s, cl_n, npower,
+        beam.real.copy(), beam.imag.copy(), noisew, ls, lf,
         m_values.astype(np.int32),
     )
     assert np.isfinite(np.asarray(res.evals)).all()
