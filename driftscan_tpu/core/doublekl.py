@@ -1,6 +1,11 @@
 """Two-stage KL: foreground rejection, then signal/noise diagonalisation.
 
-Functional parity with /root/reference/drift/core/doublekl.py.
+Behavioural parity with the reference DoubleKL
+(/root/reference/drift/core/doublekl.py): stage 1 solves the
+signal/foreground pencil with thermal noise suppressed and keeps modes
+whose S/F exceeds ``foreground_threshold``; stage 2 re-solves the full
+signal/noise pencil restricted to that cleaned subspace.  The eigenfiles
+additionally record the stage-1 spectrum (``f_evals``).
 """
 
 from __future__ import annotations
@@ -26,16 +31,24 @@ class DoubleKL(kltransform.KLTransform):
     ----------
     foreground_threshold : scalar
         S/F power ratio below which modes are discarded as
-        foreground-contaminated (step 1 cut).
+        foreground-contaminated (stage 1 cut).
     """
 
     foreground_threshold = config.Property(proptype=float, default=100.0)
 
-    def _transform_m(self, mi):
-        inv = None
-        nside = self.beamtransfer.ndof(mi)
+    def _pencil(self, mi, thermal):
+        """Solve the (signal, noise) pencil at m; returns evals ascending,
+        mode rows, and the regularisation constant."""
+        n = self.beamtransfer.ndof(mi)
+        cs, cn = (c.reshape(n, n) for c in self.sn_covariance(mi, thermal=thermal))
+        stage = "step 2" if thermal else "step 1"
+        evals, evecs, ac = kltransform.eigh_gen(
+            cs, cn, message=f"m = {mi}; KL {stage}"
+        )
+        return evals, evecs.T.conj(), ac
 
-        if nside == 0:
+    def _transform_m(self, mi):
+        if self.beamtransfer.ndof(mi) == 0:
             return (
                 np.array([]),
                 np.array([[]]),
@@ -43,69 +56,65 @@ class DoubleKL(kltransform.KLTransform):
                 {"ac": 0.0, "f_evals": np.array([])},
             )
 
-        # Step 1: signal/foreground eigenproblem (thermal noise off).
-        self.use_thermal = False
-        cs, cn = [cv.reshape(nside, nside) for cv in self.sn_covariance(mi)]
+        # Stage 1: S/F pencil, thermal off; cut at the foreground threshold.
+        f_evals, modes, ac = self._pencil(mi, thermal=False)
+        keep = f_evals > self.foreground_threshold
 
-        evals, evecs2, ac = kltransform.eigh_gen(
-            cs, cn, message=f"m = {mi}; KL step 1"
-        )
-        evecs = evecs2.T.conj()
+        inv = linalg.inv_gen(modes).T if self.inverse else None
 
-        ind = np.where(evals > self.foreground_threshold)
-
-        evextra = {"ac": ac, "f_evals": evals.copy()}
-
+        evals = f_evals[keep]
+        modes = modes[keep]
         if self.inverse:
-            inv = linalg.inv_gen(evecs).T
+            inv = inv[keep]
 
-        evals = evals[ind]
-        evecs = evecs[ind]
-        inv = inv[ind] if self.inverse else None
+        extra = {"ac": ac, "f_evals": f_evals.copy()}
+        if evals.size == 0:
+            return evals, modes, inv, extra
 
-        if evals.size > 0:
-            # Step 2: full S/N eigenproblem in the foreground-cleaned basis.
-            self.use_thermal = True
-            cs, cn = [cv.reshape(nside, nside) for cv in self.sn_covariance(mi)]
-            cs = np.dot(evecs, np.dot(cs, evecs.T.conj()))
-            cn = np.dot(evecs, np.dot(cn, evecs.T.conj()))
+        # Stage 2: full S/N pencil restricted to the cleaned subspace.
+        n = self.beamtransfer.ndof(mi)
+        cs, cn = (
+            c.reshape(n, n) for c in self.sn_covariance(mi, thermal=True)
+        )
+        cs_r = modes @ cs @ modes.T.conj()
+        cn_r = modes @ cn @ modes.T.conj()
+        evals, evecs2, _ = kltransform.eigh_gen(
+            cs_r, cn_r, message=f"m = {mi}; KL step 2"
+        )
 
-            evals, evecs2, ac = kltransform.eigh_gen(
-                cs, cn, message=f"m = {mi}; KL step 2"
-            )
-            evecs = np.dot(evecs2.T.conj(), evecs)
+        modes = evecs2.T.conj() @ modes
+        if self.inverse:
+            inv = linalg.inv_gen(evecs2) @ inv
 
-            if self.inverse:
-                inv2 = linalg.inv_gen(evecs2)
-                inv = np.dot(inv2, inv)
-
-        return evals, evecs, inv, evextra
+        return evals, modes, inv, extra
 
     def _ev_save_hook(self, f, evextra):
-        kltransform.KLTransform._ev_save_hook(self, f, evextra)
+        super()._ev_save_hook(f, evextra)
         f.create_dataset("f_evals", data=evextra["f_evals"])
 
     def _collect(self):
-        shape = (2, self.beamtransfer.ndofmax)
+        """Collect both spectra (S/N and stage-1 S/F) into evals.hdf5."""
+        ndofmax = self.beamtransfer.ndofmax
 
-        def evfunc(mi):
-            ta = np.zeros(shape, dtype=np.float64)
+        def spectra(mi):
+            out = np.zeros((2, ndofmax), dtype=np.float64)
             with h5py.File(self._evfile % mi, "r") as f:
-                if f["evals_full"].shape[0] > 0:
-                    ev = f["evals_full"][:]
-                    fev = f["f_evals"][:]
-                    ta[0, -ev.size :] = ev
-                    ta[1, -fev.size :] = fev
-            return ta
+                for row, name in enumerate(("evals_full", "f_evals")):
+                    v = f[name][:]
+                    if v.size:
+                        out[row, -v.size :] = v
+            return out
 
         if comm.rank0():
             logger.info("Creating eigenvalues file (process 0 only).")
 
         mlist = list(range(self.telescope.mmax + 1))
-        evarray = kltransform.collect_m_array(mlist, evfunc, shape, np.float64)
+        evarray = kltransform.collect_m_array(
+            mlist, spectra, (2, ndofmax), np.float64
+        )
 
         if comm.rank0():
-            fname = self.evdir + "/evals.hdf5"
+            fname = os.path.join(self.evdir, "evals.hdf5")
             if os.path.exists(fname):
                 logger.info("File %s exists. Skipping...", fname)
                 return

@@ -144,13 +144,16 @@ class KLTransform(config.Reader):
             )
         return self._cvsg
 
-    def sn_covariance(self, mi):
+    def sn_covariance(self, mi, thermal=None):
         """Signal and noise covariances in the SVD basis at m.
 
         Noise = foregrounds + regulariser + (possibly suppressed) thermal.
         Parity with /root/reference/drift/core/kltransform.py:258-308.
+        ``thermal`` overrides ``self.use_thermal`` for this call (used by
+        the two-stage DoubleKL without mutating state).
         """
-        if not (self.use_foregrounds or self.use_thermal):
+        use_thermal = self.use_thermal if thermal is None else thermal
+        if not (self.use_foregrounds or use_thermal):
             raise Exception(
                 "Either `use_thermal` or `use_foregrounds`, or both must be True."
             )
@@ -170,18 +173,9 @@ class KLTransform(config.Reader):
                 self._foreground_regulariser * cnr.max()
             )
 
-        # Even with use_thermal off keep a tiny noise floor (Tsys -> 1 mK).
-        nc = 1.0
-        if not self.use_thermal:
-            nc = (1e-3 / self.telescope.tsys_flat) ** 2
-
-        bl = np.arange(self.telescope.npairs)
-        bl = np.concatenate((bl, bl))
-        npower = nc * self.telescope.noisepower(
-            bl[np.newaxis, :], np.arange(self.telescope.nfreq)[:, np.newaxis]
-        ).reshape(self.telescope.nfreq, bt.ntel)
-
-        cvb_n = cvb_n + bt.project_matrix_diagonal_telescope_to_svd(mi, npower)
+        cvb_n = cvb_n + bt.project_matrix_diagonal_telescope_to_svd(
+            mi, self._noise_power(thermal=use_thermal)
+        )
 
         return cvb_s, cvb_n
 
@@ -328,13 +322,15 @@ class KLTransform(config.Reader):
 
         self._collect()
 
-    def _noise_power(self):
-        """Diagonal instrumental noise power [nfreq, ntel] (with the
-        thermal-off suppression of sn_covariance)."""
+    def _noise_power(self, thermal=None):
+        """Diagonal instrumental noise power [nfreq, ntel].
+
+        With thermal noise disabled a tiny floor remains (Tsys -> 1 mK),
+        matching the reference's convention.
+        """
+        use_thermal = self.use_thermal if thermal is None else thermal
         bt = self.beamtransfer
-        nc = 1.0
-        if not self.use_thermal:
-            nc = (1e-3 / self.telescope.tsys_flat) ** 2
+        nc = 1.0 if use_thermal else (1e-3 / self.telescope.tsys_flat) ** 2
         bl = np.arange(self.telescope.npairs)
         bl = np.concatenate((bl, bl))
         return nc * self.telescope.noisepower(

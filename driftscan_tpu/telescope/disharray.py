@@ -1,32 +1,23 @@
 """Simple grid-of-dishes interferometer with an Airy (jinc) beam.
 
-Parity with /root/reference/drift/telescope/disharray.py.
+Behaviour matches the reference dish array
+(/root/reference/drift/telescope/disharray.py): a gridu x gridv square
+grid of identical circular dishes at one-dish-width spacing.
 """
 
 from __future__ import annotations
 
 import numpy as np
-from scipy.special import jn
-
-import jax.numpy as jnp
 
 from ..core import telescope
-from ..ops import kernels
+from . import beamlib
+
+# re-exported: historical import location
+jinc = beamlib.jinc
+beam_circular = beamlib.beam_circular
 
 
-def jinc(x):
-    return 0.5 * (jn(0, x) + jn(2, x))
-
-
-def beam_circular(angpos, zenith, uv_diameter):
-    """Airy beam of a circular dish of uv_diameter wavelengths."""
-    cart = np.asarray(kernels.sph_to_cart(jnp.asarray(angpos)))
-    zc = np.asarray(kernels.sph_to_cart(jnp.asarray(zenith)))
-    x = (1.0 - (cart @ zc) ** 2) ** 0.5 * np.pi * uv_diameter
-    return 2 * jinc(x)
-
-
-class DishArray(telescope.SimpleUnpolarisedTelescope):
+class DishArray(beamlib.MemoisedBeam, telescope.SimpleUnpolarisedTelescope):
     """A rectangular grid of identical circular dishes."""
 
     dish_width = 3.5
@@ -38,9 +29,6 @@ class DishArray(telescope.SimpleUnpolarisedTelescope):
     freq_upper = 1200.0
     num_freq = 100
 
-    _bc_freq = None
-    _bc_nside = None
-
     @property
     def u_width(self):
         return self.dish_width
@@ -50,22 +38,21 @@ class DishArray(telescope.SimpleUnpolarisedTelescope):
         return self.dish_width
 
     def beam(self, feed, freq):
-        if self._bc_freq != freq or self._bc_nside != self._nside:
-            self._bc_map = beam_circular(
-                self._angpos, self.zenith, self.dish_width / self.wavelengths[freq]
-            )
-            self._bc_freq = freq
-            self._bc_nside = self._nside
-        return self._bc_map
+        return self._memo_beam(
+            lambda: beamlib.beam_circular(
+                self._angpos,
+                self.zenith,
+                self.dish_width / self.wavelengths[freq],
+            ),
+            freq,
+        )
 
     beamx = beam
     beamy = beam
 
     @property
     def _single_feedpositions(self):
-        pos = np.zeros((self.gridu, self.gridv, 2))
-        for i in range(self.gridu):
-            for j in range(self.gridv):
-                pos[i, j, 0] = i * self.dish_width
-                pos[i, j, 1] = j * self.dish_width
-        return pos.reshape((self.gridu * self.gridv, 2))
+        gu, gv = np.mgrid[: self.gridu, : self.gridv]
+        return self.dish_width * np.stack(
+            [gu.ravel(), gv.ravel()], axis=-1
+        ).astype(np.float64)

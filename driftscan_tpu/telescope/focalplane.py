@@ -1,42 +1,31 @@
 """Focal-plane (multi-beam single dish) array.
 
-Parity with /root/reference/drift/telescope/focalplane.py: a grid of sky
-pointings from one aperture; feed "pairs" are the *same* beam
-auto-correlated, so uniqueness is by beam only.
+Behaviour matches the reference focal-plane model
+(/root/reference/drift/telescope/focalplane.py): a regular grid of sky
+pointings from a single aperture, Gaussian or top-hat ("square") beams,
+and uniqueness by beam only (each pointing auto-correlates with itself,
+there are no interferometric baselines).
 """
 
 from __future__ import annotations
 
 import numpy as np
-from scipy.special import jn
-
-import jax.numpy as jnp
 
 from .. import config
 from ..core import telescope
-from ..ops import kernels
 from ..util import util
+from . import beamlib
 
 C_LIGHT = telescope.C_LIGHT
 
-
-def jinc(x):
-    return 0.5 * (jn(0, x) + jn(2, x))
-
-
-def beam_circular(angpos, zenith, uv_diameter):
-    cart = np.asarray(kernels.sph_to_cart(jnp.asarray(angpos)))
-    zc = np.asarray(kernels.sph_to_cart(jnp.asarray(zenith)))
-    x = (1.0 - (cart @ zc) ** 2) ** 0.5 * np.pi * uv_diameter
-    return 2 * jinc(x)
+# re-exported: historical import location
+jinc = beamlib.jinc
+beam_circular = beamlib.beam_circular
 
 
 def gaussian_beam(angpos, pointing, fwhm):
-    sigma = np.radians(fwhm) / (8.0 * np.log(2.0)) ** 0.5
-    cart = np.asarray(kernels.sph_to_cart(jnp.asarray(angpos)))
-    pc = np.asarray(kernels.sph_to_cart(jnp.asarray(pointing)))
-    x2 = (1.0 - (cart @ pc) ** 2) / (4 * sigma**2)
-    return np.exp(-x2)
+    """Gaussian beam of given FWHM (degrees) about a pointing."""
+    return beamlib.beam_gaussian(angpos, pointing, beamlib.fwhm_to_sigma(fwhm))
 
 
 class FocalPlaneArray(telescope.UnpolarisedTelescope):
@@ -57,61 +46,53 @@ class FocalPlaneArray(telescope.UnpolarisedTelescope):
 
     @property
     def beam_pointings(self):
-        pnt_u = self.beam_spacing_u * (
-            np.arange(self.beam_num_u) - (self.beam_num_u - 1) / 2.0
-        )
-        pnt_v = self.beam_spacing_v * (
-            np.arange(self.beam_num_v) - (self.beam_num_v - 1) / 2.0
-        )
+        """(nfeed, 2) spherical pointings: a centred (u, v) grid offset
+        from the zenith, in degrees of spacing."""
 
-        pnt_u = np.radians(pnt_u) + self.zenith[1]
-        pnt_v = np.radians(pnt_v) + self.zenith[0]
+        def centred(n, spacing):
+            return np.radians(spacing * (np.arange(n) - (n - 1) / 2.0))
 
-        pnt = np.zeros((self.beam_num_u, self.beam_num_v, 2))
-        pnt[:, :, 1] = pnt_u[:, np.newaxis]
-        pnt[:, :, 0] = pnt_v[np.newaxis, :]
+        phi = centred(self.beam_num_u, self.beam_spacing_u) + self.zenith[1]
+        theta = centred(self.beam_num_v, self.beam_spacing_v) + self.zenith[0]
 
-        return pnt.reshape(-1, 2)
+        # u-major ordering: all v pointings of the first u column first
+        tt, pp = np.meshgrid(theta, phi)
+        return np.stack([tt.ravel(), pp.ravel()], axis=-1)
+
+    def _fwhm_at(self, freq):
+        if not self.beam_freq_scale:
+            return self.beam_size
+        return self.beam_size * self.frequencies[freq] / self.beam_pivot
 
     @util.cache_last
     def beam_gaussian(self, feed, freq):
-        pointing = self.beam_pointings[feed]
-        if self.beam_freq_scale:
-            fwhm = self.beam_size * self.frequencies[freq] / self.beam_pivot
-        else:
-            fwhm = self.beam_size
-        return gaussian_beam(self._angpos, pointing, fwhm)
+        return gaussian_beam(
+            self._angpos, self.beam_pointings[feed], self._fwhm_at(freq)
+        )
 
     @util.cache_last
     def beam_square(self, feed, freq):
-        pointing = self.beam_pointings[feed]
-        bdist = self._angpos - pointing[np.newaxis, :]
-        bdist = np.abs(
-            np.where(
-                (bdist[:, 1] < np.pi)[:, np.newaxis],
-                bdist,
-                bdist - np.array([0, 2 * np.pi])[np.newaxis, :],
-            )
-        ) / np.radians(self.beam_size)
-        return np.logical_and(bdist[:, 0] < 0.5, bdist[:, 1] < 0.5).astype(np.float64)
+        offset = self._angpos - self.beam_pointings[feed]
+        # wrap phi offsets past pi back into (-pi, pi]
+        wrap = offset[:, 1] >= np.pi
+        offset[wrap, 1] -= 2 * np.pi
+        inside = np.abs(offset) < 0.5 * np.radians(self.beam_size)
+        return (inside[:, 0] & inside[:, 1]).astype(np.float64)
 
     def beam(self, feed, freq):
-        if self.square_beam:
-            return self.beam_square(feed, freq)
-        return self.beam_gaussian(feed, freq)
+        return (
+            self.beam_square(feed, freq)
+            if self.square_beam
+            else self.beam_gaussian(feed, freq)
+        )
 
     @property
     def dish_width(self):
-        lpivot = C_LIGHT / self.beam_pivot * 1e-6
-        return lpivot / np.radians(self.beam_size)
+        pivot_wavelength = C_LIGHT / self.beam_pivot * 1e-6
+        return pivot_wavelength / np.radians(self.beam_size)
 
-    @property
-    def u_width(self):
-        return self.dish_width
-
-    @property
-    def v_width(self):
-        return self.dish_width
+    u_width = dish_width
+    v_width = dish_width
 
     @property
     def nfeed(self):
@@ -128,9 +109,9 @@ class FocalPlaneArray(telescope.UnpolarisedTelescope):
         return np.zeros([self.nfeed, 2])
 
     def _unique_beams(self):
-        """Beams are only paired with themselves (autos of each pointing)."""
-        beam_mask = np.identity(self.nfeed, dtype=bool)
-        beam_map = telescope._remap_keyarray(
-            np.diag(np.arange(self.nfeed)), mask=beam_mask
+        """Beams pair only with themselves (autos of each pointing)."""
+        auto_mask = np.identity(self.nfeed, dtype=bool)
+        beam_map = telescope._label_classes(
+            auto_mask, np.diag(np.arange(self.nfeed))
         )
-        return beam_map, beam_mask
+        return beam_map, auto_mask

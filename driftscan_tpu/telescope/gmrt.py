@@ -1,6 +1,10 @@
-"""GMRT dish array model (parity with /root/reference/drift/telescope/gmrt.py).
+"""GMRT dish array model.
 
-Antenna (x, y) positions ship as package data (public observatory layout).
+Behaviour matches the reference GMRT model
+(/root/reference/drift/telescope/gmrt.py): the real 30-dish layout
+(shipped as package data — a public observatory layout), a Gaussian
+primary beam scaled from 150 MHz, Tsys = 582 K and a 600 m maximum
+baseline cut.
 """
 
 from __future__ import annotations
@@ -8,42 +12,30 @@ from __future__ import annotations
 import os.path
 
 import numpy as np
-from scipy.special import jn
 
 from .. import config
 from ..core import telescope
-from ..ops import kernels
+from . import beamlib
 
-import jax.numpy as jnp
+# re-exported: historical import location
+jinc = beamlib.jinc
+beam_circular = beamlib.beam_circular
 
+_POSITIONS_FILE = os.path.join(os.path.dirname(__file__), "gmrtpositions.dat")
 
-def jinc(x):
-    return 0.5 * (jn(0, x) + jn(2, x))
-
-
-def beam_circular(angpos, zenith, uv_diameter):
-    """Airy-style beam of a circular dish of uv_diameter wavelengths."""
-    cart = np.asarray(kernels.sph_to_cart(jnp.asarray(angpos)))
-    zc = np.asarray(kernels.sph_to_cart(jnp.asarray(zenith)))
-    x = (1.0 - (cart @ zc) ** 2) ** 0.5 * np.pi * uv_diameter
-    return 2 * jinc(x)
+# Site and instrument constants (public GMRT parameters).
+_GMRT_LATITUDE = 19.09
+_GMRT_LONGITUDE = 74.05
 
 
-class GmrtArray(telescope.TransitTelescope):
+class GmrtArray(beamlib.MemoisedBeam, telescope.TransitTelescope):
     """The GMRT 30-dish array with a Gaussian primary beam."""
 
-    fwhm = 3.1  # degrees
+    fwhm = 3.1  # beam FWHM in degrees at 150 MHz
 
     freq_lower = 139.33
     freq_upper = 156.00
     num_freq = 64
-
-    _pos_file = os.path.dirname(__file__) + "/gmrtpositions.dat"
-
-    _bc_freq = None
-    _bc_nside = None
-
-    _positions = None
 
     pointing = config.Property(proptype=float, default=0.0)
 
@@ -52,9 +44,11 @@ class GmrtArray(telescope.TransitTelescope):
     minlength = 0.0
     maxlength = 600.0
 
+    _positions = None
+
     def __init__(self, pointing=0.0):
-        super().__init__(latitude=19.09, longitude=74.05)
-        self._positions = np.loadtxt(self._pos_file)
+        super().__init__(latitude=_GMRT_LATITUDE, longitude=_GMRT_LONGITUDE)
+        self._positions = np.loadtxt(_POSITIONS_FILE)
         self.pointing = pointing
 
     @property
@@ -65,24 +59,23 @@ class GmrtArray(telescope.TransitTelescope):
     def v_width(self):
         return self.dish_width
 
+    @property
+    def pointing_direction(self):
+        """Spherical direction `pointing` degrees from zenith in declination."""
+        return np.array(
+            [np.pi / 2.0 - np.radians(self.pointing), self.zenith[1]]
+        )
+
     def beam(self, feed, freq):
-        """Gaussian beam pointed `pointing` degrees from zenith in dec."""
-        if self._bc_freq != freq or self._bc_nside != self._nside:
-            sigma = (
-                np.radians(self.fwhm)
-                / (8.0 * np.log(2.0)) ** 0.5
-                / (self.frequencies[freq] / 150.0)
+        def build():
+            sigma = beamlib.fwhm_to_sigma(self.fwhm) / (
+                self.frequencies[freq] / 150.0
             )
-            pointing = np.array(
-                [np.pi / 2.0 - np.radians(self.pointing), self.zenith[1]]
+            return beamlib.beam_gaussian(
+                self._angpos, self.pointing_direction, sigma
             )
-            cart = np.asarray(kernels.sph_to_cart(jnp.asarray(self._angpos)))
-            pc = np.asarray(kernels.sph_to_cart(jnp.asarray(pointing)))
-            x2 = (1.0 - (cart @ pc) ** 2) / (4 * sigma**2)
-            self._bc_map = np.exp(-x2)
-            self._bc_freq = freq
-            self._bc_nside = self._nside
-        return self._bc_map
+
+        return self._memo_beam(build, freq)
 
     beamx = beam
     beamy = beam
@@ -90,7 +83,7 @@ class GmrtArray(telescope.TransitTelescope):
     @property
     def _single_feedpositions(self):
         if self._positions is None:
-            self._positions = np.loadtxt(self._pos_file)
+            self._positions = np.loadtxt(_POSITIONS_FILE)
         return self._positions
 
 
