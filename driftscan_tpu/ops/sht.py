@@ -34,10 +34,17 @@ import numpy as np
 
 from .healpix import RingGeometry, nside_for_lmax, ring_geometry
 
-# Rescaling bounds for the Legendre recurrence
-_BIG = 1e200
-_SMALL = 1e-200
+# Rescaling bounds for the Legendre recurrence.  These must fit the
+# *f32 exponent range*: TPU runtimes emulate f64 as a float32 pair
+# (double-double), which widens the mantissa but keeps the f32 exponent —
+# 1e200 is inf and exp(-460) is 0 on such backends (verified on axon).
+# The recurrence grows mantissas by at most ~sqrt(4*lmax) per step, so a
+# 1e30 ceiling leaves ample headroom within the ~3.4e38 f32 limit.
+_BIG = 1e30
+_SMALL = 1e-30
 _LOG_BIG = float(np.log(_BIG))
+# exp() underflow guard within f32 exponent range
+_LOG_TINY = -87.0
 
 
 @functools.lru_cache(maxsize=64)
@@ -74,7 +81,9 @@ def _legendre_chunk(mvals, cos_t, sin_t, lmax: int, logpref):
 
     m_f = mvals.astype(f64)[:, None]  # (mc, 1)
     x = cos_t[None, :].astype(f64)  # (1, nring)
-    log_sin = jnp.log(jnp.maximum(sin_t, 1e-300))[None, :].astype(f64)
+    # (healpix rings never reach the poles, so sin_t > 0; the floor only
+    # guards hypothetical zero inputs and must be f32-range-representable)
+    log_sin = jnp.log(jnp.maximum(sin_t, 1e-30))[None, :].astype(f64)
 
     # log lambda_mm per (m, ring); sign (-1)^m
     safe_m = jnp.clip(mvals, 0, logpref.shape[0] - 1)
@@ -122,10 +131,16 @@ def _legendre_chunk(mvals, cos_t, sin_t, lmax: int, logpref):
         u0_out = u1 * factor
         s_out = s_new + dlog
 
-        # Emit the true value: u * exp(s), with a split exponential so
-        # intermediate scales down to ~1e-600 still evaluate correctly.
-        half = jnp.exp(0.5 * s_out)
-        lam_l = (u1_out * half) * half
+        # Emit the true value entirely in the log domain:
+        # lambda = sign(u) * exp(s + log|u|).  Polar-ring values whose true
+        # magnitude underflows the f32 exponent range emit exactly 0 (they
+        # are physically negligible); no intermediate ever leaves range.
+        loglam = s_out + jnp.log(jnp.maximum(jnp.abs(u1_out), _SMALL * _SMALL))
+        lam_l = jnp.where(
+            loglam > _LOG_TINY,
+            jnp.sign(u1_out) * jnp.exp(jnp.maximum(loglam, _LOG_TINY)),
+            0.0,
+        )
 
         return (u0_out, u1_out, s_out), lam_l
 
