@@ -27,75 +27,76 @@ logger = logging.getLogger(__name__)
 
 
 def uniform_band(k, kstart, kend):
-    return np.where(
-        np.logical_and(k > kstart, k < kend), np.ones_like(k), np.zeros_like(k)
-    )
+    return ((k > kstart) & (k < kend)).astype(np.float64)
 
 
 def bandfunc_2d_polar(ks, ke, ts, te):
+    """Indicator of the polar annulus ks <= k < ke, ts <= theta <= te."""
+
     def band(k, mu):
         theta = np.arccos(np.clip(mu, -1.0, 1.0))
-        tb = (theta >= ts) * (theta <= te)
-        kb = (k >= ks) * (k < ke)
-        return (kb * tb).astype(np.float64)
+        inside = (k >= ks) & (k < ke) & (theta >= ts) & (theta <= te)
+        return inside.astype(np.float64)
 
     return band
 
 
 def bandfunc_2d_cart(kpar_s, kpar_e, kperp_s, kperp_e):
+    """Indicator of the cartesian cell in (k_parallel, k_perp)."""
+
     def band(k, mu):
         kpar = k * mu
-        kperp = k * (1.0 - mu**2) ** 0.5
-        parb = (kpar >= kpar_s) * (kpar <= kpar_e)
-        perpb = (kperp >= kperp_s) * (kperp < kperp_e)
-        return (parb * perpb).astype(np.float64)
+        kperp = k * np.sqrt(1.0 - mu**2)
+        inside = (
+            (kpar >= kpar_s)
+            & (kpar <= kpar_e)
+            & (kperp >= kperp_s)
+            & (kperp < kperp_e)
+        )
+        return inside.astype(np.float64)
 
     return band
 
 
+_SPACINGS = {
+    "log": lambda a, b, n, ep: np.logspace(np.log10(a), np.log10(b), n, endpoint=ep),
+    "linear": lambda a, b, n, ep: np.linspace(a, b, n, endpoint=ep),
+}
+
+
 def range_config(lst):
-    """Expand a list of {spacing, start, stop, num} dicts into bin edges."""
-    lst2 = []
-    endpoint = False
-    count = 1
-    for item in lst:
-        if isinstance(item, dict):
-            if count == len(lst):
-                endpoint = True
-            count += 1
+    """Expand a list of {spacing, start, stop, num} dicts into bin edges.
 
-            if item["spacing"] == "log":
-                item = np.logspace(
-                    np.log10(item["start"]),
-                    np.log10(item["stop"]),
-                    item["num"],
-                    endpoint=endpoint,
-                )
-            elif item["spacing"] == "linear":
-                item = np.linspace(
-                    item["start"], item["stop"], item["num"], endpoint=endpoint
-                )
-            lst2.append(np.atleast_1d(item))
-        else:
+    Only the final segment includes its endpoint, so consecutive segments
+    chain into one monotone edge array.
+    """
+    segments = []
+    for i, item in enumerate(lst):
+        if not isinstance(item, dict):
             raise Exception("Require a dict.")
-
-    return np.concatenate(lst2)
+        is_last = i == len(lst) - 1
+        make = _SPACINGS.get(item["spacing"])
+        if make is not None:
+            edges = make(item["start"], item["stop"], item["num"], is_last)
+        else:
+            edges = item
+        segments.append(np.atleast_1d(edges))
+    return np.concatenate(segments)
 
 
 def decorrelate_ps(ps, fisher):
-    """Decorrelate a power spectrum estimate with the Fisher Cholesky.
+    """Decorrelate a power spectrum estimate (Tegmark window trick).
 
-    Returns (decorrelated ps, errors, window functions)."""
-    fh = np.linalg.cholesky(fisher)
-    fhi = np.linalg.inv(fh)
+    The mixing matrix M = L^-1 / rowsum(L^T) (L the Fisher Cholesky)
+    makes the window functions W = M F have unit row sums and diagonal
+    band covariance.  Returns (decorrelated ps, errors, windows).
+    """
+    L = np.linalg.cholesky(fisher)
+    mixing = np.linalg.inv(L) / L.T.sum(axis=1)[:, np.newaxis]
 
-    m = fhi / np.sum(fh.T, axis=1)[:, np.newaxis]
-    w = np.dot(m, fisher)
-
-    evm = np.dot(m, np.dot(fisher, m.T)).diagonal() ** 0.5
-    psd = np.dot(w, ps)
-
-    return psd, evm, w
+    windows = mixing @ fisher
+    errors = np.sqrt((mixing @ fisher @ mixing.T).diagonal())
+    return windows @ ps, errors, windows
 
 
 def decorrelate_ps_file(fname):
@@ -166,63 +167,76 @@ class PSEstimation(config.Reader, metaclass=abc.ABCMeta):
 
     # ============ band construction ============
 
+    @staticmethod
+    def _cell_edges(radial_edges, angular_edges):
+        """2D cell bounds from two edge arrays.
+
+        Cells are ordered radial-major within each angular row (matching
+        the file layout consumers expect).  Returns (r_lo, r_hi, a_lo,
+        a_hi) flattened over the (n_ang, n_rad) grid.
+        """
+        r_lo, r_hi = radial_edges[:-1], radial_edges[1:]
+        a_lo, a_hi = angular_edges[:-1], angular_edges[1:]
+        na, nr = a_lo.size, r_lo.size
+        return (
+            np.tile(r_lo, na),
+            np.tile(r_hi, na),
+            np.repeat(a_lo, nr),
+            np.repeat(a_hi, nr),
+        )
+
+    def _make_polar_bands(self):
+        self.theta_bands = np.linspace(
+            0.0, np.pi / 2.0, self.num_theta + 1, endpoint=True
+        )
+        self.k_start, self.k_end, self.theta_start, self.theta_end = (
+            self._cell_edges(self.k_bands, self.theta_bands)
+        )
+        self.k_center = 0.5 * (self.k_start + self.k_end)
+        self.theta_center = 0.5 * (self.theta_start + self.theta_end)
+
+        self.band_func = [
+            bandfunc_2d_polar(*b)
+            for b in zip(self.k_start, self.k_end, self.theta_start, self.theta_end)
+        ]
+
+    def _make_cartesian_bands(self):
+        self.kpar_start, self.kpar_end, self.kperp_start, self.kperp_end = (
+            self._cell_edges(self.kpar_bands, self.kperp_bands)
+        )
+        self.kpar_center = 0.5 * (self.kpar_start + self.kpar_end)
+        self.kperp_center = 0.5 * (self.kperp_start + self.kperp_end)
+        self.k_center = np.hypot(self.kpar_center, self.kperp_center)
+
+        self.band_func = [
+            bandfunc_2d_cart(*b)
+            for b in zip(
+                self.kpar_start, self.kpar_end, self.kperp_start, self.kperp_end
+            )
+        ]
+
     def genbands(self):
         """Precompute the P(k, mu) bands and their angular power spectra."""
         logger.info("Generating bands...")
 
+        builders = {
+            "polar": self._make_polar_bands,
+            "cartesian": self._make_cartesian_bands,
+        }
+        if self.bandtype not in builders:
+            raise Exception(f"Bandtype {self.bandtype} is not supported.")
+        builders[self.bandtype]()
+
         cr = skymodel.Corr21cm()
         cr.ps_2d = False
 
-        if self.bandtype == "polar":
-            self.theta_bands = np.linspace(
-                0.0, np.pi / 2.0, self.num_theta + 1, endpoint=True
-            )
-            kb, tb = np.broadcast_arrays(
-                self.k_bands[np.newaxis, :], self.theta_bands[:, np.newaxis]
-            )
-
-            self.k_start = kb[1:, :-1].flatten()
-            self.k_end = kb[1:, 1:].flatten()
-            self.k_center = 0.5 * (self.k_end + self.k_start)
-
-            self.theta_start = tb[:-1, 1:].flatten()
-            self.theta_end = tb[1:, 1:].flatten()
-            self.theta_center = 0.5 * (self.theta_end + self.theta_start)
-
-            bounds = list(
-                zip(self.k_start, self.k_end, self.theta_start, self.theta_end)
-            )
-            self.band_func = [bandfunc_2d_polar(*bound) for bound in bounds]
-
-        elif self.bandtype == "cartesian":
-            kparb, kperpb = np.broadcast_arrays(
-                self.kpar_bands[np.newaxis, :], self.kperp_bands[:, np.newaxis]
-            )
-
-            self.kpar_start = kparb[1:, :-1].flatten()
-            self.kpar_end = kparb[1:, 1:].flatten()
-            self.kpar_center = 0.5 * (self.kpar_end + self.kpar_start)
-
-            self.kperp_start = kperpb[:-1, 1:].flatten()
-            self.kperp_end = kperpb[1:, 1:].flatten()
-            self.kperp_center = 0.5 * (self.kperp_end + self.kperp_start)
-
-            bounds = list(
-                zip(self.kpar_start, self.kpar_end, self.kperp_start, self.kperp_end)
-            )
-            self.k_center = (self.kpar_center**2 + self.kperp_center**2) ** 0.5
-            self.band_func = [bandfunc_2d_cart(*bound) for bound in bounds]
-
-        else:
-            raise Exception(f"Bandtype {self.bandtype} is not supported.")
-
         if self.unit_bands:
-            # Bands are sections of the fiducial spectrum (fiducial
-            # amplitude of each band is 1).
-            self.band_pk = [
-                (lambda bandt: (lambda k, mu: cr.ps_vv(k) * bandt(k, mu)))(band)
-                for band in self.band_func
-            ]
+            # Bands are sections of the fiducial spectrum (each band's
+            # fiducial amplitude is 1).
+            def section(indicator):
+                return lambda k, mu: cr.ps_vv(k) * indicator(k, mu)
+
+            self.band_pk = [section(f) for f in self.band_func]
             self.band_power = np.ones_like(self.k_center)
         else:
             self.band_pk = self.band_func
@@ -372,41 +386,45 @@ class PSEstimation(config.Reader, metaclass=abc.ABCMeta):
 
     # ============ the q estimator ============
 
+    def _whiten_to_sky(self, mi, vec, evals, evecs):
+        """Inverse-covariance weight a KL vector and rotate it to the sky.
+
+        Returns (kl_weighted, sky) where kl_weighted = vec / (evals + 1)
+        and sky is its image under (KL -> SVD -> sky), conjugate transform.
+        """
+        weighted = (vec.T / (evals + 1.0)).T
+        svd = evecs.T.conj() @ weighted
+        sky = self.kltrans.beamtransfer.project_vector_svd_to_sky(
+            mi, svd, conj=True
+        )
+        return weighted, sky
+
     def q_estimator(self, mi, vec1, vec2=None, noise=False):
         """Estimate per-band q parameters from KL-basis data vectors.
 
-        Parity with /root/reference/drift/core/psestimation.py:582-652.
+        q_a = y^H C^-1 C_a C^-1 x evaluated in the sky basis (TT only),
+        optionally with a trailing noise-band entry.  Semantics per the
+        reference (/root/reference/drift/core/psestimation.py:582-652).
         """
         evals, evecs = self.kltrans.modes_m(mi)
 
+        nq = self.nbands + 1 if noise else self.nbands
         if evals is None:
-            return np.zeros((self.nbands + 1 if noise else self.nbands,) + vec1.shape[1:])
+            return np.zeros((nq,) + vec1.shape[1:])
 
-        # Weight by total covariance C^-1 = 1/(evals + 1)
-        x0 = (vec1.T / (evals + 1.0)).T
-        # Project back into the SVD basis
-        x1 = np.dot(evecs.T.conj(), x0)
-        # And into the sky
-        x2 = self.kltrans.beamtransfer.project_vector_svd_to_sky(mi, x1, conj=True)
-
-        if vec2 is not None:
-            y0 = (vec2.T / (evals + 1.0)).T
-            y1 = np.dot(evecs.T.conj(), y0)
-            y2 = self.kltrans.beamtransfer.project_vector_svd_to_sky(mi, y1, conj=True)
+        x0, x_sky = self._whiten_to_sky(mi, vec1, evals, evecs)
+        if vec2 is None:
+            y0, y_sky = x0, x_sky
         else:
-            y0 = x0
-            y2 = x2
+            y0, y_sky = self._whiten_to_sky(mi, vec2, evals, evecs)
 
-        qa = np.zeros((self.nbands + 1 if noise else self.nbands,) + vec1.shape[1:])
+        # q_a = sum_{l,f,g} y*[f,l] C^a_l[f,g] x[g,l] on the temperature row
+        xv = x_sky[:, 0, :]  # (nfreq, lside, ...)
+        yv = y_sky[:, 0, :]
 
-        lside = self.telescope.lmax + 1
-
-        # q_a = sum_{l,f,g} y*[f,l] C^a_l[f,g] x[g,l]  (TT only)
-        xv = x2[:, 0, :]  # (nfreq, lside, ...)
-        yv = y2[:, 0, :]
-        for bi in range(self.nbands):
-            cl = self.clarray[bi].astype(np.complex128)  # (lside, nfreq, nfreq)
-            cx = np.einsum("lfg,gl...->fl...", cl, xv)
+        qa = np.zeros((nq,) + vec1.shape[1:])
+        for bi, cl in enumerate(self.clarray):
+            cx = np.einsum("lfg,gl...->fl...", cl.astype(np.complex128), xv)
             qa[bi] = np.sum((yv.conj() * cx).real, axis=(0, 1))
 
         if noise:
@@ -439,54 +457,68 @@ class PSExact(PSEstimation):
         )
         return self.kltrans.project_matrix_svd_to_kl(mi, svdmat, self.threshold)
 
+    # Above this KL dimension the band projections spill to disk instead
+    # of being held in memory together.
+    _disk_cache_ndof = 500
+
+    def _use_disk(self, mi):
+        return self.num_evals(mi) >= self._disk_cache_ndof
+
     def cacheproj(self, mi):
         """Cache the band projections (memory for small, disk for large)."""
         self._bp_cache = []
-        use_disk = self.num_evals(mi) >= 500
-        for i in range(len(self.clarray)):
-            logger.info("Generating cache for m=%i band=%i", mi, i)
-            projm = self.makeproj(mi, i)
-            if use_disk:
-                logger.info("Creating cache file: %s", self._cfile % (mi, i))
-                with h5py.File(self._cfile % (mi, i), "w") as f:
+        for bi in range(self.nbands):
+            logger.info("Generating cache for m=%i band=%i", mi, bi)
+            projm = self.makeproj(mi, bi)
+            if self._use_disk(mi):
+                logger.info("Creating cache file: %s", self._cfile % (mi, bi))
+                with h5py.File(self._cfile % (mi, bi), "w") as f:
                     f.create_dataset("proj", data=projm)
             else:
                 self._bp_cache.append(projm)
 
     def delproj(self, mi):
         self._bp_cache = []
-        for i in range(len(self.clarray)):
-            fn = self._cfile % (mi, i)
+        for bi in range(self.nbands):
+            fn = self._cfile % (mi, bi)
             if os.path.exists(fn):
                 os.remove(fn)
 
     def getproj(self, mi, bi):
-        if self.num_evals(mi) < 500:
+        if not self._use_disk(mi):
             return self._bp_cache[bi]
         with h5py.File(self._cfile % (mi, bi), "r") as f:
             return f["proj"][:]
 
     def _work_fisher_bias_m(self, mi):
-        """Exact per-m Fisher: F_ab = Tr[C^-1 C_a C^-1 C_b] / 2-ish
-        via the weighted elementwise sums of the reference."""
-        evals = self.kltrans.evals_m(mi, self.threshold)
+        """Exact per-m Fisher: F_ab = sum_ij C_a[i,j] C_b[j,i] w_i w_j with
+        inverse-covariance weights w = 1/(1 + lambda).
 
-        fisher = np.zeros((self.nbands, self.nbands), dtype=np.complex128)
+        The in-memory case contracts all band pairs in one einsum; the
+        disk-cached case streams pairs.  (The bias term vanishes for the
+        zero-mean exact estimator.)
+        """
+        evals = self.kltrans.evals_m(mi, self.threshold)
         bias = np.zeros(self.nbands, dtype=np.complex128)
 
         self.cacheproj(mi)
+        w = 1.0 / (evals + 1.0)
 
-        ci = 1.0 / (evals + 1.0) ** 0.5
-        ci = np.outer(ci, ci)
-
-        for ia in range(self.nbands):
-            c_a = self.getproj(mi, ia)
-            fisher[ia, ia] = np.sum(c_a * c_a.T * ci**2)
-            for ib in range(ia):
-                c_b = self.getproj(mi, ib)
-                fisher[ia, ib] = np.sum(c_a * c_b.T * ci**2)
-                fisher[ib, ia] = np.conj(fisher[ia, ib])
+        if not self._use_disk(mi):
+            stack = np.asarray(self._bp_cache)
+            fisher = np.einsum(
+                "aij,bji,i,j->ab", stack, stack, w, w, optimize=True
+            ).astype(np.complex128)
+        else:
+            wij = np.outer(w, w)
+            fisher = np.zeros((self.nbands, self.nbands), dtype=np.complex128)
+            for ia in range(self.nbands):
+                c_a = self.getproj(mi, ia)
+                fisher[ia, ia] = np.sum(c_a * c_a.T * wij)
+                for ib in range(ia):
+                    c_b = self.getproj(mi, ib)
+                    fisher[ia, ib] = np.sum(c_a * c_b.T * wij)
+                    fisher[ib, ia] = np.conj(fisher[ia, ib])
 
         self.delproj(mi)
-
         return fisher, bias

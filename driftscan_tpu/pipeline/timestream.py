@@ -1,14 +1,17 @@
 """Timestream simulation and m-mode analysis.
 
-Functional parity with /root/reference/drift/pipeline/timestream.py: the
-same directory layout (``timestream_f/<f>/timestream.hdf5``,
-``mmodes/<m>/mode.hdf5`` + svd/kl files, COMPLETED_M marker) and method
-surface.  FFTs ride jnp (XLA's FFT); the per-m projections are the
-BeamTransfer/KL einsum paths.
+Behavioural parity with the reference timestream pipeline
+(/root/reference/drift/pipeline/timestream.py): the same directory layout
+(``timestream_f/<f>/timestream.hdf5``, ``mmodes/<m>/mode.hdf5`` + svd/kl
+files, COMPLETED_M marker) and method surface.  Structured here around a
+single projection-driven map maker and a shared power-spectrum writer;
+FFTs ride the backend (XLA on complex-capable devices), and the per-m
+projections are the BeamTransfer/KL einsum paths.
 """
 
 from __future__ import annotations
 
+import logging
 import os
 import pickle
 
@@ -19,6 +22,29 @@ from ..core import kltransform
 from ..ops import sht
 from ..parallel import comm
 from ..util import util
+
+logger = logging.getLogger(__name__)
+
+
+def _freq_pattern(base, nfreq):
+    return os.path.join(base, "timestream_f", util.natpattern(nfreq))
+
+
+def _write_map(path, skymap):
+    with h5py.File(path, "w") as f:
+        f.create_dataset("/map", data=skymap)
+
+
+def _spectrum_datasets(f, fisher, band_power, powerspectrum):
+    """Common contents of every power-spectrum output file."""
+    cv = np.linalg.inv(fisher)
+    err = np.sqrt(cv.diagonal())
+    f.create_dataset("fisher", data=fisher)
+    f.create_dataset("covariance", data=cv)
+    f.create_dataset("error", data=err)
+    f.create_dataset("correlation", data=cv / np.outer(err, err))
+    f.create_dataset("bandpower", data=band_power)
+    f.create_dataset("powerspectrum", data=powerspectrum)
 
 
 class Timestream:
@@ -46,14 +72,17 @@ class Timestream:
     def telescope(self):
         return self.beamtransfer.telescope
 
+    def _mlist(self):
+        """The m indices analysis loops run over (optionally skip m=0)."""
+        return list(range(1 if self.no_m_zero else 0, self.telescope.mmax + 1))
+
     # ===== frequency-ordered timestream files =====
 
     def _fdir(self, fi):
-        pat = self.directory + "/timestream_f/" + util.natpattern(self.telescope.nfreq)
-        return pat % fi
+        return _freq_pattern(self.directory, self.telescope.nfreq) % fi
 
     def _ffile(self, fi):
-        return self._fdir(fi) + "/timestream.hdf5"
+        return os.path.join(self._fdir(fi), "timestream.hdf5")
 
     @property
     def ntime(self):
@@ -68,11 +97,13 @@ class Timestream:
     # ===== m-mode files =====
 
     def _mdir(self, mi):
-        pat = self.output_directory + "/mmodes/" + util.natpattern(self.telescope.mmax)
+        pat = os.path.join(
+            self.output_directory, "mmodes", util.natpattern(self.telescope.mmax)
+        )
         return pat % abs(mi)
 
     def _mfile(self, mi):
-        return self._mdir(mi) + "/mode.hdf5"
+        return os.path.join(self._mdir(mi), "mode.hdf5")
 
     def mmode(self, mi):
         """(nfreq, 2, npairs) m-mode of the timestream."""
@@ -80,57 +111,55 @@ class Timestream:
             return f["mmode"][:]
 
     def generate_mmodes(self):
-        """FFT the timestream into m-modes and store them m-ordered."""
-        if os.path.exists(self.output_directory + "/mmodes/COMPLETED_M"):
+        """FFT the timestream into m-modes and store them m-ordered.
+
+        Frequencies are processed locally, then the (freq -> m) reshard
+        moves every m to its owner for writing (the reference's
+        distributed-transpose step, timestream.py:164).
+        """
+        marker = os.path.join(self.output_directory, "mmodes", "COMPLETED_M")
+        if os.path.exists(marker):
             if comm.rank0():
-                print("******* m-files already generated ********")
+                logger.info("m-files already generated, skipping")
             return
 
         tel = self.telescope
         mmax = tel.mmax
-        nfreq = tel.nfreq
 
-        lfreq, sfreq, efreq = comm.split_local(nfreq)
+        lfreq, sfreq, efreq = comm.split_local(tel.nfreq)
         lm, sm, em = comm.split_local(mmax + 1)
 
-        tstream = np.zeros((lfreq, tel.npairs, self.ntime), dtype=np.complex128)
-        for lfi, fi in enumerate(range(sfreq, efreq)):
-            tstream[lfi] = self.timestream_f(fi)
+        local = np.stack(
+            [self.timestream_f(fi) for fi in range(sfreq, efreq)]
+        ) if lfreq else np.zeros((0, tel.npairs, self.ntime), dtype=np.complex128)
 
-        # FFT over time to get the m-modes (device FFT when available).
         from .. import backend
 
-        row_mmodes = backend.fft(tstream, axis=-1) / self.ntime
+        fourier = backend.fft(local, axis=-1) / self.ntime
 
-        ## Combine positive and negative m parts.
-        row_mpairs = np.zeros((lfreq, 2, tel.npairs, mmax + 1), dtype=np.complex128)
-        row_mpairs[:, 0, ..., 0] = row_mmodes[..., 0]
-        for mi in range(1, mmax + 1):
-            row_mpairs[:, 0, ..., mi] = row_mmodes[..., mi]
-            row_mpairs[:, 1, ..., mi] = row_mmodes[..., -mi].conj()
+        # pack (+m, -m) pairs: mode m holds (F[m], conj(F[-m]))
+        paired = np.zeros((lfreq, 2, tel.npairs, mmax + 1), dtype=np.complex128)
+        paired[:, 0] = fourier[..., : mmax + 1]
+        paired[:, 1, :, 1:] = np.conj(fourier[..., : -mmax - 1 : -1])
 
-        # Redistribute to m-major
-        col_mmodes = comm.transpose_blocks(
-            row_mpairs, (nfreq, 2, tel.npairs, mmax + 1)
-        )
-        col_mmodes = np.transpose(col_mmodes, (3, 0, 1, 2))
+        m_major = comm.transpose_blocks(
+            paired, (tel.nfreq, 2, tel.npairs, mmax + 1)
+        ).transpose(3, 0, 1, 2)
 
         for lmi, mi in enumerate(range(sm, em)):
-            if not os.path.exists(self._mdir(mi)):
-                os.makedirs(self._mdir(mi))
+            os.makedirs(self._mdir(mi), exist_ok=True)
             with h5py.File(self._mfile(mi), "w") as f:
-                f.create_dataset("/mmode", data=col_mmodes[lmi])
+                f.create_dataset("/mmode", data=m_major[lmi])
                 f.attrs["m"] = mi
 
         if comm.rank0():
-            open(self.output_directory + "/mmodes/COMPLETED_M", "a").close()
-
+            open(marker, "a").close()
         comm.barrier()
 
     # ===== SVD modes =====
 
     def _svdfile(self, mi):
-        return self._mdir(mi) + "/svd.hdf5"
+        return os.path.join(self._mdir(mi), "svd.hdf5")
 
     def mmode_svd(self, mi):
         with h5py.File(self._svdfile(mi), "r") as f:
@@ -140,15 +169,15 @@ class Timestream:
 
     def generate_mmodes_svd(self):
         """Project the m-modes into the telescope SVD basis."""
-        for mi in comm.mpirange(self.telescope.mmax + 1):
+        bt = self.beamtransfer
+        tel = self.telescope
+        for mi in comm.mpirange(tel.mmax + 1):
             if os.path.exists(self._svdfile(mi)):
-                print("File %s exists. Skipping..." % self._svdfile(mi))
+                logger.info("File %s exists. Skipping...", self._svdfile(mi))
                 continue
 
-            tm = self.mmode(mi).reshape(
-                self.telescope.nfreq, 2 * self.telescope.npairs
-            )
-            svdm = self.beamtransfer.project_vector_telescope_to_svd(mi, tm)
+            tm = self.mmode(mi).reshape(tel.nfreq, 2 * tel.npairs)
+            svdm = bt.project_vector_telescope_to_svd(mi, tm)
 
             with h5py.File(self._svdfile(mi), "w") as f:
                 f.create_dataset("mmode_svd", data=svdm)
@@ -156,66 +185,86 @@ class Timestream:
 
         comm.barrier()
 
-    # ===== maps from the uncleaned stream =====
+    # ===== map making (one driver, three projections) =====
 
-    def _collect_alm(self, alm_list, mlist=None):
+    def _mapmake(self, nside, mapname, alm_for_m, mlist=None):
+        """Shared map maker: gather per-m alm columns, inverse-SHT, write."""
         tel = self.telescope
-        alm = np.zeros(
-            (tel.nfreq, tel.num_pol_sky, tel.lmax + 1, tel.lmax + 1),
-            dtype=np.complex128,
-        )
         if mlist is None:
-            mlist = range(tel.mmax + 1)
-        for mi in mlist:
-            alm[..., mi] = alm_list[mi]
-        return alm
+            mlist = list(range(tel.mmax + 1))
+
+        alm_list = comm.parallel_map(alm_for_m, list(range(tel.mmax + 1)))
+
+        if comm.rank0():
+            alm = np.zeros(
+                (tel.nfreq, tel.num_pol_sky, tel.lmax + 1, tel.lmax + 1),
+                dtype=np.complex128,
+            )
+            for mi in mlist:
+                alm[..., mi] = alm_list[mi]
+            skymap = sht.sphtrans_inv_sky(alm, nside)
+            _write_map(os.path.join(self.output_directory, mapname), skymap)
+        comm.barrier()
 
     def mapmake_full(self, nside, mapname):
         """Direct pseudo-inverse map from the raw m-modes."""
 
-        def _make_alm(mi):
-            print("Making %i" % mi)
-            mmode = self.mmode(mi)
-            return self.beamtransfer.project_vector_telescope_to_sky(mi, mmode)
+        def alm_of(mi):
+            logger.info("Making %i", mi)
+            return self.beamtransfer.project_vector_telescope_to_sky(
+                mi, self.mmode(mi)
+            )
 
-        alm_list = comm.parallel_map(_make_alm, list(range(self.telescope.mmax + 1)))
-
-        if comm.rank0():
-            alm = self._collect_alm(alm_list)
-            skymap = sht.sphtrans_inv_sky(alm, nside)
-            with h5py.File(self.output_directory + "/" + mapname, "w") as f:
-                f.create_dataset("/map", data=skymap)
-        comm.barrier()
+        self._mapmake(nside, mapname, alm_of)
 
     def mapmake_svd(self, nside, mapname):
         """Map from the SVD-projected modes."""
         self.generate_mmodes_svd()
 
-        def _make_alm(mi):
-            svdmode = self.mmode_svd(mi)
+        def alm_of(mi):
+            return self.beamtransfer.project_vector_svd_to_sky(
+                mi, self.mmode_svd(mi)
+            )
+
+        self._mapmake(nside, mapname, alm_of)
+
+    def mapmake_kl(self, nside, mapname, wiener=False):
+        """Map from the KL-filtered modes (optionally Wiener weighted)."""
+        mapfile = os.path.join(self.output_directory, mapname)
+        if os.path.exists(mapfile):
+            if comm.rank0():
+                logger.info("File %s exists. Skipping...", mapfile)
+            return
+
+        kl = self.manager.kltransforms[self.klname]
+        if not kl.inverse:
+            raise Exception("Need the inverse to make a meaningful map.")
+
+        def alm_of(mi):
+            logger.info("Making %i", mi)
+            klmode = self.mmode_kl(mi)
+            if wiener:
+                evals = kl.evals_m(mi, self.klthreshold)
+                if evals is not None:
+                    klmode *= evals / (1.0 + evals)
+            svdmode = kl.project_vector_kl_to_svd(
+                mi, klmode, threshold=self.klthreshold
+            )
             return self.beamtransfer.project_vector_svd_to_sky(mi, svdmode)
 
-        alm_list = comm.parallel_map(_make_alm, list(range(self.telescope.mmax + 1)))
-
-        if comm.rank0():
-            alm = self._collect_alm(alm_list)
-            skymap = sht.sphtrans_inv_sky(alm, nside)
-            with h5py.File(self.output_directory + "/" + mapname, "w") as f:
-                f.create_dataset("/map", data=skymap)
-        comm.barrier()
+        self._mapmake(nside, mapname, alm_of, mlist=self._mlist())
 
     # ===== KL modes =====
 
     def set_kltransform(self, klname, threshold=None):
         self.klname = klname
         if threshold is None:
-            kl = self.manager.kltransforms[self.klname]
-            threshold = kl.threshold
+            threshold = self.manager.kltransforms[klname].threshold
         self.klthreshold = threshold
 
     def _klfile(self, mi):
-        return self._mdir(mi) + (
-            "/klmode_%s_%f.hdf5" % (self.klname, self.klthreshold)
+        return os.path.join(
+            self._mdir(mi), f"klmode_{self.klname}_{self.klthreshold:f}.hdf5"
         )
 
     def mmode_kl(self, mi):
@@ -230,12 +279,12 @@ class Timestream:
 
         for mi in comm.mpirange(self.telescope.mmax + 1):
             if os.path.exists(self._klfile(mi)):
-                print("File %s exists. Skipping..." % self._klfile(mi))
+                logger.info("File %s exists. Skipping...", self._klfile(mi))
                 continue
 
-            svdm = self.mmode_svd(mi)
-            klm = kl.project_vector_svd_to_kl(mi, svdm, threshold=self.klthreshold)
-
+            klm = kl.project_vector_svd_to_kl(
+                mi, self.mmode_svd(mi), threshold=self.klthreshold
+            )
             with h5py.File(self._klfile(mi), "w") as f:
                 f.create_dataset("mmode_kl", data=klm)
                 f.attrs["m"] = mi
@@ -243,26 +292,33 @@ class Timestream:
         comm.barrier()
 
     def collect_mmodes_kl(self):
-        def evfunc(mi):
-            evf = np.zeros(self.beamtransfer.ndofmax, dtype=np.complex128)
-            ev = self.mmode_kl(mi)
-            if ev.size > 0:
-                evf[-ev.size :] = ev
-            return evf
+        """Collect every m's KL data vector into one file."""
+        ndofmax = self.beamtransfer.ndofmax
+
+        def padded_kl(mi):
+            out = np.zeros(ndofmax, dtype=np.complex128)
+            v = self.mmode_kl(mi)
+            if v.size:
+                out[-v.size :] = v
+            return out
 
         if comm.rank0():
-            print("Creating eigenvalues file (process 0 only).")
+            logger.info("Creating eigenvalues file (process 0 only).")
 
-        mlist = list(range(self.telescope.mmax + 1))
-        shape = (self.beamtransfer.ndofmax,)
-        evarray = kltransform.collect_m_array(mlist, evfunc, shape, np.complex128)
+        evarray = kltransform.collect_m_array(
+            list(range(self.telescope.mmax + 1)),
+            padded_kl,
+            (ndofmax,),
+            np.complex128,
+        )
 
         if comm.rank0():
-            fname = self.output_directory + (
-                "/klmodes_%s_%f.hdf5" % (self.klname, self.klthreshold)
+            fname = os.path.join(
+                self.output_directory,
+                f"klmodes_{self.klname}_{self.klthreshold:f}.hdf5",
             )
             if os.path.exists(fname):
-                print("File: %s exists. Skipping..." % fname)
+                logger.info("File: %s exists. Skipping...", fname)
                 return
             with h5py.File(fname, "w") as f:
                 f.create_dataset("evals", data=evarray)
@@ -277,61 +333,22 @@ class Timestream:
             if evals is None:
                 klmode = np.array([], dtype=np.complex128)
             else:
-                modeamp = ((evals + 1.0) / 2.0) ** 0.5
-                klmode = modeamp * (
-                    np.array([1.0, 1.0j])
-                    * np.random.standard_normal((modeamp.shape[0], 2))
-                ).sum(axis=1)
+                amp = np.sqrt((evals + 1.0) / 2.0)
+                draw = np.random.standard_normal((amp.size, 2))
+                klmode = amp * (draw[:, 0] + 1.0j * draw[:, 1])
 
-            if not os.path.exists(self._mdir(mi)):
-                os.makedirs(self._mdir(mi))
+            os.makedirs(self._mdir(mi), exist_ok=True)
             with h5py.File(self._klfile(mi), "w") as f:
                 f.create_dataset("mmode_kl", data=klmode)
                 f.attrs["m"] = mi
 
         comm.barrier()
 
-    def mapmake_kl(self, nside, mapname, wiener=False):
-        """Map from the KL-filtered modes (optionally Wiener weighted)."""
-        mapfile = self.output_directory + "/" + mapname
-        if os.path.exists(mapfile):
-            if comm.rank0():
-                print("File %s exists. Skipping..." % mapfile)
-            return
-
-        kl = self.manager.kltransforms[self.klname]
-        if not kl.inverse:
-            raise Exception("Need the inverse to make a meaningful map.")
-
-        def _make_alm(mi):
-            print("Making %i" % mi)
-            klmode = self.mmode_kl(mi)
-
-            if wiener:
-                evals = kl.evals_m(mi, self.klthreshold)
-                if evals is not None:
-                    klmode *= evals / (1.0 + evals)
-
-            isvdmode = kl.project_vector_kl_to_svd(
-                mi, klmode, threshold=self.klthreshold
-            )
-            return self.beamtransfer.project_vector_svd_to_sky(mi, isvdmode)
-
-        alm_list = comm.parallel_map(_make_alm, list(range(self.telescope.mmax + 1)))
-
-        if comm.rank0():
-            mlist = list(range(1 if self.no_m_zero else 0, self.telescope.mmax + 1))
-            alm = self._collect_alm(alm_list, mlist)
-            skymap = sht.sphtrans_inv_sky(alm, nside)
-            with h5py.File(mapfile, "w") as f:
-                f.create_dataset("/map", data=skymap)
-        comm.barrier()
-
     # ===== power spectrum from data =====
 
     @property
     def _psfile(self):
-        return self.output_directory + ("/ps_%s.hdf5" % self.psname)
+        return os.path.join(self.output_directory, f"ps_{self.psname}.hdf5")
 
     def set_psestimator(self, psname):
         self.psname = psname
@@ -339,35 +356,23 @@ class Timestream:
     def powerspectrum(self):
         """Quadratic PS estimate from the KL data."""
         if os.path.exists(self._psfile):
-            print("File %s exists. Skipping..." % self._psfile)
+            logger.info("File %s exists. Skipping...", self._psfile)
             return
 
         ps = self.manager.psestimators[self.psname]
         ps.genbands()
 
-        def _q_estimate(mi):
-            return ps.q_estimator(mi, self.mmode_kl(mi))
-
-        mlist = list(range(1 if self.no_m_zero else 0, self.telescope.mmax + 1))
-        qvals = comm.parallel_map(_q_estimate, mlist)
-
+        qvals = comm.parallel_map(
+            lambda mi: ps.q_estimator(mi, self.mmode_kl(mi)), self._mlist()
+        )
         qtotal = np.array(qvals).sum(axis=0)
 
         fisher, bias = ps.fisher_bias()
-        powerspectrum = np.dot(np.linalg.inv(fisher), qtotal - bias)
+        powerspectrum = np.linalg.inv(fisher) @ (qtotal - bias)
 
         if comm.rank0():
             with h5py.File(self._psfile, "w") as f:
-                cv = np.linalg.inv(fisher)
-                err = cv.diagonal() ** 0.5
-                cr = cv / np.outer(err, err)
-
-                f.create_dataset("fisher", data=fisher)
-                f.create_dataset("covariance", data=cv)
-                f.create_dataset("error", data=err)
-                f.create_dataset("correlation", data=cr)
-                f.create_dataset("bandpower", data=ps.band_power)
-                f.create_dataset("powerspectrum", data=powerspectrum)
+                _spectrum_datasets(f, fisher, ps.band_power, powerspectrum)
 
         ps.delbands()
         comm.barrier()
@@ -376,21 +381,17 @@ class Timestream:
     # ===== pickling =====
 
     def __getstate__(self):
-        state = self.__dict__.copy()
-        for key in list(state):
-            if key.startswith("_"):
-                del state[key]
-        return state
+        return {k: v for k, v in self.__dict__.items() if not k.startswith("_")}
 
     @property
     def _picklefile(self):
-        return self.output_directory + "/timestreamobject.pickle"
+        return os.path.join(self.output_directory, "timestreamobject.pickle")
 
     def save(self):
         """Pickle the Timestream object into its directory."""
         if comm.rank0():
             with open(self._picklefile, "wb") as f:
-                print("=== Saving Timestream object. ===")
+                logger.info("=== Saving Timestream object. ===")
                 pickle.dump(self, f)
 
     @classmethod
@@ -398,14 +399,14 @@ class Timestream:
         """Load a pickled Timestream."""
         tmp_obj = cls(tsdir, tsdir)
         with open(tmp_obj._picklefile, "rb") as f:
-            print("=== Loading Timestream object. ===")
+            logger.info("=== Loading Timestream object. ===")
             return pickle.load(f)
 
 
 def cross_powerspectrum(timestreams, psname, psfile):
     """Cross power spectrum of several timestreams."""
     if os.path.exists(psfile):
-        print("File %s exists. Skipping..." % psfile)
+        logger.info("File %s exists. Skipping...", psfile)
         return
 
     products = timestreams[0].manager
@@ -414,53 +415,115 @@ def cross_powerspectrum(timestreams, psname, psfile):
 
     nstream = len(timestreams)
 
-    def _q_estimate(mi):
+    def q_pairs(mi):
         qp = np.zeros((nstream, nstream, ps.nbands), dtype=np.float64)
         for ti in range(nstream):
             for tj in range(ti + 1, nstream):
-                print("Making m=%i (%i, %i)" % (mi, ti, tj))
-                si = timestreams[ti]
-                sj = timestreams[tj]
-                qp[ti, tj] = ps.q_estimator(mi, si.mmode_kl(mi), sj.mmode_kl(mi))
+                logger.info("Making m=%i (%i, %i)", mi, ti, tj)
+                qp[ti, tj] = ps.q_estimator(
+                    mi,
+                    timestreams[ti].mmode_kl(mi),
+                    timestreams[tj].mmode_kl(mi),
+                )
                 qp[tj, ti] = qp[ti, tj]
         return qp
 
-    mlist = list(
-        range(1 if timestreams[0].no_m_zero else 0, products.telescope.mmax + 1)
-    )
-    qvals = comm.parallel_map(_q_estimate, mlist)
+    qvals = comm.parallel_map(q_pairs, timestreams[0]._mlist())
     qtotal = np.array(qvals).sum(axis=0)
 
     fisher, bias = ps.fisher_bias()
 
-    qtotal = (qtotal - bias).reshape(nstream**2, ps.nbands).T
-    powerspectrum = np.dot(np.linalg.inv(fisher), qtotal)
-    powerspectrum = powerspectrum.T.reshape(nstream, nstream, ps.nbands)
+    flat = (qtotal - bias).reshape(nstream**2, ps.nbands).T
+    powerspectrum = (np.linalg.inv(fisher) @ flat).T.reshape(
+        nstream, nstream, ps.nbands
+    )
 
     if comm.rank0():
         with h5py.File(psfile, "w") as f:
-            cv = np.linalg.inv(fisher)
-            err = cv.diagonal() ** 0.5
-            cr = cv / np.outer(err, err)
-
-            f.create_dataset("fisher", data=fisher)
-            f.create_dataset("covariance", data=cv)
-            f.create_dataset("error", data=err)
-            f.create_dataset("correlation", data=cr)
-            f.create_dataset("bandpower", data=ps.band_power)
-            f.create_dataset("powerspectrum", data=powerspectrum)
+            _spectrum_datasets(f, fisher, ps.band_power, powerspectrum)
 
     ps.delbands()
     comm.barrier()
     return powerspectrum
 
 
+# ===== simulation =====
+
+
+def _derive_ntime(mmax, resolution):
+    if resolution == 0:
+        return 2 * mmax + 1
+    return int(np.round(24 * 3600.0 / resolution))
+
+
+def _project_maps_to_vis(bt, maps, lfreq, sfreq, efreq, sm, em, ntime):
+    """Sum the input maps, SHT locally in frequency, project each m
+    through the BTM, and reshard back to frequency-major visibilities.
+
+    Returns (npairs, lfreq, ntime) complex visibilities.
+    """
+    tel = bt.telescope
+    lmax, mmax, nfreq, npol = tel.lmax, tel.mmax, tel.nfreq, tel.num_pol_sky
+    lm = em - sm
+
+    with h5py.File(maps[0], "r") as f:
+        mapshape = f["map"].shape
+
+    if lfreq > 0:
+        row_map = np.zeros((lfreq,) + mapshape[1:], dtype=np.float64)
+        for mapfile in maps:
+            with h5py.File(mapfile, "r") as f:
+                row_map += f["map"][sfreq:efreq]
+        row_alm = sht.sphtrans_sky(row_map, lmax=lmax).reshape(
+            (lfreq, npol * (lmax + 1), lmax + 1)
+        )
+    else:
+        row_alm = np.zeros((0, npol * (lmax + 1), lmax + 1), dtype=np.complex128)
+
+    # freq-major alm -> m-major (also trims m > mmax)
+    col_alm = comm.transpose_blocks(row_alm, (nfreq, npol * (lmax + 1), mmax + 1))
+    col_alm = col_alm.transpose(2, 0, 1).reshape(lm, nfreq, npol, lmax + 1)
+
+    vis_m = np.zeros((lm, nfreq, bt.ntel), dtype=np.complex128)
+    for mp, mi in enumerate(range(sm, em)):
+        vis_m[mp] = bt.project_vector_sky_to_telescope(mi, col_alm[mp])
+
+    # m-major -> freq-major
+    freq_major = comm.transpose_blocks(
+        vis_m.transpose(0, 2, 1), (mmax + 1, bt.ntel, nfreq)
+    ).reshape(mmax + 1, 2, tel.npairs, lfreq)
+
+    # Unwrap the (+m, -m) pairs into FFT ordering (negative m conjugated)
+    vis = np.zeros((tel.npairs, lfreq, ntime), dtype=np.complex128)
+    vis[..., : mmax + 1] = freq_major[:, 0].transpose(1, 2, 0)
+    vis[..., : -mmax - 1 : -1] = np.conj(freq_major[1:, 1].transpose(1, 2, 0))
+    return vis
+
+
+def _noise_draw(tel, local_freq, shape, ndays, seed):
+    """Complex radiometer noise for the local frequency block."""
+    noise_ps = tel.noisepower(
+        np.arange(tel.npairs)[:, np.newaxis],
+        np.array(local_freq)[np.newaxis, :],
+        ndays=ndays,
+    ).reshape(tel.npairs, len(local_freq), 1)
+
+    rng = (
+        np.random.default_rng(seed + comm.rank())
+        if seed is not None
+        else np.random.default_rng()
+    )
+    draw = rng.standard_normal(shape + (2,))
+    return np.sqrt(noise_ps / 2.0) * (draw[..., 0] + 1.0j * draw[..., 1])
+
+
 def simulate(m, outdir, maps=[], ndays=None, resolution=0, seed=None, **kwargs):
     """Simulate a visibility timestream and save it to disk.
 
-    Parity with /root/reference/drift/pipeline/timestream.py:645-829: sky
-    maps are SHT'd to alm, projected to visibility m-modes through the
-    BTM, given a radiometer noise draw and inverse-FFT'd to a timestream.
+    Pipeline per the reference
+    (/root/reference/drift/pipeline/timestream.py:645-829): sky maps are
+    SHT'd to alm, projected to visibility m-modes through the BTM, given a
+    radiometer noise draw, and inverse-FFT'd to a timestream.
 
     Parameters
     ----------
@@ -479,88 +542,22 @@ def simulate(m, outdir, maps=[], ndays=None, resolution=0, seed=None, **kwargs):
     bt = m.beamtransfer
     tel = bt.telescope
 
-    lmax = tel.lmax
-    mmax = tel.mmax
-    nfreq = tel.nfreq
-    npol = tel.num_pol_sky
-
-    projmaps = len(maps) > 0
-
-    lfreq, sfreq, efreq = comm.split_local(nfreq)
+    lfreq, sfreq, efreq = comm.split_local(tel.nfreq)
     local_freq = list(range(sfreq, efreq))
-
-    lm, sm, em = comm.split_local(mmax + 1)
+    lm, sm, em = comm.split_local(tel.mmax + 1)
 
     if ndays is None:
         ndays = tel.ndays
+    ntime = _derive_ntime(tel.mmax, resolution)
 
-    if resolution == 0:
-        ntime = 2 * mmax + 1
+    if maps:
+        col_vis = _project_maps_to_vis(bt, maps, lfreq, sfreq, efreq, sm, em, ntime)
     else:
-        ntime = int(np.round(24 * 3600.0 / resolution))
+        col_vis = np.zeros((tel.npairs, lfreq, ntime), dtype=np.complex128)
 
-    col_vis = np.zeros((tel.npairs, lfreq, ntime), dtype=np.complex128)
-
-    if projmaps:
-        with h5py.File(maps[0], "r") as f:
-            mapshape = f["map"].shape
-
-        if lfreq > 0:
-            row_map = np.zeros((lfreq,) + mapshape[1:], dtype=np.float64)
-            for mapfile in maps:
-                with h5py.File(mapfile, "r") as f:
-                    row_map += f["map"][sfreq:efreq]
-
-            # Batched SHT of the local frequencies
-            row_alm = sht.sphtrans_sky(row_map, lmax=lmax).reshape(
-                (lfreq, npol * (lmax + 1), lmax + 1)
-            )
-        else:
-            row_alm = np.zeros(
-                (lfreq, npol * (lmax + 1), lmax + 1), dtype=np.complex128
-            )
-
-        # Redistribute m-major (trims m > mmax at the same time)
-        col_alm = comm.transpose_blocks(row_alm, (nfreq, npol * (lmax + 1), mmax + 1))
-        col_alm = np.transpose(col_alm, (2, 0, 1)).reshape(lm, nfreq, npol, lmax + 1)
-
-        vis_data = np.zeros((lm, nfreq, bt.ntel), dtype=np.complex128)
-        for mp, mi in enumerate(range(sm, em)):
-            vis_data[mp] = bt.project_vector_sky_to_telescope(mi, col_alm[mp])
-
-        row_vis = vis_data.transpose((0, 2, 1))
-        col_vis_tmp = comm.transpose_blocks(row_vis, ((mmax + 1), bt.ntel, nfreq))
-        col_vis_tmp = col_vis_tmp.reshape(mmax + 1, 2, tel.npairs, lfreq)
-
-        # Unwrap positive/negative m (conjugate only - see the paper)
-        col_vis[..., 0] = col_vis_tmp[0, 0]
-        for mi in range(1, mmax + 1):
-            col_vis[..., mi] = col_vis_tmp[mi, 0]
-            col_vis[..., -mi] = col_vis_tmp[mi, 1].conj()
-
-        del col_vis_tmp
-
-    ## Noise realisation
     if ndays > 0:
-        noise_ps = tel.noisepower(
-            np.arange(tel.npairs)[:, np.newaxis],
-            np.array(local_freq)[np.newaxis, :],
-            ndays=ndays,
-        ).reshape(tel.npairs, lfreq)[:, :, np.newaxis]
+        col_vis += _noise_draw(tel, local_freq, col_vis.shape, ndays, seed)
 
-        rng = (
-            np.random.default_rng(seed + comm.rank())
-            if seed is not None
-            else np.random.default_rng()
-        )
-        noise_vis = (
-            np.array([1.0, 1.0j]) * rng.standard_normal(col_vis.shape + (2,))
-        ).sum(axis=-1)
-        noise_vis *= (noise_ps / 2.0) ** 0.5
-        col_vis += noise_vis
-        del noise_vis
-
-    # Inverse FFT over m to get the timestream.
     from .. import backend
 
     vis_stream = backend.ifft(col_vis, axis=-1) * ntime
@@ -571,8 +568,7 @@ def simulate(m, outdir, maps=[], ndays=None, resolution=0, seed=None, **kwargs):
     tstream = Timestream(outdir, m)
 
     for lfi, fi in enumerate(local_freq):
-        if not os.path.exists(tstream._fdir(fi)):
-            os.makedirs(tstream._fdir(fi))
+        os.makedirs(tstream._fdir(fi), exist_ok=True)
         with h5py.File(tstream._ffile(fi), "w") as f:
             f.create_dataset("/timestream", data=vis_stream[:, lfi])
             f.create_dataset("/phi", data=tphi)
