@@ -35,7 +35,7 @@ complex-free TPU runtimes via the split-complex ``Z`` representation.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -108,17 +108,19 @@ def beam_factor(bsvd: za.Z, L) -> za.Z:
 
 
 class GramBands(NamedTuple):
-    """Banded left singular structure of a factor X (n, K).
+    """Banded left singular structure of a factor X (n, K), stacked.
 
-    qs[i] : Z (n, n) — eigenvector columns of level i, zeroed outside the
-        level's band.  Bands are mutually orthogonal (each level works on
-        the deflated remainder of the previous).
-    ss[i] : (n,) singular values, zeroed outside the band; the *last*
+    q : Z with planes (levels, n, n) — per-level eigenvector columns,
+        zeroed outside the level's band.  Bands are mutually orthogonal
+        (each level works on the deflated remainder of the previous).
+    s : (levels, n) singular values, zeroed outside the band; the *last*
         level keeps every column (its tail is unconverged but tiny).
+
+    Unbatched shapes — batch with ``jax.vmap``.
     """
 
-    qs: Sequence[za.Z]
-    ss: Sequence[jnp.ndarray]
+    q: za.Z
+    s: jnp.ndarray
 
 
 def gram_bands(x: za.Z, levels: int = 3, band_rel: float = 3e-2) -> GramBands:
@@ -129,37 +131,40 @@ def gram_bands(x: za.Z, levels: int = 3, band_rel: float = 3e-2) -> GramBands:
     ``band_rel * s_max_level`` (the part a single f32 Gram actually
     resolves: eigh error ~ n*eps*s_max^2, and sqrt halves the exponent),
     then deflates that subspace out of X and repeats on the remainder.
+
+    The level loop is a ``lax.scan`` so the program compiles one level
+    body regardless of depth.
     """
-    n = x.re.shape[-2]
-    qs, ss = [], []
-    for level in range(levels):
-        g = za.einsum("...ik,...jk->...ij", x, x.conj())
+
+    def level_body(xc, level):
+        g = za.einsum("ik,jk->ij", xc, xc.conj())
         g = za.Z(
             0.5 * (g.re + jnp.swapaxes(g.re, -1, -2)),
             0.5 * (g.im - jnp.swapaxes(g.im, -1, -2)),
         )
         w, q = za.eigh(g)  # ascending
-        w = w[..., ::-1]
+        s = jnp.sqrt(jnp.maximum(w[::-1], 0.0))
         q = za.Z(q.re[..., ::-1], q.im[..., ::-1])
-        s = jnp.sqrt(jnp.maximum(w, 0.0))
 
-        if level == levels - 1:
-            mask = jnp.ones_like(s, dtype=bool)
-        else:
-            mask = s > s[..., :1] * band_rel
-        maskf = mask.astype(s.dtype)
-        qm = za.Z(q.re * maskf[..., None, :], q.im * maskf[..., None, :])
-        qs.append(qm)
-        ss.append(s * maskf)
+        last = level == levels - 1
+        maskf = jnp.where(last | (s > s[:1] * band_rel), 1.0, 0.0).astype(
+            s.dtype
+        )
+        qm = za.Z(q.re * maskf[None, :], q.im * maskf[None, :])
 
-        if level < levels - 1:
-            # deflate: X <- (I - Qm Qm^H) X, applied twice (CGS2) — a single
-            # pass leaks ~eps * s_max_level into the remainder, which would
-            # floor every later level at that leak.
-            for _ in range(2):
-                proj = za.einsum("...ji,...jk->...ik", qm.conj(), x)
-                x = x - za.einsum("...ij,...jk->...ik", qm, proj)
-    return GramBands(qs, ss)
+        # deflate: X <- (I - Qm Qm^H) X, applied twice (CGS2) — a single
+        # pass leaks ~eps * s_max_level into the remainder, which would
+        # floor every later level at that leak.
+        for _ in range(2):
+            proj = za.einsum("ji,jk->ik", qm.conj(), xc)
+            xc = xc - za.einsum("ij,jk->ik", qm, proj)
+
+        return xc, (qm.re, qm.im, s * maskf)
+
+    _, (q_re, q_im, ss) = jax.lax.scan(
+        level_body, x, jnp.arange(levels), length=levels
+    )
+    return GramBands(za.Z(q_re, q_im), ss)
 
 
 def _select_complete_basis(bands: GramBands):
@@ -170,24 +175,17 @@ def _select_complete_basis(bands: GramBands):
     head of the last level (whose tail duplicates already-selected
     directions at s ~ 0).  Returns (q Z(n, n) columns desc by s, s (n,)).
     """
-    n = bands.ss[0].shape[-1]
-    nlev = len(bands.ss)
-    keys = []
-    for i, s in enumerate(bands.ss):
-        if i == nlev - 1:
-            keys.append(s)
-        else:
-            in_band = s > 0
-            keys.append(jnp.where(in_band, s, -1.0))
-    keys = jnp.concatenate(keys, axis=-1)  # (nlev*n,)
-    qcat_re = jnp.concatenate([q.re for q in bands.qs], axis=-1)
-    qcat_im = jnp.concatenate([q.im for q in bands.qs], axis=-1)
-    order = jnp.argsort(-keys, axis=-1)[..., :n]
-    q = za.Z(
-        jnp.take_along_axis(qcat_re, order[..., None, :], axis=-1),
-        jnp.take_along_axis(qcat_im, order[..., None, :], axis=-1),
-    )
-    s = jnp.maximum(jnp.take_along_axis(keys, order, axis=-1), 0.0)
+    levels, n = bands.s.shape
+    is_last = jnp.arange(levels)[:, None] == levels - 1
+    keys = jnp.where(is_last | (bands.s > 0), bands.s, -1.0).reshape(-1)
+
+    # (levels, n, n) -> (n, levels*n) column concatenation
+    qcat_re = bands.q.re.transpose(1, 0, 2).reshape(n, levels * n)
+    qcat_im = bands.q.im.transpose(1, 0, 2).reshape(n, levels * n)
+
+    order = jnp.argsort(-keys)[:n]
+    q = za.Z(qcat_re[:, order], qcat_im[:, order])
+    s = jnp.maximum(keys[order], 0.0)
     return q, s
 
 
@@ -201,15 +199,13 @@ def whiten_apply_idpluslr(bands: GramBands, y: za.Z) -> za.Z:
 
     W = I - sum_i Q_i diag(alpha_i) Q_i^H with alpha = 1 - 1/sqrt(1+s^2);
     alpha -> 0 as s -> 0, so unconverged/duplicate tail columns are
-    harmless and no basis compaction is needed.
+    harmless and no basis compaction is needed.  The bands are mutually
+    orthogonal, so the level sum is applied in one batched contraction.
     """
-    out = y
-    for q, s in zip(bands.qs, bands.ss):
-        alpha = 1.0 - 1.0 / jnp.sqrt(1.0 + s * s)
-        proj = za.einsum("...ji,...jk->...ik", q.conj(), out)
-        proj = za.Z(proj.re * alpha[..., :, None], proj.im * alpha[..., :, None])
-        out = out - za.einsum("...ij,...jk->...ik", q, proj)
-    return out
+    alpha = 1.0 - 1.0 / jnp.sqrt(1.0 + bands.s * bands.s)  # (levels, n)
+    proj = za.einsum("lji,jk->lik", bands.q.conj(), y)
+    proj = za.Z(proj.re * alpha[..., None], proj.im * alpha[..., None])
+    return y - za.einsum("lij,ljk->ik", bands.q, proj)
 
 
 def whiten_apply_floor(bands: GramBands, y: za.Z, floor_rel: float) -> za.Z:

@@ -68,7 +68,7 @@ class TestGramBands:
         a = _random_factor(rng, 16, 24, 3e1, 1e2)
         s_true = np.linalg.svd(a, compute_uv=False)
         bands = fpencil.gram_bands(_split32(a), levels=1)
-        s = np.asarray(bands.ss[0])
+        s = np.asarray(bands.s[0])
         assert np.allclose(s, s_true, rtol=1e-3)
 
 
