@@ -427,9 +427,12 @@ class BeamTransfer(config.Reader):
         )
         bfm_w = bfm * noisew[np.newaxis, :, :, np.newaxis]
 
+        from ..parallel import mesh as meshmod
+
         flat = bfm_w.reshape(mbatch * nfreq, self.ntel, npol * nl)
         ut, beam, sig, nmodes = projections.triple_svd(
-            flat, npol=npol, nl=nl, polsvcut=self.polsvcut
+            flat, npol=npol, nl=nl, polsvcut=self.polsvcut,
+            mesh=meshmod.get_mesh(),
         )
         ut = ut.reshape(mbatch, nfreq, self.svd_len, self.ntel)
         beam = beam.reshape(mbatch, nfreq, self.svd_len, npol * nl)

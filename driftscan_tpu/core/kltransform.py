@@ -337,14 +337,43 @@ class KLTransform(config.Reader):
             bl[np.newaxis, :], np.arange(self.telescope.nfreq)[:, np.newaxis]
         ).reshape(self.telescope.nfreq, bt.ntel)
 
+    _cl_factor_cache = None
+
+    def _cl_factors(self):
+        """Per-l Cholesky factor tables of the sky covariances (cached).
+
+        With foregrounds disabled the foreground factor is identically
+        zero — the pencil then reduces to S v = w nc I v.
+        """
+        if self._cl_factor_cache is None:
+            from ..ops import fpencil
+
+            ls = fpencil.factor_cl(self.signal(), out_dtype=np.float64)
+            if self.use_foregrounds:
+                lf = fpencil.factor_cl(self.foreground(), out_dtype=np.float64)
+            else:
+                lf = np.zeros_like(ls)
+            self._cl_factor_cache = (ls, lf)
+        return self._cl_factor_cache
+
     def _transform_save_mbatch(self, m_chunk):
         """KL-transform a chunk of m-modes in one device batch.
 
-        Builds padded (svcut-masked) beam batches from the SVD files,
-        projects both covariances and solves the whitened eigenproblem for
-        the whole chunk at once, then compacts and writes the per-m
-        eigenfiles with the same contract as the per-m path.
+        Builds padded (svcut-masked) beam batches from the SVD files and
+        solves the *factored* KL pencil for the whole chunk at once
+        (ops.projections.kl_factored_batched) — sharded over the device
+        mesh along m when more than one device is available — then
+        compacts and writes the per-m eigenfiles with the same contract
+        as the per-m path.
+
+        The stored beams are noise-prewhitened, so the projected
+        instrumental noise is exactly ``nc I`` on the retained modes (nc
+        the thermal scaling of :meth:`_noise_power`); the identity also
+        regularises the svcut-padded directions, whose signal rows are
+        zero and therefore emerge with eval == 0 and unit padded support.
         """
+        from ..parallel import mesh as meshmod
+
         bt = self.beamtransfer
         tel = self.telescope
         nfreq, npol, nl = tel.nfreq, tel.num_pol_sky, tel.lmax + 1
@@ -353,9 +382,8 @@ class KLTransform(config.Reader):
         mbatch = self.mbatch
         ms = list(m_chunk) + [m_chunk[-1]] * (mbatch - len(m_chunk))
 
-        # Load padded SVD beams + telescope projections, masked by svcut.
+        # Load padded SVD beams, masked by svcut.
         bsvd = np.zeros((mbatch, nfreq, S, npol, nl), dtype=np.complex128)
-        ut = np.zeros((mbatch, nfreq, S, 2 * tel.npairs), dtype=np.complex128)
         idx_list = []
         for i, mi in enumerate(ms):
             svnum, svbounds = bt._svd_num(mi)
@@ -363,44 +391,19 @@ class KLTransform(config.Reader):
             for fi in range(nfreq):
                 mask[fi, : svnum[fi]] = 1.0
             bsvd[i] = bt.beam_svd(mi) * mask[:, :, None, None]
-            ut[i] = bt.beam_ut(mi) * mask[:, :, None]
             idx_list.append(bt._compact_indices(mi)[0])
 
-        # Covariance projections (batched, dispatching).
-        s_pad = projections.sky_covariance_projection_m(
-            bsvd, np.ascontiguousarray(self.signal().real)
-        ).reshape(mbatch, nfreq * S, nfreq * S)
+        ls, lf = self._cl_factors()
+        nc = 1.0 if self.use_thermal else (1e-3 / tel.tsys_flat) ** 2
 
-        if self.use_foregrounds:
-            n_pad = np.array(
-                projections.sky_covariance_projection_m(
-                    bsvd, np.ascontiguousarray(self.foreground().real)
-                ).reshape(mbatch, nfreq * S, nfreq * S)
-            )
-        else:
-            n_pad = np.zeros_like(s_pad)
-
-        # Foreground regulariser (per m, on the padded matrix)
-        eye = np.eye(nfreq * S)
-        for i in range(mbatch):
-            n_pad[i] += self._foreground_regulariser * n_pad[i].real.max() * eye
-
-        # Instrumental noise (block diagonal)
-        blocks = projections.diag_noise_projection_m(ut, self._noise_power())
-        for i in range(mbatch):
-            for fi in range(nfreq):
-                sl = slice(fi * S, (fi + 1) * S)
-                n_pad[i][sl, sl] += blocks[i, fi]
-
-        # Identity on the padded (invalid) directions so N is PD; S is
-        # exactly zero there so those modes come out with eval == 0 and
-        # unit support on the padded axes.
-        for i in range(mbatch):
-            valid = np.zeros(nfreq * S)
-            valid[idx_list[i]] = 1.0
-            n_pad[i] += np.diag(1.0 - valid)
-
-        evals_b, evecs_b = projections.generalised_eigh_batched(s_pad, n_pad)
+        evals_b, evecs_b = projections.kl_factored_batched(
+            bsvd,
+            ls,
+            lf,
+            nc=nc,
+            with_thermal=True,
+            mesh=meshmod.get_mesh(),
+        )
 
         for i, mi in enumerate(m_chunk):
             idx = idx_list[i]

@@ -107,30 +107,54 @@ def block_pinv(mats: np.ndarray, rcond: float = 1e-6) -> np.ndarray:
     return np.asarray(jnp.linalg.pinv(jnp.asarray(mats), rcond=rcond))
 
 
-def triple_svd(bfm_w: np.ndarray, npol: int, nl: int, polsvcut: float):
-    """Dispatching triple SVD: returns numpy (ut, beam, sig, nmodes)."""
+def triple_svd(bfm_w: np.ndarray, npol: int, nl: int, polsvcut: float, mesh=None):
+    """Dispatching triple SVD: returns numpy (ut, beam, sig, nmodes).
+
+    With a multi-device mesh the leading (unit) axis is sharded and each
+    device SVDs its own slice (padding the batch to the device count).
+    """
     from . import linalg
+
+    n_in = bfm_w.shape[0]
+    if mesh is not None and mesh.devices.size > 1:
+        import jax.sharding as jsh
+
+        ndev = mesh.devices.size
+        pad = (-n_in) % ndev
+        if pad:
+            bfm_w = np.concatenate(
+                [bfm_w, np.repeat(bfm_w[-1:], pad, axis=0)]
+            )
+        shard = jsh.NamedSharding(mesh, jsh.PartitionSpec(mesh.axis_names[0]))
+
+        def place(x):
+            return jax.device_put(x, shard)
+
+    else:
+
+        def place(x):
+            return jnp.asarray(x)
 
     if backend.split_complex():
         ur, ui, br, bi, sig, nmodes = linalg.triple_svd_split_batched(
-            np.ascontiguousarray(bfm_w.real),
-            np.ascontiguousarray(bfm_w.imag),
+            place(np.ascontiguousarray(bfm_w.real)),
+            place(np.ascontiguousarray(bfm_w.imag)),
             npol=npol,
             nl=nl,
             polsvcut=polsvcut,
         )
-        ut = np.asarray(ur) + 1j * np.asarray(ui)
-        beam = np.asarray(br) + 1j * np.asarray(bi)
-        return ut, beam, np.asarray(sig), np.asarray(nmodes)
+        ut = np.asarray(ur)[:n_in] + 1j * np.asarray(ui)[:n_in]
+        beam = np.asarray(br)[:n_in] + 1j * np.asarray(bi)[:n_in]
+        return ut, beam, np.asarray(sig)[:n_in], np.asarray(nmodes)[:n_in]
 
     ut, beam, sig, nmodes = linalg.triple_svd_batched(
-        jnp.asarray(bfm_w), npol=npol, nl=nl, polsvcut=polsvcut
+        place(bfm_w), npol=npol, nl=nl, polsvcut=polsvcut
     )
     return (
-        np.asarray(ut),
-        np.asarray(beam),
-        np.asarray(sig),
-        np.asarray(nmodes),
+        np.asarray(ut)[:n_in],
+        np.asarray(beam)[:n_in],
+        np.asarray(sig)[:n_in],
+        np.asarray(nmodes)[:n_in],
     )
 
 
@@ -190,6 +214,113 @@ def diag_noise_projection_m(beam_ut: np.ndarray, dmat: np.ndarray) -> np.ndarray
         )
         return np.asarray(re) + 1j * np.asarray(im)
     return np.asarray(_diag_native_m(jnp.asarray(beam_ut), jnp.asarray(dmat)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("with_thermal", "fg_levels", "sig_levels", "band_rel", "fg_floor"),
+)
+def _kl_factored_m(
+    b_re,
+    b_im,
+    ls,
+    lf,
+    inv_sqrt_nc,
+    with_thermal: bool,
+    fg_levels: int,
+    sig_levels: int,
+    band_rel: float,
+    fg_floor: float,
+):
+    from . import fpencil
+
+    def one(bre, bim):
+        b4 = za.Z(bre, bim)
+        a_s = fpencil.beam_factor(b4, ls) * inv_sqrt_nc
+        a_f = fpencil.beam_factor(b4, lf) * inv_sqrt_nc
+        kl = fpencil.kl_solve(
+            a_s,
+            a_f,
+            with_thermal=with_thermal,
+            fg_levels=fg_levels,
+            sig_levels=sig_levels,
+            band_rel=band_rel,
+            fg_floor=fg_floor,
+        )
+        return kl.evals, kl.evecs.re, kl.evecs.im
+
+    return jax.vmap(one)(b_re, b_im)
+
+
+def kl_factored_batched(
+    bsvd5: np.ndarray,
+    ls: np.ndarray,
+    lf: np.ndarray,
+    nc: float = 1.0,
+    with_thermal: bool = True,
+    fg_levels: int = 8,
+    sig_levels: int = 5,
+    band_rel: float = 1e-1,
+    fg_floor: float = 1e-6,
+    mesh=None,
+):
+    """m-batched KL pencil solve on *factored* covariances, mesh-sharded.
+
+    Solves ``S v = w (nc I + F) v`` per m with S/F given by their per-l
+    Cholesky factor tables (ops.fpencil) projected through the SVD beams —
+    never forming the ill-conditioned dense covariances (the reference
+    instead builds them densely per m,
+    /root/reference/drift/core/kltransform.py:258-341).
+
+    Parameters
+    ----------
+    bsvd5 : (M, F, S, npol, nl) complex
+        svcut-masked sky -> SVD projections for the m batch.
+    ls, lf : (nl, npol, F, npol*F) real
+        Signal / foreground factor tables (mstep.prepare_cl_factors).
+    nc : float
+        Scale of the (identity) projected instrumental noise — 1 with
+        thermal noise on, the reference's 1 mK floor scaling otherwise.
+    mesh : jax.sharding.Mesh, optional
+        If given (and more than one device), the m axis is sharded over
+        the mesh and every device solves its own m-modes.
+
+    Returns
+    -------
+    evals : (M, n) ascending; evecs : (M, n, n) complex columns.
+    """
+    import jax.sharding as jsh
+
+    b_re = np.ascontiguousarray(bsvd5.real)
+    b_im = np.ascontiguousarray(bsvd5.imag)
+    dt = b_re.dtype
+    ls = np.asarray(ls, dtype=dt)
+    lf = np.asarray(lf, dtype=dt)
+    inv_sqrt_nc = np.asarray(1.0 / np.sqrt(nc), dtype=dt)
+
+    kwargs = dict(
+        with_thermal=with_thermal,
+        fg_levels=fg_levels,
+        sig_levels=sig_levels,
+        band_rel=band_rel,
+        fg_floor=fg_floor,
+    )
+
+    M = b_re.shape[0]
+    if mesh is not None and mesh.devices.size > 1:
+        ndev = mesh.devices.size
+        pad = (-M) % ndev
+        if pad:
+            b_re = np.concatenate([b_re, np.repeat(b_re[-1:], pad, axis=0)])
+            b_im = np.concatenate([b_im, np.repeat(b_im[-1:], pad, axis=0)])
+        ax = mesh.axis_names[0]
+        shard = jsh.NamedSharding(mesh, jsh.PartitionSpec(ax))
+        b_re = jax.device_put(b_re, shard)
+        b_im = jax.device_put(b_im, shard)
+
+    w, v_re, v_im = _kl_factored_m(b_re, b_im, ls, lf, inv_sqrt_nc, **kwargs)
+    evecs = (np.asarray(v_re) + 1j * np.asarray(v_im))[:M]
+    return np.asarray(w)[:M], evecs
 
 
 def generalised_eigh_batched(A: np.ndarray, B: np.ndarray):
