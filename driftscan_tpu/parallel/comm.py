@@ -161,6 +161,34 @@ def parallel_map(func: Callable, lst: Sequence) -> List:
     return results
 
 
+def _pack_blocks(row_array: np.ndarray, col_blocks, lc: int, lr: int) -> np.ndarray:
+    """Pad this process's rows to ``lr`` and regroup the columns so that
+    destination block ``r`` occupies the even slot ``[r*lc, r*lc + n_r)``.
+
+    After an even all-to-all reshard, process r's shard then holds exactly
+    its balanced split_local column block (plus padding).
+    """
+    nproc = col_blocks.shape[1]
+    out = np.zeros(
+        (lr,) + row_array.shape[1:-1] + (nproc * lc,), dtype=row_array.dtype
+    )
+    nrow = row_array.shape[0]
+    for r in range(nproc):
+        n_r, s_r, e_r = (int(v) for v in col_blocks[:, r])
+        out[:nrow, ..., r * lc : r * lc + n_r] = row_array[..., s_r:e_r]
+    return out
+
+
+def _unpack_blocks(col_array: np.ndarray, row_blocks, lr: int) -> np.ndarray:
+    """Invert the row padding of :func:`_pack_blocks` after the exchange:
+    concatenate each source process's true rows back together."""
+    nproc = row_blocks.shape[1]
+    parts = [
+        col_array[r * lr : r * lr + int(row_blocks[0][r])] for r in range(nproc)
+    ]
+    return np.concatenate(parts, axis=0)
+
+
 def transpose_blocks(row_array: np.ndarray, shape: Tuple[int, ...]) -> np.ndarray:
     """Redistribute an axis-0-split array to be split along the last axis.
 
@@ -194,13 +222,43 @@ def transpose_blocks(row_array: np.ndarray, shape: Tuple[int, ...]) -> np.ndarra
             )
         return row_array[..., : shape[-1]]
 
+    # Multi-process: per-peer tile exchange — each process ships only
+    # ~1/P of its block to each peer and never materialises the global
+    # array (the reference's MPI all-to-all,
+    # caput.mpiutil.transpose_blocks).  The balanced split_local blocks
+    # are packed into an even padded layout first so a plain sharded
+    # reshard (one XLA all-to-all over DCN) lands every process exactly
+    # its own block.
     # pragma: no cover - requires multi-host run
-    from jax.experimental import multihost_utils
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-    full = multihost_utils.process_allgather(np.ascontiguousarray(row_array))
-    full = full.reshape((-1,) + row_array.shape[1:])[: shape[0], ..., : shape[-1]]
-    _, s, e = split_local(shape[-1])
-    return full[..., s:e]
+    nproc = size()
+    ndim = len(shape)
+
+    col_blocks = split_all(shape[-1])
+    row_blocks = split_all(shape[0])
+    lr = int(row_blocks[0].max())
+    lc = int(col_blocks[0].max())
+
+    local = _pack_blocks(
+        np.ascontiguousarray(row_array[..., : shape[-1]]), col_blocks, lc, lr
+    )
+
+    devs = np.array(jax.devices()).reshape(nproc, -1)[:, 0]
+    mesh = Mesh(devs, ("p",))
+    row_sharding = NamedSharding(mesh, PartitionSpec("p", *([None] * (ndim - 1))))
+    col_sharding = NamedSharding(mesh, PartitionSpec(*([None] * (ndim - 1)), "p"))
+
+    gshape = (nproc * lr,) + local.shape[1:-1] + (nproc * lc,)
+    garr = jax.make_array_from_single_device_arrays(
+        gshape, row_sharding, [jax.device_put(local, devs[rank()])]
+    )
+    out = jax.jit(lambda a: a, out_shardings=col_sharding)(garr)
+
+    local_out = np.asarray(list(out.addressable_shards)[0].data)
+    ncols = int(col_blocks[0][rank()])
+    return _unpack_blocks(local_out, row_blocks, lr)[..., :ncols]
 
 
 class MPILogFilter(logging.Filter):
