@@ -26,6 +26,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+# Persistent compilation cache: the deep scan/eigh programs take minutes
+# to compile cold; cached reruns start instantly.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import numpy as np
 
 SCALE = os.environ.get("BENCH_SCALE", "full")
@@ -73,7 +83,9 @@ def btm_phase(tel, max_units=None):
         blg, fig = blg[:max_units], fig[:max_units]
 
     # Warm up compilation on one unit
+    _log("BTM warm-up compile...")
     tel.transfer_matrices(blg[:1], fig[:1])
+    _log("BTM warm-up done; full BTM phase...")
 
     st = time.time()
     tarray = tel.transfer_matrices(blg, fig)
@@ -174,9 +186,11 @@ def product_phase(tel, tarray, mbatch=None, max_m=None):
         return step(beam, noisew, ls, lf, mv)
 
     # Warm-up compile
+    _log(f"product warm-up compile (mbatch={mbatch})...")
     beam0, mv0 = _beam_batch(tarray, np.arange(min(mbatch, nm)), tel, mbatch)
     res = run(beam0, mv0)
     res.evals.block_until_ready()
+    _log("product warm-up done")
 
     st = time.time()
     for s in range(0, nm, mbatch):
@@ -189,15 +203,25 @@ def product_phase(tel, tarray, mbatch=None, max_m=None):
     return time.time() - st
 
 
+def _log(msg):
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.time()
+
+
 def main():
     platform = jax.devices()[0].platform
 
     tel = build_telescope()
     nm = tel.mmax + 1
     nfb_total = tel.npairs * tel.nfreq
+    _log(f"telescope ready: nm={nm} nfb={nfb_total} platform={platform}")
 
     tarray, t_btm, _ = btm_phase(tel)
+    _log(f"BTM phase done: {t_btm:.1f}s")
     t_prod = product_phase(tel, tarray)
+    _log(f"product phase done: {t_prod:.1f}s")
     total = t_btm + t_prod
     mm_per_sec = nm / total
 
