@@ -225,17 +225,22 @@ def main():
     total = t_btm + t_prod
     mm_per_sec = nm / total
 
-    # CPU comparison on a subset of the same work, extrapolated.
+    # CPU comparison on a subset of the same work, extrapolated.  The
+    # backend override is always restored (try/finally) so a failing CPU
+    # leg cannot poison the process state for anything that follows.
     vs_baseline = None
-    try:
-        if platform != "cpu":
-            cpu = jax.devices("cpu")[0]
-            with jax.default_device(cpu):
-                import driftscan_tpu.backend as backend
+    if platform != "cpu":
+        import driftscan_tpu.backend as backend
 
-                backend.split_complex.cache_clear()
-                backend.has_device_fft.cache_clear()
+        def _reset_backend_caches():
+            backend.split_complex.cache_clear()
+            backend.has_device_fft.cache_clear()
+
+        prev_env = os.environ.get("DRIFTSCAN_TPU_SPLIT_COMPLEX")
+        try:
+            with jax.default_device(jax.devices("cpu")[0]):
                 os.environ["DRIFTSCAN_TPU_SPLIT_COMPLEX"] = "0"
+                _reset_backend_caches()
 
                 tel_c = build_telescope()
                 n_units = min(nfb_total, max(8, nfb_total // 8))
@@ -248,12 +253,19 @@ def main():
 
                 cpu_rate = nm / (t_btm_cpu + t_prod_cpu)
                 vs_baseline = mm_per_sec / cpu_rate
-
-                del os.environ["DRIFTSCAN_TPU_SPLIT_COMPLEX"]
-                backend.split_complex.cache_clear()
-                backend.has_device_fft.cache_clear()
-    except Exception:
-        vs_baseline = None
+                _log(
+                    f"CPU leg: btm {t_btm_cpu:.1f}s (extrap), product "
+                    f"{t_prod_cpu:.1f}s (extrap) -> {cpu_rate:.3f} mm/s"
+                )
+        except Exception as exc:  # CPU leg is best-effort
+            _log(f"CPU baseline leg failed: {exc!r}")
+            vs_baseline = None
+        finally:
+            if prev_env is None:
+                os.environ.pop("DRIFTSCAN_TPU_SPLIT_COMPLEX", None)
+            else:
+                os.environ["DRIFTSCAN_TPU_SPLIT_COMPLEX"] = prev_env
+            _reset_backend_caches()
 
     out = {
         "metric": "m-modes/sec/chip (BTM+SVD+KL, unpolarised cylinder, "
