@@ -41,22 +41,78 @@ def has_device_fft() -> bool:
     return jax.default_backend() in _COMPLEX_OK_PLATFORMS
 
 
-def fft(x, axis=-1):
-    """FFT on device if supported, else host numpy (timestream scale IO)."""
+# Largest transform length served by the matmul DFT on complex-free
+# accelerators: one (n, n) f64 coefficient pair = 2 * n^2 * 8 bytes
+# (n = 4096 -> 268 MB) and the contraction is a single MXU matmul.
+_MATMUL_DFT_MAX = 4096
+
+
+@lru_cache(maxsize=8)
+def _dft_coeffs(n: int, sign: int):
+    """Host-cached DFT coefficient planes W = cos + i*sign*sin, (n, n)."""
+    import numpy as np
+
+    jk = np.outer(np.arange(n), np.arange(n)) * (2.0 * np.pi / n)
+    return (
+        np.cos(jk).astype(np.float64),
+        (sign * np.sin(jk)).astype(np.float64),
+    )
+
+
+def _matmul_dft(x, axis: int, inverse: bool):
+    """Split-complex DFT as one MXU matmul per plane pair.
+
+    Exact DFT semantics (matching np.fft.fft / ifft including the 1/n
+    inverse normalisation), built only from real matmuls — the FFT for
+    accelerators without complex support.  O(n^2) per transform, which
+    the MXU turns into throughput for the m-mode regime (n ~ 2*mmax+1).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    x = np.asarray(x)
+    n = x.shape[axis]
+    cos, sin = _dft_coeffs(n, 1 if inverse else -1)
+
+    xr = np.ascontiguousarray(np.moveaxis(x.real, axis, -1))
+    xi = np.ascontiguousarray(np.moveaxis(x.imag, axis, -1))
+
+    @jax.jit
+    def _apply(xr, xi, c, s):
+        yr = xr @ c - xi @ s
+        yi = xr @ s + xi @ c
+        return yr, yi
+
+    yr, yi = _apply(jnp.asarray(xr), jnp.asarray(xi), jnp.asarray(cos), jnp.asarray(sin))
+    out = np.asarray(yr) + 1j * np.asarray(yi)
+    if inverse:
+        out /= n
+    return np.moveaxis(out, -1, axis)
+
+
+def _fft_impl(x, axis: int, inverse: bool):
     import numpy as np
 
     if has_device_fft():
         import jax.numpy as jnp
 
-        return np.asarray(jnp.fft.fft(jnp.asarray(x), axis=axis))
-    return np.fft.fft(np.asarray(x), axis=axis)
+        op = jnp.fft.ifft if inverse else jnp.fft.fft
+        return np.asarray(op(jnp.asarray(x), axis=axis))
+
+    if np.asarray(x).shape[axis] <= _MATMUL_DFT_MAX:
+        return _matmul_dft(x, axis, inverse)
+
+    # very long transforms: host numpy (one-shot IO-scale work)
+    op = np.fft.ifft if inverse else np.fft.fft
+    return op(np.asarray(x), axis=axis)
+
+
+def fft(x, axis=-1):
+    """FFT on device: XLA's FFT on complex-capable backends, a
+    split-complex matmul DFT on complex-free ones."""
+    return _fft_impl(x, axis, inverse=False)
 
 
 def ifft(x, axis=-1):
-    import numpy as np
-
-    if has_device_fft():
-        import jax.numpy as jnp
-
-        return np.asarray(jnp.fft.ifft(jnp.asarray(x), axis=axis))
-    return np.fft.ifft(np.asarray(x), axis=axis)
+    return _fft_impl(x, axis, inverse=True)

@@ -33,22 +33,7 @@ from ..util import util
 logger = logging.getLogger(__name__)
 
 
-def svd_gen(A, errmsg=None, *args, **kwargs):
-    """SVD with diagonal-regularisation retry (reference parity).
-
-    jnp's SVD converges where old LAPACK drivers occasionally did not, so
-    the fallback almost never triggers, but the ladder is kept for
-    behavioural parity (/root/reference/drift/core/beamtransfer.py:35-65).
-    """
-    res = np.linalg.svd(A, *args, **kwargs)
-    if all(np.isfinite(np.asarray(r)).all() for r in np.atleast_1d(res)):
-        return res
-    sv = np.linalg.svd(A, compute_uv=False)[0]
-    At = A + sv * 1e-10 * np.eye(A.shape[0], A.shape[1])
-    logger.info("Matrix SVD did not converge. Regularised. %s", errmsg or "")
-    return np.linalg.svd(At, *args, **kwargs)
-
-
+svd_gen = linalg.svd_gen
 matrix_image = linalg.matrix_image
 matrix_nullspace = linalg.matrix_nullspace
 

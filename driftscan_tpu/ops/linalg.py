@@ -88,22 +88,36 @@ def eigh_gen(A, B, message: str = ""):
 def eigh_gen_batched(A, B):
     """Batched generalised eigh with automatic per-item regularisation.
 
-    A, B : (batch, n, n).  Items whose B fails Cholesky are retried with
-    the reference's additive constant; everything stays on device so the
-    batch shards over the mesh.
+    A, B : (batch, n, n).  Items whose B is not positive definite get a
+    diagonal shift before the (single) whitened solve; everything stays
+    on device so the batch shards over the mesh.
+
+    Definiteness is probed with one Cholesky (a third of an eigh's cost)
+    and the shift uses Gershgorin eigenvalue bounds instead of the
+    reference's exact extremal eigenvalues
+    (/root/reference/drift/core/kltransform.py:107-110): both guarantee
+    B + c*I is PD, and under vmap an exact-eigenvalue retry would run the
+    expensive solve twice for every item.
 
     Returns (evals (batch, n) ascending, evecs (batch, n, n) columns,
     add_const (batch,)).
     """
 
     def solve_one(a, b):
-        w, v, ok = _whitened_eigh(a, b)
-        evb = jnp.linalg.eigvalsh(b)
-        add_const = jnp.where(ok, 0.0, 1e-15 * evb[-1] - 2.0 * evb[0] + 1e-60)
+        L = jnp.linalg.cholesky(b)
+        ok = jnp.isfinite(L.real).all() & jnp.isfinite(L.imag).all()
+
+        diag = jnp.real(jnp.diagonal(b))
+        radius = jnp.abs(b).sum(axis=1) - jnp.abs(jnp.diagonal(b))
+        lo = (diag - radius).min()
+        hi = (diag + radius).max()
+        add_const = jnp.where(
+            ok, 0.0, 1e-15 * hi - 2.0 * jnp.minimum(lo, 0.0) + 1e-30
+        ).astype(diag.dtype)
+
         breg = b + add_const * jnp.eye(b.shape[0], dtype=b.dtype)
-        w2, v2, _ = _whitened_eigh(a, breg)
-        w = jnp.where(ok, w, w2)
-        v = jnp.where(ok, v, v2)
+        w, v, _ = _whitened_eigh(a, breg)
+
         # All-zero A -> zero evals, identity evecs (reference convention)
         zero = (a == 0).all()
         w = jnp.where(zero, jnp.zeros_like(w), w)
@@ -134,17 +148,35 @@ def inv_gen(A):
 # ------------------------------------------------------------------
 
 
+def svd_gen(A, errmsg=None, *args, **kwargs):
+    """SVD with diagonal-regularisation retry (reference ladder parity,
+    /root/reference/drift/core/beamtransfer.py:35-65).  Modern LAPACK
+    drivers essentially never fail to converge, so the fallback is a
+    safety net."""
+    import logging
+
+    res = np.linalg.svd(A, *args, **kwargs)
+    parts = res if isinstance(res, tuple) else (res,)
+    if all(np.isfinite(p).all() for p in parts):
+        return res
+    sv = np.linalg.svd(A, compute_uv=False)[0]
+    At = A + sv * 1e-10 * np.eye(A.shape[0], A.shape[1])
+    logging.getLogger(__name__).info(
+        "Matrix SVD did not converge. Regularised. %s", errmsg or ""
+    )
+    return np.linalg.svd(At, *args, **kwargs)
+
+
 def matrix_image(A, rtol: float = 1e-8, atol: Optional[float] = None, errmsg=""):
     """Orthonormal basis of the image of A and its singular spectrum.
 
-    Parity with /root/reference/drift/core/beamtransfer.py:68-104 (the
-    QR fallback ladder is unnecessary: jnp's SVD does not fail to
-    converge the way old LAPACK drivers did).
+    Parity with /root/reference/drift/core/beamtransfer.py:68-104; the
+    SVD routes through the :func:`svd_gen` regularisation ladder.
     """
     A = np.asarray(A)
     if A.shape[0] == 0:
         return np.array([], dtype=A.dtype).reshape(0, 0), np.array([], dtype=np.float64)
-    u, s, _ = np.linalg.svd(np.asarray(A), full_matrices=False)
+    u, s, _ = svd_gen(A, errmsg=errmsg, full_matrices=False)
     if atol is None:
         cut = int((s > s[0] * rtol).sum()) if s.size else 0
     else:
@@ -157,7 +189,7 @@ def matrix_nullspace(A, rtol: float = 1e-8, atol: Optional[float] = None, errmsg
     A = np.asarray(A)
     if A.shape[0] == 0:
         return np.array([], dtype=A.dtype).reshape(0, 0), np.array([], dtype=np.float64)
-    u, s, _ = np.linalg.svd(A, full_matrices=True)
+    u, s, _ = svd_gen(A, errmsg=errmsg, full_matrices=True)
     s_ext = np.zeros(u.shape[1])
     s_ext[: s.size] = s
     if atol is None:

@@ -225,7 +225,15 @@ def whiten_eigh(s: Z, n: Z, floor: float = 0.0):
     d, q = eigh(n)
     dmax = d[..., -1]
     dmin = d[..., 0]
-    dclamp = jnp.maximum(d, floor * dmax[..., None] + 1e-300)
+    # Floor at the eigh resolution (~eps * dmax) even when no explicit
+    # floor is given: roundoff makes the smallest eigenvalues of an
+    # ill-conditioned N come out <= 0, and 1/sqrt of those is inf -> NaN
+    # (on TPU runtimes this faults the downstream eigh kernel).  The
+    # clamped values are numerically meaningless anyway.  All constants
+    # stay inside the f32 exponent range (TPU f64 is a float32 pair).
+    eps = jnp.finfo(d.dtype).eps
+    dfloor = jnp.maximum(floor, eps) * dmax[..., None] + 1e-30
+    dclamp = jnp.maximum(d, dfloor)
     inv_sqrt = 1.0 / jnp.sqrt(dclamp)
 
     wmat = q * inv_sqrt[..., None, :]  # Q d^-1/2 (columns scaled)

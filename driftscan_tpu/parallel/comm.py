@@ -57,11 +57,6 @@ def size() -> int:
     return _init()[1]
 
 
-@property
-def _rank0():  # pragma: no cover - property trick not used, see rank0()
-    raise NotImplementedError
-
-
 def rank0() -> bool:
     return rank() == 0
 
