@@ -57,7 +57,7 @@ class BeamTransfer(config.Reader):
     svcut = config.Property(proptype=float, default=1e-6)
     polsvcut = config.Property(proptype=float, default=1e-4)
 
-    truncate = config.Property(proptype=bool, default=False)
+    truncate = config.Property(proptype=bool, default=True)
     truncate_rel = config.Property(proptype=float, default=1e-7)
     truncate_maxl = config.Property(proptype=float, default=1e-8)
     chunk_cache_size = config.Property(proptype=int, default=128)
@@ -273,6 +273,7 @@ class BeamTransfer(config.Reader):
                     chunks=csize,
                     dtype=np.complex128,
                     compression="lzf",
+                    shuffle=True,
                 )
                 f.attrs["m"] = mi
                 f.attrs["frequencies"] = tel.frequencies
@@ -461,6 +462,7 @@ class BeamTransfer(config.Reader):
             (nfreq, self.svd_len, npol, nl),
             chunks=(1, min(10, self.svd_len), npol, nl),
             compression="lzf",
+            shuffle=True,
             dtype=np.complex128,
         )
         dset_ibsvd = None
@@ -470,6 +472,7 @@ class BeamTransfer(config.Reader):
                 (nfreq, npol, nl, self.svd_len),
                 chunks=(1, npol, nl, min(10, self.svd_len)),
                 compression="lzf",
+                shuffle=True,
                 dtype=np.complex128,
             )
         dset_ut = fs.create_dataset(
@@ -477,6 +480,7 @@ class BeamTransfer(config.Reader):
             (nfreq, self.svd_len, self.ntel),
             chunks=(1, min(10, self.svd_len), self.ntel),
             compression="lzf",
+            shuffle=True,
             dtype=np.complex128,
         )
         dset_sig = fs.create_dataset(

@@ -71,3 +71,54 @@ def test_native_matches_numpy(native_lib, monkeypatch):
     truncate.bit_truncate_max_complex(b_numpy, 1e-3, 1e-4)
 
     np.testing.assert_array_equal(b_native, b_numpy)
+
+
+class TestProductCompression:
+    """Truncation + byte-shuffle + lzf is the storage contract
+    (reference: bitshuffle+LZ4 with bit truncation on by default,
+    /root/reference/drift/core/beamtransfer.py:549-555,641-646)."""
+
+    def test_beam_files_truncated_and_compressed(self, tmp_path):
+        import h5py
+        import yaml
+
+        from driftscan_tpu.core import manager
+
+        conf = yaml.safe_load(
+            f"""
+config:
+    beamtransfers:  Yes
+    kltransform:    No
+    psfisher:       No
+    output_directory: "{tmp_path}/prod"
+
+telescope:
+    type:           UnpolarisedCylinder
+    num_freq:       2
+    freq_start:     100.0
+    freq_end:       110.0
+    freq_mode:      edge
+    num_cylinders:  2
+    cylinder_width: 2.0
+    num_feeds:      2
+    feed_spacing:   1.5
+"""
+        )
+        m = manager.ProductManager()
+        m.apply_config(conf)
+        assert m.beamtransfer.truncate  # on by default
+        m.generate()
+
+        with h5py.File(m.beamtransfer._mfile(0), "r") as f:
+            dset = f["beam_m"]
+            assert dset.compression == "lzf"
+            assert dset.shuffle
+            vals = dset[:]
+
+        # truncated mantissas: values must round-trip through the
+        # truncation operator unchanged (it is idempotent)
+        from driftscan_tpu.ops import truncate as tr
+
+        flat = vals.reshape(-1, vals.shape[-1]).copy()
+        tr.bit_truncate_max_complex(flat, 1e-7, 1e-8)
+        np.testing.assert_array_equal(flat, vals.reshape(-1, vals.shape[-1]))
