@@ -84,13 +84,19 @@ def btm_phase(tel, max_units=None):
 
     # Warm up compilation on one unit
     _log("BTM warm-up compile...")
+    wt = time.time()
     tel.transfer_matrices(blg[:1], fig[:1])
+    _PHASES.setdefault("t_btm_warmup_s", round(time.time() - wt, 2))
     _log("BTM warm-up done; full BTM phase...")
 
     st = time.time()
     tarray = tel.transfer_matrices(blg, fig)
     dt = time.time() - st
     return tarray, dt, len(blg)
+
+
+# Phase/warm-up timings accumulated for the JSON detail block.
+_PHASES = {}
 
 
 def _covariances(tel):
@@ -187,9 +193,11 @@ def product_phase(tel, tarray, mbatch=None, max_m=None):
 
     # Warm-up compile
     _log(f"product warm-up compile (mbatch={mbatch})...")
+    wt = time.time()
     beam0, mv0 = _beam_batch(tarray, np.arange(min(mbatch, nm)), tel, mbatch)
     res = run(beam0, mv0)
     res.evals.block_until_ready()
+    _PHASES.setdefault("t_product_warmup_s", round(time.time() - wt, 2))
     _log("product warm-up done")
 
     st = time.time()
@@ -275,8 +283,12 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "detail": {
             "platform": platform,
+            # steady-state phase walls (post warm-up)
             "t_btm_s": round(t_btm, 2),
             "t_product_s": round(t_prod, 2),
+            # compile/warm-up split (cold unless the persistent
+            # compilation cache in .jax_cache is populated)
+            **_PHASES,
         },
     }
     print(json.dumps(out))
