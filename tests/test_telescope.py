@@ -178,3 +178,42 @@ def test_pickle_roundtrip():
     assert tel2._nside is None  # underscore state stripped
     np.testing.assert_allclose(tel2.baselines, tel.baselines)
     assert tel2.num_feeds == tel.num_feeds
+
+
+class TestOldCylinder:
+    """The legacy (sinc-beam) cylinder models must run the full transfer
+    pipeline (reference: /root/reference/drift/telescope/oldcylinder.py)."""
+
+    def test_unpolarised_transfer(self):
+        from driftscan_tpu.telescope import oldcylinder
+
+        tel = oldcylinder.UnpolarisedCylinderTelescope.from_config(
+            dict(num_freq=1, freq_start=100.0, freq_end=110.0, freq_mode="edge",
+                 num_cylinders=2, cylinder_width=2.0, num_feeds=2,
+                 feed_spacing=1.5)
+        )
+        t = np.asarray(tel.transfer_matrices(np.arange(tel.npairs),
+                                             np.zeros(tel.npairs, int)))
+        assert t.shape[1] == 1  # unpolarised
+        assert np.isfinite(t).all()
+        assert np.abs(t).max() > 0
+
+    @pytest.mark.parametrize("ortho", [True, False])
+    def test_polarised_beams(self, ortho):
+        from driftscan_tpu.telescope import oldcylinder
+
+        tel = oldcylinder.PolarisedCylinderTelescope.from_config(
+            dict(num_freq=1, freq_start=100.0, freq_end=110.0, freq_mode="edge",
+                 num_cylinders=1, cylinder_width=2.0, num_feeds=2,
+                 feed_spacing=1.5, ortho_pol=ortho)
+        )
+        nside = tel._nside_for(16)
+        tel._init_trans(nside)
+        bx = tel.beamx(0, 0)
+        by = tel.beamy(0, 0)
+        assert bx.shape == by.shape == (12 * nside**2, 2)
+        # orthogonal dipoles: X along phi-hat, Y along theta-hat
+        if ortho:
+            assert np.abs(bx[:, 0]).max() == 0
+            assert np.abs(by[:, 1]).max() == 0
+        assert np.isfinite(bx).all() and np.isfinite(by).all()
