@@ -738,17 +738,34 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
         return self._beam_cache[key]
 
     def _gather_beams(self, bl_ind, f_ind):
-        """Stacked host beam maps and uv coordinates for a unit batch."""
-        beams_i, beams_j, uvs = [], [], []
+        """Per-unit beam maps and uv coordinates for a unit batch.
+
+        Only the *unique* (freq, beamclass) maps are evaluated and shipped
+        to the device (a batch of nfb units typically shares a handful of
+        beams); the per-unit stacking is a device-side gather, so the
+        host->device transfer is O(unique) instead of O(units).
+        """
+        slot = {}
+        unique = []
+        idx_i, idx_j, uvs = [], [], []
         for bi, fi in zip(bl_ind, f_ind):
             feedi, feedj = self.uniquepairs[bi]
-            beams_i.append(self._beam(feedi, fi))
-            beams_j.append(self._beam(feedj, fi))
+            for feed, idx in ((feedi, idx_i), (feedj, idx_j)):
+                key = (int(fi), int(self.beamclass[feed]))
+                if key not in slot:
+                    slot[key] = len(unique)
+                    unique.append(self._beam(feed, fi))
+                idx.append(slot[key])
             uvs.append(self.baselines[bi] / self.wavelengths[fi])
+
         uv = np.array(uvs)
         if self.single_precision:
             uv = uv.astype(np.float32)
-        return np.stack(beams_i), np.stack(beams_j), uv
+
+        stack = jnp.asarray(np.stack(unique))
+        beam_i = jnp.take(stack, jnp.asarray(np.array(idx_i)), axis=0)
+        beam_j = jnp.take(stack, jnp.asarray(np.array(idx_j)), axis=0)
+        return beam_i, beam_j, uv
 
     # ================= draco-compatible maps ==================
 

@@ -150,10 +150,15 @@ def _legendre_chunk(mvals, cos_t, sin_t, lmax: int, logpref):
     return lam  # (lmax+1, mc, nring)
 
 
-def _chunk_size(nring: int, maxlen: int, nm: int, budget_bytes: int = 1 << 27) -> int:
-    """m-chunk size keeping the phase tensor under ~budget_bytes."""
+def _chunk_size(nring: int, maxlen: int, nm: int, budget_bytes: int = 1 << 30) -> int:
+    """m-chunk size keeping the phase tensor under ~budget_bytes.
+
+    The phase-stage contraction is a batch of (maxlen x B) @ (maxlen x mc)
+    matmuls per ring, so mc is an MXU tile dimension: keep it >= 64 or
+    the systolic array runs mostly empty (measured 15x off peak at mc=8).
+    """
     per_m = nring * maxlen * 16
-    mc = max(8, min(nm, budget_bytes // max(per_m, 1)))
+    mc = max(64, min(nm, budget_bytes // max(per_m, 1)))
     return int(mc)
 
 

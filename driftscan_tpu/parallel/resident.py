@@ -1,0 +1,200 @@
+"""Device-resident product generation: BTM -> SVD -> KL without host trips.
+
+The file-based pipeline stages communicate through HDF5 (the reference's
+contract), which forces a device->host fetch of the full BTM and a
+host->device re-upload for the SVD/KL stage.  On a remote-attached TPU
+the link is orders of magnitude slower than HBM, so for in-memory
+workflows (benchmarking, interactive analysis, simulation) this module
+keeps everything resident:
+
+* :func:`btm_resident` computes the beam transfer matrices bucket-by-
+  bucket (per-nside, like ``TransitTelescope.transfer_matrices``) and
+  leaves the (l, m) tables on device, padded to the global band limit;
+* :func:`product_step_resident` builds each m-batch's beam matrix on
+  device (a gather along the m axis + the (-1)^m conjugate negative-m
+  block, reference packing at
+  /root/reference/drift/core/beamtransfer.py:620-624) fused into the same
+  jit as the SVD+KL product step, so the only host traffic is the final
+  eigenvalues.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import telescope as teles
+from ..ops import sht, zarray as za
+from . import mstep
+
+
+def btm_resident(tel, bl_indices, f_indices):
+    """Compute BTMs for the given units, leaving them on device.
+
+    Returns (pos, neg): Z pytrees with planes
+    ``pos (nu, lside+1, lside+1)`` (coefficients for m >= 0) and
+    ``neg (nu, lside+1, lside)`` (m = -1 ... -lside), already masked to
+    each unit's own band limit.  Unpolarised telescopes only.
+    """
+    if tel.num_pol_sky != 1:
+        raise NotImplementedError("resident path currently unpolarised-only")
+
+    bl_indices = np.asarray(bl_indices)
+    f_indices = np.asarray(f_indices)
+    lside = tel.lmax
+
+    lmax_arr, _ = teles.max_lm(
+        tel.baselines[bl_indices],
+        tel.wavelengths[f_indices],
+        tel.u_width,
+        tel.v_width,
+    )
+    lmax_arr = np.ceil(lmax_arr * tel.l_boost).astype(np.int64)
+    nsides = np.array([tel._nside_for(int(l)) for l in lmax_arr])
+
+    nu = len(bl_indices)
+    dt = jnp.float32 if tel.single_precision else jnp.float64
+    pos_re = jnp.zeros((nu, lside + 1, lside + 1), dtype=dt)
+    pos_im = jnp.zeros_like(pos_re)
+    neg_re = jnp.zeros((nu, lside + 1, lside), dtype=dt)
+    neg_im = jnp.zeros_like(neg_re)
+
+    for ns in np.unique(nsides):
+        sel = np.nonzero(nsides == ns)[0]
+        sub_lmax = int(lmax_arr[sel].max())
+
+        # pad the unit batch to a power of two for shape-stable compiles
+        nsel = len(sel)
+        npad = 1 << max(nsel - 1, 0).bit_length()
+        bsel = np.concatenate(
+            [bl_indices[sel], np.repeat(bl_indices[sel][-1], npad - nsel)]
+        )
+        fsel = np.concatenate(
+            [f_indices[sel], np.repeat(f_indices[sel][-1], npad - nsel)]
+        )
+
+        tel._init_trans(int(ns))
+        cvis = tel._beam_map_batch_split(bsel, fsel)
+        if tel.single_precision:
+            cvis = za.Z(cvis.re.astype(jnp.float32), cvis.im.astype(jnp.float32))
+
+        # btrans = conj(SHT(conj(map))) (reference telescope.py:1188-1191)
+        p, n = sht.analysis_split(cvis.conj(), lmax=sub_lmax, neg_m=True)
+        p, n = p.conj(), n.conj()
+
+        # per-unit band-limit mask
+        ls = np.arange(sub_lmax + 1)
+        lmask = jnp.asarray(
+            (ls[None, :] <= lmax_arr[sel, None]).astype(np.float32), dtype=dt
+        )
+        sub = np.s_[: sub_lmax + 1]
+
+        pm = lmask[:, :, None]  # (nsel, sub_lmax+1, 1): masks l, broadcasts m
+        pos_re = pos_re.at[sel, sub, : sub_lmax + 1].set(p.re[:nsel] * pm)
+        pos_im = pos_im.at[sel, sub, : sub_lmax + 1].set(p.im[:nsel] * pm)
+        neg_re = neg_re.at[sel, sub, :sub_lmax].set(n.re[:nsel] * pm)
+        neg_im = neg_im.at[sel, sub, :sub_lmax].set(n.im[:nsel] * pm)
+
+    return za.Z(pos_re, pos_im), za.Z(neg_re, neg_im)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("npairs", "nfreq", "nl", "fg_levels", "sig_levels")
+)
+def _resident_batch(
+    pos_re,
+    pos_im,
+    neg_re,
+    neg_im,
+    noisew,
+    ls,
+    lf,
+    mv,
+    npairs: int,
+    nfreq: int,
+    nl: int,
+    fg_levels: int = 8,
+    sig_levels: int = 5,
+):
+    """Build the m-batch beam matrices on device and run the product step.
+
+    pos/neg planes are (nu, nl, nm*) with units ordered baseline-major
+    (u = bl * nfreq + f).
+    """
+
+    def build_one(m):
+        p_re = jnp.take(pos_re, m, axis=-1)  # (nu, nl)
+        p_im = jnp.take(pos_im, m, axis=-1)
+        midx = jnp.maximum(m - 1, 0)
+        n_re = jnp.take(neg_re, midx, axis=-1)
+        n_im = jnp.take(neg_im, midx, axis=-1)
+        sign = jnp.where(m % 2 == 0, 1.0, -1.0).astype(p_re.dtype)
+        use_neg = (m > 0).astype(p_re.dtype)
+        n_re = sign * use_neg * n_re
+        n_im = -sign * use_neg * n_im  # conjugate
+
+        def organise(x):
+            # (nu, nl) -> (nfreq, 2*npairs, nl): pos block then neg block
+            return x.reshape(npairs, nfreq, nl).transpose(1, 0, 2)
+
+        top_re, top_im = organise(p_re), organise(p_im)
+        bot_re, bot_im = organise(n_re), organise(n_im)
+        return (
+            jnp.concatenate([top_re, bot_re], axis=1),
+            jnp.concatenate([top_im, bot_im], axis=1),
+        )
+
+    beams_re, beams_im = jax.vmap(build_one)(mv)
+
+    return mstep.kl_product_step_split(
+        beams_re,
+        beams_im,
+        noisew,
+        ls,
+        lf,
+        mv,
+        npol=1,
+        nl=nl,
+        fg_levels=fg_levels,
+        sig_levels=sig_levels,
+    )
+
+
+def product_all_resident(tel, pos, neg, ls, lf, noisew, mbatch=8):
+    """Run the SVD+KL product step over every m from resident BTMs.
+
+    Fetches only the eigen-spectrum: returns (evals (nm, ndof), nmodes
+    (nm, nfreq)) as host numpy.
+    """
+    nm = tel.mmax + 1
+    nl = tel.lmax + 1
+    dt = pos.re.dtype
+
+    noisew = jnp.asarray(np.asarray(noisew), dtype=dt)
+    ls = jnp.asarray(np.asarray(ls), dtype=dt)
+    lf = jnp.asarray(np.asarray(lf), dtype=dt)
+
+    evals, nmodes = [], []
+    for s in range(0, nm, mbatch):
+        ms = np.arange(s, min(s + mbatch, nm))
+        mv = np.full(mbatch, -1, np.int32)
+        mv[: len(ms)] = ms
+        res = _resident_batch(
+            pos.re,
+            pos.im,
+            neg.re,
+            neg.im,
+            noisew,
+            ls,
+            lf,
+            jnp.asarray(mv),
+            npairs=tel.npairs,
+            nfreq=tel.nfreq,
+            nl=nl,
+        )
+        evals.append(np.asarray(res.evals)[: len(ms)])
+        nmodes.append(np.asarray(res.nmodes)[: len(ms)])
+    return np.concatenate(evals), np.concatenate(nmodes)

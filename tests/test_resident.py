@@ -1,0 +1,102 @@
+"""The device-resident product path must reproduce the host-staged one."""
+
+import numpy as np
+
+import driftscan_tpu.backend as backend
+from driftscan_tpu.ops import zarray as za
+from driftscan_tpu.parallel import mstep, resident
+from driftscan_tpu.telescope import cylinder
+
+
+def _tel(**kw):
+    return cylinder.UnpolarisedCylinderTelescope.from_config(
+        dict(
+            num_freq=2,
+            freq_start=100.0,
+            freq_end=110.0,
+            freq_mode="edge",
+            num_cylinders=2,
+            cylinder_width=2.0,
+            num_feeds=2,
+            feed_spacing=1.5,
+            **kw,
+        )
+    )
+
+
+def test_btm_resident_matches_transfer_matrices():
+    tel = _tel()
+    bl = np.arange(tel.npairs)
+    fi = np.arange(tel.nfreq)
+    blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+
+    tarray = np.asarray(tel.transfer_matrices(blg, fig))  # (nu, 1, L+1, 2L+1)
+    pos, neg = resident.btm_resident(tel, blg, fig)
+    posn, negn = za.to_numpy(pos), za.to_numpy(neg)
+
+    L = tel.lmax
+    np.testing.assert_allclose(posn, tarray[:, 0, :, : L + 1], atol=1e-10)
+    # packed negative m: tarray[..., -m] = neg[..., m-1]
+    for m in (1, L // 2, L):
+        np.testing.assert_allclose(
+            negn[..., m - 1], tarray[:, 0, :, -m], atol=1e-10
+        )
+
+
+def test_product_all_resident_matches_host_path():
+    # f64 on both paths: this tiny telescope's KL evals (~1e-3) sit at the
+    # f32 resolution floor, so only the f64 comparison is meaningful.
+    tel = _tel()
+    bl = np.arange(tel.npairs)
+    fi = np.arange(tel.nfreq)
+    blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+
+    import bench
+
+    cl_s, cl_n, noisew, _ = bench._covariances(tel)
+    ls, lf = mstep.prepare_cl_factors(cl_s, cl_n, out_dtype=np.float64)
+    noisew = noisew.astype(np.float64)
+
+    pos, neg = resident.btm_resident(tel, blg, fig)
+    evals_r, nmodes_r = resident.product_all_resident(
+        tel, pos, neg, ls, lf, noisew, mbatch=4
+    )
+
+    # host-staged path: same product step fed from the packed host tarray
+    tarray = np.asarray(tel.transfer_matrices(blg, fig))
+    nl = tel.lmax + 1
+    nm = tel.mmax + 1
+    t5 = tarray.reshape(tel.npairs, tel.nfreq, 1, nl, -1)
+    step = mstep.jit_product_step_split(npol=1, nl=nl)
+
+    evals_h = []
+    for s in range(0, nm, 4):
+        ms = np.arange(s, min(s + 4, nm))
+        beam = np.zeros(
+            (4, tel.nfreq, 2 * tel.npairs, nl), dtype=np.complex128
+        )
+        for i, mi in enumerate(ms):
+            p = t5[..., mi]
+            n = (-1) ** mi * np.conj(t5[..., -mi]) if mi else np.zeros_like(p)
+            blk = np.concatenate([p, n], axis=0)
+            beam[i] = blk.transpose(1, 0, 2, 3).reshape(
+                tel.nfreq, 2 * tel.npairs, nl
+            )
+        mv = np.full(4, -1, np.int32)
+        mv[: len(ms)] = ms
+        res = step(
+            np.ascontiguousarray(beam.real),
+            np.ascontiguousarray(beam.imag),
+            noisew,
+            ls,
+            lf,
+            mv,
+        )
+        evals_h.append(np.asarray(res.evals)[: len(ms)])
+    evals_h = np.concatenate(evals_h)
+
+    assert evals_r.shape == evals_h.shape
+    scale = np.abs(evals_h).max() + 1e-30
+    # agreement is ~1e-19 absolute; the atol floor covers denormal-tail
+    # modes (~1e-18) whose relative error is meaningless
+    np.testing.assert_allclose(evals_r, evals_h, rtol=1e-6, atol=1e-15 * scale)
