@@ -218,6 +218,58 @@ def _log(msg):
 _T0 = time.time()
 
 
+def resident_phases(tel, max_m=None, mbatch=8):
+    """Device-resident BTM + product phases; returns (t_btm, t_prod).
+
+    Timings force execution with a scalar reduction fetch (the remote
+    runtime's block_until_ready is not a reliable fence), so only O(1)
+    bytes cross the link inside the timed regions.
+    """
+    from driftscan_tpu.parallel import mstep, resident
+
+    cl_s, cl_n, noisew, _ = _covariances(tel)
+    ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)
+
+    bl = np.arange(tel.npairs)
+    fi = np.arange(tel.nfreq)
+    blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+
+    def sync(z):
+        return float(np.asarray(z.re.sum() if hasattr(z, "re") else z.sum()))
+
+    _log("BTM warm-up/compile pass...")
+    wt = time.time()
+    pos, neg = resident.btm_resident(tel, blg, fig)
+    sync(pos)
+    _PHASES.setdefault("t_btm_warmup_s", round(time.time() - wt, 2))
+
+    _log("BTM steady pass...")
+    st = time.time()
+    pos, neg = resident.btm_resident(tel, blg, fig)
+    sync(pos)
+    t_btm = time.time() - st
+
+    nm = tel.mmax + 1 if max_m is None else max_m
+
+    _log(f"product warm-up compile (mbatch={mbatch})...")
+    wt = time.time()
+    resident.product_all_resident(
+        tel, pos, neg, ls, lf, noisew, mbatch=mbatch, max_m=min(mbatch, nm)
+    )
+    _PHASES.setdefault("t_product_warmup_s", round(time.time() - wt, 2))
+
+    _log("product steady pass...")
+    st = time.time()
+    evals, nmodes = resident.product_all_resident(
+        tel, pos, neg, ls, lf, noisew, mbatch=mbatch, max_m=nm
+    )
+    t_prod = time.time() - st
+
+    if not np.isfinite(evals).all():
+        raise RuntimeError("non-finite KL eigenvalues in bench product phase")
+    return t_btm, t_prod
+
+
 def main():
     platform = jax.devices()[0].platform
 
@@ -226,10 +278,8 @@ def main():
     nfb_total = tel.npairs * tel.nfreq
     _log(f"telescope ready: nm={nm} nfb={nfb_total} platform={platform}")
 
-    tarray, t_btm, _ = btm_phase(tel)
-    _log(f"BTM phase done: {t_btm:.1f}s")
-    t_prod = product_phase(tel, tarray)
-    _log(f"product phase done: {t_prod:.1f}s")
+    t_btm, t_prod = resident_phases(tel)
+    _log(f"BTM phase: {t_btm:.1f}s; product phase: {t_prod:.1f}s")
     total = t_btm + t_prod
     mm_per_sec = nm / total
 
@@ -251,18 +301,14 @@ def main():
                 _reset_backend_caches()
 
                 tel_c = build_telescope()
-                n_units = min(nfb_total, max(8, nfb_total // 8))
-                _, t_btm_sub, n_done = btm_phase(tel_c, max_units=n_units)
-                t_btm_cpu = t_btm_sub * nfb_total / n_done
-
-                nsub = max(4, nm // 16)
-                t_prod_cpu = product_phase(tel_c, tarray, max_m=nsub)
-                t_prod_cpu *= nm / nsub
+                nsub = max(8, nm // 8)
+                t_btm_cpu, t_prod_sub = resident_phases(tel_c, max_m=nsub)
+                t_prod_cpu = t_prod_sub * nm / nsub
 
                 cpu_rate = nm / (t_btm_cpu + t_prod_cpu)
                 vs_baseline = mm_per_sec / cpu_rate
                 _log(
-                    f"CPU leg: btm {t_btm_cpu:.1f}s (extrap), product "
+                    f"CPU leg: btm {t_btm_cpu:.1f}s, product "
                     f"{t_prod_cpu:.1f}s (extrap) -> {cpu_rate:.3f} mm/s"
                 )
         except Exception as exc:  # CPU leg is best-effort

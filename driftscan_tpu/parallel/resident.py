@@ -163,13 +163,13 @@ def _resident_batch(
     )
 
 
-def product_all_resident(tel, pos, neg, ls, lf, noisew, mbatch=8):
+def product_all_resident(tel, pos, neg, ls, lf, noisew, mbatch=8, max_m=None):
     """Run the SVD+KL product step over every m from resident BTMs.
 
     Fetches only the eigen-spectrum: returns (evals (nm, ndof), nmodes
     (nm, nfreq)) as host numpy.
     """
-    nm = tel.mmax + 1
+    nm = tel.mmax + 1 if max_m is None else max_m
     nl = tel.lmax + 1
     dt = pos.re.dtype
 
