@@ -238,10 +238,11 @@ def kl_solve(
     a_signal: za.Z,
     a_fg: za.Z,
     with_thermal: bool = True,
-    fg_levels: int = 8,
-    sig_levels: int = 5,
-    band_rel: float = 1e-1,
+    fg_levels: int = 3,
+    sig_levels: int = 2,
+    band_rel: float = 1e-3,
     fg_floor: float = 1e-6,
+    solve_dtype=jnp.float64,
 ) -> KLResult:
     """Solve S v = w N v with S = A_s A_s^H, N = [I +] A_f A_f^H.
 
@@ -258,21 +259,29 @@ def kl_solve(
         spectrum is floored at ``fg_floor`` relative for the whitening.
     fg_levels, sig_levels
         Gram deflation depth.  Each level extends the resolved range by
-        a factor 1/band_rel of singular value (squared in eigenvalue).
-        8 levels at 1e-1 cover 8 decades of s — 16 decades of
-        covariance — enough for the foreground's ~14.  band_rel trades
-        per-level coverage against band-boundary accuracy: cutting too
-        close to the Gram resolution floor (~sqrt(n*eps)) deflates
-        poorly-converged directions and pollutes later levels (measured
-        end-to-end KL eval error: (5,3,3e-2) -> 3.6e-3; (6,4,5e-2) ->
-        7e-4; (8,5,1e-1) -> 1.4e-4, matching the reference's KL
-        tolerance tier).  Lower the depth for speed-over-accuracy runs.
+        a factor 1/band_rel of singular value (squared in eigenvalue),
+        and the band cut must stay well above the Gram's eigh resolution
+        (~n * eps(solve_dtype) relative to the level's top) or deflation
+        of poorly-converged directions pollutes later levels.
+    solve_dtype
+        dtype of the Gram/eigh stages.  float64 (the default) reaches
+        eps ~ 1e-15 even on TPU runtimes that emulate it as a float32
+        pair — and there eigh costs the *same* as f32 (measured) — so 3
+        foreground + 2 signal levels at band_rel 1e-3 cover the
+        foreground's 14 decades with ~1e-6 in-band accuracy using 5
+        eighs per m instead of 13.  (An all-f32 configuration needs
+        (8, 5, 1e-1) for the reference's 1e-4 KL tier.)
 
     Returns
     -------
     KLResult with evals ascending (matching eigh convention) and evecs as
     columns satisfying v^H N v = I on the resolved subspace.
     """
+    in_dtype = a_signal.re.dtype
+    if solve_dtype is not None:
+        a_signal = a_signal.astype(solve_dtype)
+        a_fg = a_fg.astype(solve_dtype)
+
     fg = gram_bands(a_fg, levels=fg_levels, band_rel=band_rel)
 
     if with_thermal:
@@ -290,8 +299,10 @@ def kl_solve(
         v = whiten_apply_floor(fg, u, floor_rel=fg_floor)
 
     # ascending, to match jnp.linalg.eigh / the reference's eigh_gen
-    evals = evals[..., ::-1]
-    v = za.Z(v.re[..., ::-1], v.im[..., ::-1])
+    evals = evals[..., ::-1].astype(in_dtype)
+    v = za.Z(
+        v.re[..., ::-1].astype(in_dtype), v.im[..., ::-1].astype(in_dtype)
+    )
     return KLResult(evals, v)
 
 
