@@ -238,11 +238,11 @@ def kl_solve(
     a_signal: za.Z,
     a_fg: za.Z,
     with_thermal: bool = True,
-    fg_levels: int = 3,
-    sig_levels: int = 2,
-    band_rel: float = 1e-3,
+    fg_levels: int = 8,
+    sig_levels: int = 5,
+    band_rel: float = 1e-1,
     fg_floor: float = 1e-6,
-    solve_dtype=jnp.float64,
+    solve_dtype=None,
 ) -> KLResult:
     """Solve S v = w N v with S = A_s A_s^H, N = [I +] A_f A_f^H.
 

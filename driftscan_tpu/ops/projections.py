@@ -258,9 +258,9 @@ def kl_factored_batched(
     lf: np.ndarray,
     nc: float = 1.0,
     with_thermal: bool = True,
-    fg_levels: int = 3,
-    sig_levels: int = 2,
-    band_rel: float = 1e-3,
+    fg_levels: int = 8,
+    sig_levels: int = 5,
+    band_rel: float = 1e-1,
     fg_floor: float = 1e-6,
     mesh=None,
 ):

@@ -81,9 +81,9 @@ def kl_product_step_split(
     polsvcut: float = 1e-4,
     svcut: float = 1e-6,
     with_thermal: bool = True,
-    fg_levels: int = 3,
-    sig_levels: int = 2,
-    band_rel: float = 1e-3,
+    fg_levels: int = 8,
+    sig_levels: int = 5,
+    band_rel: float = 1e-1,
 ) -> ProductStepResultSplit:
     """SVD-compress and KL-filter a batch of m-modes in one jitted program.
 

@@ -116,8 +116,8 @@ def _resident_batch(
     npairs: int,
     nfreq: int,
     nl: int,
-    fg_levels: int = 3,
-    sig_levels: int = 2,
+    fg_levels: int = 8,
+    sig_levels: int = 5,
 ):
     """Build the m-batch beam matrices on device and run the product step.
 
