@@ -263,22 +263,20 @@ class PSEstimation(config.Reader, metaclass=abc.ABCMeta):
         return clzz
 
     def make_clzz_array(self):
-        """Build the (nbands, lmax+1, nfreq, nfreq) band C_l array."""
-        self.clarray = np.zeros(
-            (
-                self.nbands,
-                self.telescope.lmax + 1,
-                self.telescope.nfreq,
-                self.telescope.nfreq,
-            ),
-            dtype=np.float64,
-        )
+        """Build the (nbands, lmax+1, nfreq, nfreq) band C_l array.
 
-        p, s, e = comm.split_local(self.nbands)
-        for bi in range(s, e):
-            self.clarray[bi] = self.make_clzz(self.band_pk[bi])
+        Each process fills its local block of bands; the allreduce stitches
+        the full array together everywhere (zeros elsewhere).
+        """
+        tel = self.telescope
+        shape = (self.nbands, tel.lmax + 1, tel.nfreq, tel.nfreq)
+        local = np.zeros(shape, dtype=np.float64)
 
-        self.clarray = comm.allreduce(self.clarray)
+        _, start, end = comm.split_local(self.nbands)
+        for bi in range(start, end):
+            local[bi] = self.make_clzz(self.band_pk[bi])
+
+        self.clarray = comm.allreduce(local)
 
     def delbands(self):
         """Drop the cached band C_l arrays to free memory."""

@@ -31,7 +31,8 @@ T_SIDEREAL = 23.9344696 * 3600.0
 
 def in_range(arr, min, max):
     """True if all entries lie in [min, max)."""
-    return (arr >= min).all() and (arr < max).all()
+    arr = np.asarray(arr)
+    return bool(((arr >= min) & (arr < max)).all())
 
 
 def out_of_range(arr, min, max):
@@ -40,11 +41,9 @@ def out_of_range(arr, min, max):
 
 def map_half_plane(arr):
     """Map 2D separations into the half plane with positive u (E pointing)."""
-    arr = np.where((arr[:, 0] < 0.0)[:, np.newaxis], -arr, arr)
-    arr = np.where(
-        np.logical_and(arr[:, 0] == 0.0, arr[:, 1] < 0.0)[:, np.newaxis], -arr, arr
-    )
-    return arr
+    arr = np.asarray(arr)
+    west = (arr[:, 0] < 0.0) | ((arr[:, 0] == 0.0) & (arr[:, 1] < 0.0))
+    return np.where(west[:, np.newaxis], -arr, arr)
 
 
 def _label_classes(mask, *keys):
@@ -203,11 +202,11 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
     _pickle_keys = []
 
     def __getstate__(self):
-        state = self.__dict__.copy()
-        for key in list(state):
-            if (key not in self._pickle_keys) and key.startswith("_"):
-                del state[key]
-        return state
+        return {
+            k: v
+            for k, v in self.__dict__.items()
+            if k in self._pickle_keys or not k.startswith("_")
+        }
 
     # ======================= location =========================
 
