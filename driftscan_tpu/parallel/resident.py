@@ -166,7 +166,7 @@ def _resident_batch(
 @functools.partial(
     jax.jit, static_argnames=("npairs", "nfreq", "nl", "fg_levels", "sig_levels")
 )
-def _product_scan(
+def _spectrum_batch(
     pos_re,
     pos_im,
     neg_re,
@@ -174,40 +174,37 @@ def _product_scan(
     noisew,
     ls,
     lf,
-    mvs,
+    mv,
     npairs: int,
     nfreq: int,
     nl: int,
     fg_levels: int = 8,
     sig_levels: int = 5,
 ):
-    """Whole-spectrum product run: lax.scan over m-batches inside one jit.
+    """Spectrum-only product batch: returns just (evals, nmodes), so XLA
+    dead-code-eliminates the eigenvector/beam outputs a spectrum pass
+    never reads.
 
-    Only (evals, nmodes) leave the scan, so XLA dead-code-eliminates the
-    eigenvector/beam outputs the spectrum pass never uses, and the host
-    pays a single dispatch + one small fetch instead of one per batch.
+    (One jit per m-batch rather than a lax.scan over all batches: the
+    fully fused whole-spectrum program crashes this TPU runtime's worker,
+    and per-batch dispatch costs only ~25 ms each.)
     """
-
-    def body(_, mv):
-        res = _resident_batch.__wrapped__(
-            pos_re,
-            pos_im,
-            neg_re,
-            neg_im,
-            noisew,
-            ls,
-            lf,
-            mv,
-            npairs=npairs,
-            nfreq=nfreq,
-            nl=nl,
-            fg_levels=fg_levels,
-            sig_levels=sig_levels,
-        )
-        return None, (res.evals, res.nmodes)
-
-    _, (evals, nmodes) = jax.lax.scan(body, None, mvs)
-    return evals, nmodes
+    res = _resident_batch.__wrapped__(
+        pos_re,
+        pos_im,
+        neg_re,
+        neg_im,
+        noisew,
+        ls,
+        lf,
+        mv,
+        npairs=npairs,
+        nfreq=nfreq,
+        nl=nl,
+        fg_levels=fg_levels,
+        sig_levels=sig_levels,
+    )
+    return res.evals, res.nmodes
 
 
 def product_all_resident(tel, pos, neg, ls, lf, noisew, mbatch=8, max_m=None):
@@ -224,24 +221,24 @@ def product_all_resident(tel, pos, neg, ls, lf, noisew, mbatch=8, max_m=None):
     ls = jnp.asarray(np.asarray(ls), dtype=dt)
     lf = jnp.asarray(np.asarray(lf), dtype=dt)
 
-    nbatch = (nm + mbatch - 1) // mbatch
-    mvs = np.full((nbatch, mbatch), -1, np.int32)
-    flat = np.arange(nm, dtype=np.int32)
-    mvs.reshape(-1)[: len(flat)] = flat
-
-    evals, nmodes = _product_scan(
-        pos.re,
-        pos.im,
-        neg.re,
-        neg.im,
-        noisew,
-        ls,
-        lf,
-        jnp.asarray(mvs),
-        npairs=tel.npairs,
-        nfreq=tel.nfreq,
-        nl=nl,
-    )
-    evals = np.asarray(evals).reshape(nbatch * mbatch, -1)[:nm]
-    nmodes = np.asarray(nmodes).reshape(nbatch * mbatch, -1)[:nm]
-    return evals, nmodes
+    evals, nmodes = [], []
+    for s in range(0, nm, mbatch):
+        ms = np.arange(s, min(s + mbatch, nm))
+        mv = np.full(mbatch, -1, np.int32)
+        mv[: len(ms)] = ms
+        ev, nmo = _spectrum_batch(
+            pos.re,
+            pos.im,
+            neg.re,
+            neg.im,
+            noisew,
+            ls,
+            lf,
+            jnp.asarray(mv),
+            npairs=tel.npairs,
+            nfreq=tel.nfreq,
+            nl=nl,
+        )
+        evals.append(np.asarray(ev)[: len(ms)])
+        nmodes.append(np.asarray(nmo)[: len(ms)])
+    return np.concatenate(evals), np.concatenate(nmodes)

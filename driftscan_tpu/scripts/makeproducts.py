@@ -36,9 +36,9 @@ def cli():
 )
 @click.option(
     "--profiler",
-    type=click.Choice(["cProfile", "pyinstrument"], case_sensitive=False),
+    type=click.Choice(["cProfile", "pyinstrument", "jax"], case_sensitive=False),
     default="cProfile",
-    help="Which profiler to use.",
+    help="Which profiler to use ('jax' writes an XLA device trace).",
 )
 def run(configfile, profile, profiler):
     """Immediately run the CONFIGFILE to generate products."""
@@ -62,8 +62,17 @@ def run(configfile, profile, profiler):
     root_logger.addHandler(ch)
 
     prof = None
+    jax_trace_dir = None
     if profile:
-        if profiler.lower() == "cprofile":
+        if profiler.lower() == "jax":
+            # XLA device trace, viewable in TensorBoard / Perfetto
+            # (replaces the reference's host-only cProfile view of the
+            # accelerator phases, drift/scripts/makeproducts.py:42-56).
+            import jax as _jax
+
+            jax_trace_dir = f"jax_trace_{comm.rank()}"
+            _jax.profiler.start_trace(jax_trace_dir)
+        elif profiler.lower() == "cprofile":
             import cProfile
 
             prof = cProfile.Profile()
@@ -80,6 +89,12 @@ def run(configfile, profile, profiler):
 
     m = manager.ProductManager.from_config(configfile)
     m.generate()
+
+    if jax_trace_dir is not None:
+        import jax as _jax
+
+        _jax.profiler.stop_trace()
+        logging.info("jax trace written to %s", jax_trace_dir)
 
     if prof is not None:
         if profiler.lower() == "cprofile":
