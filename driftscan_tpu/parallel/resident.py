@@ -35,16 +35,16 @@ def btm_resident(tel, bl_indices, f_indices):
     """Compute BTMs for the given units, leaving them on device.
 
     Returns (pos, neg): Z pytrees with planes
-    ``pos (nu, lside+1, lside+1)`` (coefficients for m >= 0) and
-    ``neg (nu, lside+1, lside)`` (m = -1 ... -lside), already masked to
-    each unit's own band limit.  Unpolarised telescopes only.
+    ``pos (nu, npol, lside+1, lside+1)`` (coefficients for m >= 0) and
+    ``neg (nu, npol, lside+1, lside)`` (m = -1 ... -lside), already
+    masked to each unit's own band limit.  For unpolarised telescopes
+    npol == 1; polarised ones carry their transformed Stokes components
+    (the skipped ones stay zero, matching ``transfer_matrices``).
     """
-    if tel.num_pol_sky != 1:
-        raise NotImplementedError("resident path currently unpolarised-only")
-
     bl_indices = np.asarray(bl_indices)
     f_indices = np.asarray(f_indices)
     lside = tel.lmax
+    npol = tel.num_pol_sky
 
     lmax_arr, _ = teles.max_lm(
         tel.baselines[bl_indices],
@@ -57,9 +57,9 @@ def btm_resident(tel, bl_indices, f_indices):
 
     nu = len(bl_indices)
     dt = jnp.float32 if tel.single_precision else jnp.float64
-    pos_re = jnp.zeros((nu, lside + 1, lside + 1), dtype=dt)
+    pos_re = jnp.zeros((nu, npol, lside + 1, lside + 1), dtype=dt)
     pos_im = jnp.zeros_like(pos_re)
-    neg_re = jnp.zeros((nu, lside + 1, lside), dtype=dt)
+    neg_re = jnp.zeros((nu, npol, lside + 1, lside), dtype=dt)
     neg_im = jnp.zeros_like(neg_re)
 
     for ns in np.unique(nsides):
@@ -85,6 +85,12 @@ def btm_resident(tel, bl_indices, f_indices):
         p, n = sht.analysis_split(cvis.conj(), lmax=sub_lmax, neg_m=True)
         p, n = p.conj(), n.conj()
 
+        # normalise to a pol axis: (nu, npol_t, l, m)
+        if p.re.ndim == 3:
+            p = za.Z(p.re[:, None], p.im[:, None])
+            n = za.Z(n.re[:, None], n.im[:, None])
+        npol_t = p.re.shape[1]
+
         # per-unit band-limit mask
         ls = np.arange(sub_lmax + 1)
         lmask = jnp.asarray(
@@ -92,17 +98,19 @@ def btm_resident(tel, bl_indices, f_indices):
         )
         sub = np.s_[: sub_lmax + 1]
 
-        pm = lmask[:, :, None]  # (nsel, sub_lmax+1, 1): masks l, broadcasts m
-        pos_re = pos_re.at[sel, sub, : sub_lmax + 1].set(p.re[:nsel] * pm)
-        pos_im = pos_im.at[sel, sub, : sub_lmax + 1].set(p.im[:nsel] * pm)
-        neg_re = neg_re.at[sel, sub, :sub_lmax].set(n.re[:nsel] * pm)
-        neg_im = neg_im.at[sel, sub, :sub_lmax].set(n.im[:nsel] * pm)
+        pm = lmask[:, None, :, None]  # masks l; broadcasts (pol, m)
+        pols = np.s_[:npol_t]
+        pos_re = pos_re.at[sel, pols, sub, : sub_lmax + 1].set(p.re[:nsel] * pm)
+        pos_im = pos_im.at[sel, pols, sub, : sub_lmax + 1].set(p.im[:nsel] * pm)
+        neg_re = neg_re.at[sel, pols, sub, :sub_lmax].set(n.re[:nsel] * pm)
+        neg_im = neg_im.at[sel, pols, sub, :sub_lmax].set(n.im[:nsel] * pm)
 
     return za.Z(pos_re, pos_im), za.Z(neg_re, neg_im)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("npairs", "nfreq", "nl", "fg_levels", "sig_levels")
+    jax.jit,
+    static_argnames=("npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels"),
 )
 def _resident_batch(
     pos_re,
@@ -116,17 +124,18 @@ def _resident_batch(
     npairs: int,
     nfreq: int,
     nl: int,
+    npol: int = 1,
     fg_levels: int = 8,
     sig_levels: int = 5,
 ):
     """Build the m-batch beam matrices on device and run the product step.
 
-    pos/neg planes are (nu, nl, nm*) with units ordered baseline-major
-    (u = bl * nfreq + f).
+    pos/neg planes are (nu, npol, nl, nm*) with units ordered
+    baseline-major (u = bl * nfreq + f).
     """
 
     def build_one(m):
-        p_re = jnp.take(pos_re, m, axis=-1)  # (nu, nl)
+        p_re = jnp.take(pos_re, m, axis=-1)  # (nu, npol, nl)
         p_im = jnp.take(pos_im, m, axis=-1)
         midx = jnp.maximum(m - 1, 0)
         n_re = jnp.take(neg_re, midx, axis=-1)
@@ -137,11 +146,12 @@ def _resident_batch(
         n_im = -sign * use_neg * n_im  # conjugate
 
         def organise(x):
-            # (nu, nl) -> (nfreq, 2*npairs, nl): pos block then neg block
-            return x.reshape(npairs, nfreq, nl).transpose(1, 0, 2)
+            # (nu, npol, nl) -> (nfreq, npairs, npol*nl)
+            return x.reshape(npairs, nfreq, npol * nl).transpose(1, 0, 2)
 
         top_re, top_im = organise(p_re), organise(p_im)
         bot_re, bot_im = organise(n_re), organise(n_im)
+        # telescope axis: positive-m pair block, then the conjugate block
         return (
             jnp.concatenate([top_re, bot_re], axis=1),
             jnp.concatenate([top_im, bot_im], axis=1),
@@ -156,7 +166,7 @@ def _resident_batch(
         ls,
         lf,
         mv,
-        npol=1,
+        npol=npol,
         nl=nl,
         fg_levels=fg_levels,
         sig_levels=sig_levels,
@@ -164,7 +174,8 @@ def _resident_batch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("npairs", "nfreq", "nl", "fg_levels", "sig_levels")
+    jax.jit,
+    static_argnames=("npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels"),
 )
 def _spectrum_batch(
     pos_re,
@@ -178,6 +189,7 @@ def _spectrum_batch(
     npairs: int,
     nfreq: int,
     nl: int,
+    npol: int = 1,
     fg_levels: int = 8,
     sig_levels: int = 5,
 ):
@@ -201,6 +213,7 @@ def _spectrum_batch(
         npairs=npairs,
         nfreq=nfreq,
         nl=nl,
+        npol=npol,
         fg_levels=fg_levels,
         sig_levels=sig_levels,
     )
@@ -238,6 +251,7 @@ def product_all_resident(tel, pos, neg, ls, lf, noisew, mbatch=8, max_m=None):
             npairs=tel.npairs,
             nfreq=tel.nfreq,
             nl=nl,
+            npol=tel.num_pol_sky,
         )
         evals.append(np.asarray(ev)[: len(ms)])
         nmodes.append(np.asarray(nmo)[: len(ms)])

@@ -35,12 +35,38 @@ def test_btm_resident_matches_transfer_matrices():
     posn, negn = za.to_numpy(pos), za.to_numpy(neg)
 
     L = tel.lmax
-    np.testing.assert_allclose(posn, tarray[:, 0, :, : L + 1], atol=1e-10)
+    np.testing.assert_allclose(posn[:, 0], tarray[:, 0, :, : L + 1], atol=1e-10)
     # packed negative m: tarray[..., -m] = neg[..., m-1]
     for m in (1, L // 2, L):
         np.testing.assert_allclose(
-            negn[..., m - 1], tarray[:, 0, :, -m], atol=1e-10
+            negn[:, 0, :, m - 1], tarray[:, 0, :, -m], atol=1e-10
         )
+
+
+def test_btm_resident_polarised():
+    tel = cylinder.PolarisedCylinderTelescope.from_config(
+        dict(
+            num_freq=1,
+            freq_start=100.0,
+            freq_end=110.0,
+            freq_mode="edge",
+            num_cylinders=1,
+            cylinder_width=2.0,
+            num_feeds=2,
+            feed_spacing=1.5,
+        )
+    )
+    bl = np.arange(tel.npairs)
+    fi = np.zeros_like(bl)
+
+    tarray = np.asarray(tel.transfer_matrices(bl, fi))  # (nu, 4, L+1, 2L+1)
+    pos, neg = resident.btm_resident(tel, bl, fi)
+    posn, negn = za.to_numpy(pos), za.to_numpy(neg)
+
+    L = tel.lmax
+    np.testing.assert_allclose(posn, tarray[..., : L + 1], atol=1e-10)
+    for m in (1, L // 2):
+        np.testing.assert_allclose(negn[..., m - 1], tarray[..., -m], atol=1e-10)
 
 
 def test_product_all_resident_matches_host_path():
