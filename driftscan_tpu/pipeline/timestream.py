@@ -167,21 +167,67 @@ class Timestream:
                 return np.zeros((0,), dtype=np.complex128)
             return f["mmode_svd"][:]
 
+    # m-modes projected per compiled batch in generate_mmodes_svd.
+    svd_mbatch = 16
+
     def generate_mmodes_svd(self):
-        """Project the m-modes into the telescope SVD basis."""
+        """Project the m-modes into the telescope SVD basis.
+
+        The per-m telescope->SVD matvecs run as one device batch per
+        m-chunk (the reference instead round-robins single m's over MPI
+        ranks, timestream.py:219-231); compaction to each m's retained
+        mode count happens at the file boundary.
+        """
+        from ..core import beamtransfer as btmod
+
         bt = self.beamtransfer
         tel = self.telescope
-        for mi in comm.mpirange(tel.mmax + 1):
-            if os.path.exists(self._svdfile(mi)):
-                logger.info("File %s exists. Skipping...", self._svdfile(mi))
-                continue
 
-            tm = self.mmode(mi).reshape(tel.nfreq, 2 * tel.npairs)
-            svdm = bt.project_vector_telescope_to_svd(mi, tm)
+        todo = [
+            mi
+            for mi in comm.mpirange(tel.mmax + 1)
+            if not os.path.exists(self._svdfile(mi))
+        ]
+        if len(todo) < tel.mmax + 1 - len(todo):
+            logger.info("Some SVD m-mode files exist; generating %i", len(todo))
 
-            with h5py.File(self._svdfile(mi), "w") as f:
-                f.create_dataset("mmode_svd", data=svdm)
-                f.attrs["m"] = mi
+        # Subclasses with their own projection policy (NoSVD/FullSVD) go
+        # through their per-m method.
+        batchable = (
+            type(bt).project_vector_telescope_to_svd
+            is btmod.BeamTransfer.project_vector_telescope_to_svd
+        )
+        if not batchable:
+            for mi in todo:
+                tm = self.mmode(mi).reshape(tel.nfreq, 2 * tel.npairs)
+                svdm = bt.project_vector_telescope_to_svd(mi, tm)
+                with h5py.File(self._svdfile(mi), "w") as f:
+                    f.create_dataset("mmode_svd", data=svdm)
+                    f.attrs["m"] = mi
+            comm.barrier()
+            return
+
+        from ..ops import projections as proj
+
+        mb = max(1, self.svd_mbatch)
+        for s in range(0, len(todo), mb):
+            chunk = todo[s : s + mb]
+            tm = np.stack(
+                [self.mmode(mi).reshape(tel.nfreq, bt.ntel) for mi in chunk]
+            )
+            ut = np.stack([bt.beam_ut(mi) for mi in chunk])  # (M, F, S, T)
+
+            # batched matvec: out[m,f,s] = sum_t U[m,f,s,t] v[m,f,t]
+            out = proj.block_matvec(
+                ut.reshape(-1, bt.svd_len, bt.ntel),
+                tm.reshape(-1, bt.ntel),
+            ).reshape(len(chunk), tel.nfreq * bt.svd_len)
+
+            for i, mi in enumerate(chunk):
+                idx, _, _ = bt._compact_indices(mi)
+                with h5py.File(self._svdfile(mi), "w") as f:
+                    f.create_dataset("mmode_svd", data=out[i][idx])
+                    f.attrs["m"] = mi
 
         comm.barrier()
 
