@@ -220,11 +220,18 @@ def _spectrum_batch(
     return res.evals, res.nmodes
 
 
-def product_all_resident(tel, pos, neg, ls, lf, noisew, mbatch=8, max_m=None):
+def product_all_resident(
+    tel, pos, neg, ls, lf, noisew, mbatch=8, max_m=None, mesh=None
+):
     """Run the SVD+KL product step over every m from resident BTMs.
 
     Fetches only the eigen-spectrum: returns (evals (nm, ndof), nmodes
     (nm, nfreq)) as host numpy.
+
+    With a multi-device ``mesh`` the m batch of each dispatch is sharded
+    over the mesh axis (the BTM tables are replicated) so every chip
+    solves its own m-modes — the multi-chip scaling axis of the pipeline
+    (SURVEY.md section 2.3).  Scale ``mbatch`` with the device count.
     """
     nm = tel.mmax + 1 if max_m is None else max_m
     nl = tel.lmax + 1
@@ -233,6 +240,17 @@ def product_all_resident(tel, pos, neg, ls, lf, noisew, mbatch=8, max_m=None):
     noisew = jnp.asarray(np.asarray(noisew), dtype=dt)
     ls = jnp.asarray(np.asarray(ls), dtype=dt)
     lf = jnp.asarray(np.asarray(lf), dtype=dt)
+
+    place_mv = jnp.asarray
+    if mesh is not None and mesh.devices.size > 1:
+        import jax.sharding as jsh
+
+        if mbatch % mesh.devices.size:
+            mbatch = ((mbatch // mesh.devices.size) + 1) * mesh.devices.size
+        shard = jsh.NamedSharding(mesh, jsh.PartitionSpec(mesh.axis_names[0]))
+
+        def place_mv(x):
+            return jax.device_put(x, shard)
 
     evals, nmodes = [], []
     for s in range(0, nm, mbatch):
@@ -247,7 +265,7 @@ def product_all_resident(tel, pos, neg, ls, lf, noisew, mbatch=8, max_m=None):
             noisew,
             ls,
             lf,
-            jnp.asarray(mv),
+            place_mv(mv),
             npairs=tel.npairs,
             nfreq=tel.nfreq,
             nl=nl,

@@ -126,3 +126,40 @@ def test_product_all_resident_matches_host_path():
     # the atol floor covers tail modes whose band-boundary assignment
     # legitimately shifts with the paths' different beam roundoff
     np.testing.assert_allclose(evals_r, evals_h, rtol=1e-6, atol=1e-4 * scale)
+
+
+def test_product_all_resident_mesh_sharded():
+    """The resident spectrum pass shards its m batches over the mesh and
+    reproduces the single-device result."""
+    import jax
+
+    from driftscan_tpu.parallel import mesh as meshmod
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+
+    tel = _tel()
+    bl = np.arange(tel.npairs)
+    fi = np.arange(tel.nfreq)
+    blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+
+    import bench
+
+    cl_s, cl_n, noisew, _ = bench._covariances(tel)
+    ls, lf = mstep.prepare_cl_factors(cl_s, cl_n, out_dtype=np.float64)
+    noisew = noisew.astype(np.float64)
+
+    pos, neg = resident.btm_resident(tel, blg, fig)
+    mesh = meshmod.make_mesh(jax.devices()[:8])
+
+    ev0, nm0 = resident.product_all_resident(
+        tel, pos, neg, ls, lf, noisew, mbatch=8
+    )
+    ev1, nm1 = resident.product_all_resident(
+        tel, pos, neg, ls, lf, noisew, mbatch=8, mesh=mesh
+    )
+    np.testing.assert_array_equal(nm1, nm0)
+    scale = np.abs(ev0).max() + 1e-30
+    np.testing.assert_allclose(ev1, ev0, rtol=1e-8, atol=1e-10 * scale)
