@@ -462,12 +462,67 @@ class PSExact(PSEstimation):
     def _use_disk(self, mi):
         return self.num_evals(mi) >= self._disk_cache_ndof
 
+    def _sky_modes_t(self, mi):
+        """KL modes rotated to the temperature sky basis: (nkl, F, lside).
+
+        G = evecs @ B_svd restricted to the Stokes-I row; the band
+        projections are then G C_b G^H for every band at once.
+        """
+        kl = self.kltrans
+        bt = kl.beamtransfer
+        evals, evecs = kl.modes_m(mi, threshold=self.threshold)
+        if evals is None or evecs.shape[0] == 0:
+            return None
+
+        idx, _, _ = bt._compact_indices(mi)
+        nkl = evecs.shape[0]
+        padded = np.zeros((nkl, bt.nfreq * bt.svd_len), dtype=np.complex128)
+        padded[:, idx] = evecs
+        padded = padded.reshape(nkl, bt.nfreq, bt.svd_len)
+
+        bsvd_t = bt.beam_svd(mi)[:, :, 0, :]  # (F, S, lside)
+        return np.einsum("kfa,fal->kfl", padded, bsvd_t, optimize=True)
+
+    def _batchable_proj(self):
+        """True when the one-shot all-band projection kernel applies
+        (standard BeamTransfer layout and no makeproj override)."""
+        from . import beamtransfer as btmod
+
+        bt = self.kltrans.beamtransfer
+        return (
+            type(bt).project_matrix_sky_to_svd
+            is btmod.BeamTransfer.project_matrix_sky_to_svd
+            and type(self).makeproj is PSExact.makeproj
+        )
+
     def cacheproj(self, mi):
-        """Cache the band projections (memory for small, disk for large)."""
+        """Cache the band projections (memory for small, disk for large).
+
+        On the standard SVD layout all bands project in one fused device
+        contraction; policies with their own projections (NoSVD etc.)
+        fall back to the per-band path.
+        """
         self._bp_cache = []
+
+        projs = None
+        if self._batchable_proj():
+            g = self._sky_modes_t(mi)
+            if g is None:
+                nkl = 0
+                projs = np.zeros(
+                    (self.nbands, nkl, nkl), dtype=np.complex128
+                )
+            else:
+                from ..ops import projections as projkern
+
+                projs = projkern.band_covariance_projection(g, self.clarray)
+
         for bi in range(self.nbands):
-            logger.info("Generating cache for m=%i band=%i", mi, bi)
-            projm = self.makeproj(mi, bi)
+            if projs is not None:
+                projm = projs[bi]
+            else:
+                logger.info("Generating cache for m=%i band=%i", mi, bi)
+                projm = self.makeproj(mi, bi)
             if self._use_disk(mi):
                 logger.info("Creating cache file: %s", self._cfile % (mi, bi))
                 with h5py.File(self._cfile % (mi, bi), "w") as f:

@@ -216,6 +216,43 @@ def diag_noise_projection_m(beam_ut: np.ndarray, dmat: np.ndarray) -> np.ndarray
     return np.asarray(_diag_native_m(jnp.asarray(beam_ut), jnp.asarray(dmat)))
 
 
+@jax.jit
+def _band_proj_native(g, cl):
+    # proj[b, k, q] = sum_{l,f,h} G[k,f,l] C_b[l,f,h] conj(G[q,h,l])
+    return jnp.einsum("kfl,blfh,qhl->bkq", g, cl, g.conj(), optimize=True)
+
+
+@jax.jit
+def _band_proj_split(g_re, g_im, cl):
+    t_re = jnp.einsum("kfl,blfh->bklh", g_re, cl, optimize=True)
+    t_im = jnp.einsum("kfl,blfh->bklh", g_im, cl, optimize=True)
+    out = za.einsum(
+        "bklh,qhl->bkq", za.Z(t_re, t_im), za.Z(g_re, -g_im), optimize=True
+    )
+    return out.re, out.im
+
+
+def band_covariance_projection(g: np.ndarray, clarray: np.ndarray) -> np.ndarray:
+    """Project every band's angular power spectrum into the KL basis at once.
+
+    g : (nkl, nfreq, lside) complex — the KL modes rotated to the
+        (temperature) sky basis at one m.
+    clarray : (nbands, lside, nfreq, nfreq) real band spectra.
+
+    Returns (nbands, nkl, nkl) complex — one fused contraction replacing
+    the reference's per-band sandwich of projections
+    (/root/reference/drift/core/psestimation.py:701-773).
+    """
+    if backend.split_complex():
+        re, im = _band_proj_split(
+            np.ascontiguousarray(g.real),
+            np.ascontiguousarray(g.imag),
+            np.asarray(clarray, dtype=g.real.dtype),
+        )
+        return np.asarray(re) + 1j * np.asarray(im)
+    return np.asarray(_band_proj_native(jnp.asarray(g), jnp.asarray(clarray)))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("with_thermal", "fg_levels", "sig_levels", "band_rel", "fg_floor"),

@@ -94,3 +94,68 @@ def test_kl_evecs_diagonalise(pair):
         np.diag(evals),
         atol=max(np.abs(evals).max(), 1.0) * 1e-6,
     )
+
+
+def test_psexact_batched_band_projection(tmp_path):
+    """The one-shot all-band projection must equal the per-band sandwich
+    (makeproj) on the standard SVD layout."""
+    import yaml
+
+    from driftscan_tpu.core import manager
+
+    conf = yaml.safe_load(
+        f"""
+config:
+    beamtransfers:  Yes
+    kltransform:    Yes
+    psfisher:       No
+    output_directory: "{tmp_path}/prod"
+
+telescope:
+    type:           UnpolarisedCylinder
+    num_freq:       2
+    freq_start:     100.0
+    freq_end:       110.0
+    freq_mode:      edge
+    num_cylinders:  2
+    cylinder_width: 2.0
+    num_feeds:      2
+    feed_spacing:   1.5
+
+kltransform:
+    -   type:       KLTransform
+        name:       kl
+        subset:     No
+
+psfisher:
+    -   type:       Full
+        klname:     kl
+        name:       psx
+        bandtype:   polar
+"""
+    )
+    m = manager.ProductManager()
+    m.apply_config(conf)
+    m.generate()
+
+    from driftscan_tpu.core import psestimation
+
+    ps = psestimation.PSExact.from_config(
+        dict(bandtype="polar"), m.kltransforms["kl"], subdir="psx"
+    )
+    ps.genbands()
+
+    for mi in (0, 2):
+        if ps.num_evals(mi) == 0:
+            continue
+        assert ps._batchable_proj()
+        g = ps._sky_modes_t(mi)
+        from driftscan_tpu.ops import projections as pk
+
+        fast = pk.band_covariance_projection(g, ps.clarray)
+        for bi in range(ps.nbands):
+            slow = ps.makeproj(mi, bi)
+            scale = np.abs(slow).max() + 1e-300
+            np.testing.assert_allclose(
+                fast[bi], slow, rtol=1e-8, atol=1e-10 * scale
+            )
