@@ -320,20 +320,46 @@ class Timestream:
             return f["mmode_kl"][:]
 
     def generate_mmodes_kl(self):
-        """Project the SVD modes through the KL filter."""
+        """Project the SVD modes through the KL filter.
+
+        The per-m KL matvecs run as one device batch per m-chunk, padded
+        to the maximum KL dimension and compacted at the file boundary.
+        """
         kl = self.manager.kltransforms[self.klname]
+        ndofmax = self.beamtransfer.ndofmax
 
-        for mi in comm.mpirange(self.telescope.mmax + 1):
-            if os.path.exists(self._klfile(mi)):
-                logger.info("File %s exists. Skipping...", self._klfile(mi))
-                continue
+        todo = [
+            mi
+            for mi in comm.mpirange(self.telescope.mmax + 1)
+            if not os.path.exists(self._klfile(mi))
+        ]
 
-            klm = kl.project_vector_svd_to_kl(
-                mi, self.mmode_svd(mi), threshold=self.klthreshold
+        from ..ops import projections as proj
+
+        mb = max(1, self.svd_mbatch)
+        for s in range(0, len(todo), mb):
+            chunk = todo[s : s + mb]
+
+            evecs_pad = np.zeros(
+                (len(chunk), ndofmax, ndofmax), dtype=np.complex128
             )
-            with h5py.File(self._klfile(mi), "w") as f:
-                f.create_dataset("mmode_kl", data=klm)
-                f.attrs["m"] = mi
+            svd_pad = np.zeros((len(chunk), ndofmax), dtype=np.complex128)
+            nkl = np.zeros(len(chunk), dtype=int)
+            for i, mi in enumerate(chunk):
+                evals, evecs = kl.modes_m(mi, threshold=self.klthreshold)
+                if evals is None:
+                    continue
+                svdm = self.mmode_svd(mi)
+                nkl[i] = evecs.shape[0]
+                evecs_pad[i, : evecs.shape[0], : evecs.shape[1]] = evecs
+                svd_pad[i, : svdm.shape[0]] = svdm
+
+            out = proj.block_matvec(evecs_pad, svd_pad)
+
+            for i, mi in enumerate(chunk):
+                with h5py.File(self._klfile(mi), "w") as f:
+                    f.create_dataset("mmode_kl", data=out[i, : nkl[i]])
+                    f.attrs["m"] = mi
 
         comm.barrier()
 
