@@ -84,6 +84,8 @@ def kl_product_step_split(
     fg_levels: int = 8,
     sig_levels: int = 5,
     band_rel: float = 1e-1,
+    fg_k_cap: int = 0,
+    sig_k_cap: int = 0,
 ) -> ProductStepResultSplit:
     """SVD-compress and KL-filter a batch of m-modes in one jitted program.
 
@@ -143,6 +145,8 @@ def kl_product_step_split(
             fg_levels=fg_levels,
             sig_levels=sig_levels,
             band_rel=band_rel,
+            fg_k_cap=fg_k_cap,
+            sig_k_cap=sig_k_cap,
         )
         evecs = kl.evecs.conj().transpose(1, 0)  # rows are KL modes
 

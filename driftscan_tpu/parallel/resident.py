@@ -110,7 +110,10 @@ def btm_resident(tel, bl_indices, f_indices):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels"),
+    static_argnames=(
+        "npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels",
+        "fg_k_cap", "sig_k_cap",
+    ),
 )
 def _resident_batch(
     pos_re,
@@ -127,6 +130,8 @@ def _resident_batch(
     npol: int = 1,
     fg_levels: int = 8,
     sig_levels: int = 5,
+    fg_k_cap: int = 0,
+    sig_k_cap: int = 0,
 ):
     """Build the m-batch beam matrices on device and run the product step.
 
@@ -170,12 +175,17 @@ def _resident_batch(
         nl=nl,
         fg_levels=fg_levels,
         sig_levels=sig_levels,
+        fg_k_cap=fg_k_cap,
+        sig_k_cap=sig_k_cap,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels"),
+    static_argnames=(
+        "npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels",
+        "fg_k_cap", "sig_k_cap",
+    ),
 )
 def _spectrum_batch(
     pos_re,
@@ -192,6 +202,8 @@ def _spectrum_batch(
     npol: int = 1,
     fg_levels: int = 8,
     sig_levels: int = 5,
+    fg_k_cap: int = 0,
+    sig_k_cap: int = 0,
 ):
     """Spectrum-only product batch: returns just (evals, nmodes), so XLA
     dead-code-eliminates the eigenvector/beam outputs a spectrum pass
@@ -216,6 +228,8 @@ def _spectrum_batch(
         npol=npol,
         fg_levels=fg_levels,
         sig_levels=sig_levels,
+        fg_k_cap=fg_k_cap,
+        sig_k_cap=sig_k_cap,
     )
     return res.evals, res.nmodes
 

@@ -205,3 +205,48 @@ class TestFactorCl:
             "fapl,pqlfg,gbql->fagb", b, cl_pqlfg, b.conj(), optimize=True
         ).reshape(F * S, F * S)
         assert np.allclose(got, want, rtol=1e-6, atol=1e-6 * np.abs(want).max())
+
+
+class TestRankCappedBands:
+    def test_topk_matches_exact_spectrum_top(self):
+        rng = np.random.default_rng(21)
+        n, k = 48, 80
+        a = _random_factor(rng, n, k, 1e-4, 1e5)
+        s_true = np.linalg.svd(a, compute_uv=False)
+
+        bands = jax.jit(
+            lambda x: fpencil.gram_bands_topk(x, levels=6, band_rel=5e-2, k_cap=16)
+        )(_split32(a))
+        s = np.sort(np.asarray(bands.s).ravel())[::-1]
+        # every extracted in-band value matches the true spectrum
+        got = s[s > 0]
+        for v in got[:20]:
+            assert np.abs(s_true - v).min() / v < 5e-3
+
+    def test_kl_solve_capped_matches_exact(self):
+        rng = np.random.default_rng(0)
+        n = 48
+        a_f = _random_factor(rng, n, 60, 1e-2, 1e5)
+        a_s = _random_factor(rng, n, 40, 1e-3, 3e1)
+
+        exact = jax.jit(lambda s, f: fpencil.kl_solve(s, f))(
+            _split32(a_s), _split32(a_f)
+        )
+        capped = jax.jit(
+            lambda s, f: fpencil.kl_solve(s, f, fg_k_cap=24, sig_k_cap=24)
+        )(_split32(a_s), _split32(a_f))
+
+        ev_e = np.asarray(exact.evals)
+        ev_c = np.asarray(capped.evals)
+        # retained (above-threshold) modes agree
+        sel = ev_e > 1e-2 * max(ev_e.max(), 1e-30)
+        k = int(sel.sum())
+        np.testing.assert_allclose(ev_c[-k:], ev_e[-k:], rtol=5e-3)
+
+    def test_fg_cap_requires_thermal(self):
+        import pytest
+
+        rng = np.random.default_rng(1)
+        a = _split32(_random_factor(rng, 8, 10, 1e-1, 1e1))
+        with pytest.raises(ValueError):
+            fpencil.kl_solve(a, a, with_thermal=False, fg_k_cap=4)
