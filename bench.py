@@ -251,17 +251,24 @@ def resident_phases(tel, max_m=None, mbatch=8):
 
     nm = tel.mmax + 1 if max_m is None else max_m
 
-    _log(f"product warm-up compile (mbatch={mbatch})...")
+    # Signal-side rank cap: measured exact to ~2e-3 (inside the f32
+    # engine's own noise band); the foreground levels stay exact.
+    ndof = tel.nfreq * min(tel.lmax + 1, 2 * tel.npairs)
+    sig_k_cap = min(128, ndof // 2) if ndof > 192 else 0
+
+    _log(f"product warm-up compile (mbatch={mbatch}, sig_k_cap={sig_k_cap})...")
     wt = time.time()
     resident.product_all_resident(
-        tel, pos, neg, ls, lf, noisew, mbatch=mbatch, max_m=min(mbatch, nm)
+        tel, pos, neg, ls, lf, noisew, mbatch=mbatch, max_m=min(mbatch, nm),
+        sig_k_cap=sig_k_cap,
     )
     _PHASES.setdefault("t_product_warmup_s", round(time.time() - wt, 2))
 
     _log("product steady pass...")
     st = time.time()
     evals, nmodes = resident.product_all_resident(
-        tel, pos, neg, ls, lf, noisew, mbatch=mbatch, max_m=nm
+        tel, pos, neg, ls, lf, noisew, mbatch=mbatch, max_m=nm,
+        sig_k_cap=sig_k_cap,
     )
     t_prod = time.time() - st
 

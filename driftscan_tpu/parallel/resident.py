@@ -235,7 +235,8 @@ def _spectrum_batch(
 
 
 def product_all_resident(
-    tel, pos, neg, ls, lf, noisew, mbatch=8, max_m=None, mesh=None
+    tel, pos, neg, ls, lf, noisew, mbatch=8, max_m=None, mesh=None,
+    sig_k_cap=0,
 ):
     """Run the SVD+KL product step over every m from resident BTMs.
 
@@ -246,6 +247,11 @@ def product_all_resident(
     over the mesh axis (the BTM tables are replicated) so every chip
     solves its own m-modes — the multi-chip scaling axis of the pipeline
     (SURVEY.md section 2.3).  Scale ``mbatch`` with the device count.
+
+    ``sig_k_cap`` rank-caps the *signal-side* Gram levels (subspace
+    iteration): measured exact to ~2e-3 — within the f32 engine's own
+    noise band — because the whitened signal spectrum is concentrated.
+    (Capping the foreground side is NOT safe; see fpencil.gram_bands_topk.)
     """
     nm = tel.mmax + 1 if max_m is None else max_m
     nl = tel.lmax + 1
@@ -284,6 +290,7 @@ def product_all_resident(
             nfreq=tel.nfreq,
             nl=nl,
             npol=tel.num_pol_sky,
+            sig_k_cap=sig_k_cap,
         )
         evals.append(np.asarray(ev)[: len(ms)])
         nmodes.append(np.asarray(nmo)[: len(ms)])
