@@ -163,3 +163,31 @@ def test_product_all_resident_mesh_sharded():
     np.testing.assert_array_equal(nm1, nm0)
     scale = np.abs(ev0).max() + 1e-30
     np.testing.assert_allclose(ev1, ev0, rtol=1e-8, atol=1e-10 * scale)
+
+
+def test_product_all_resident_sig_cap_matches_exact():
+    """The signal-side rank cap must reproduce the exact spectrum for the
+    retained (significant) modes."""
+    tel = _tel()
+    bl = np.arange(tel.npairs)
+    fi = np.arange(tel.nfreq)
+    blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+
+    import bench
+
+    cl_s, cl_n, noisew, _ = bench._covariances(tel)
+    ls, lf = mstep.prepare_cl_factors(cl_s, cl_n, out_dtype=np.float64)
+    noisew = noisew.astype(np.float64)
+
+    pos, neg = resident.btm_resident(tel, blg, fig)
+    ev0, _ = resident.product_all_resident(tel, pos, neg, ls, lf, noisew, mbatch=4)
+    ev1, _ = resident.product_all_resident(
+        tel, pos, neg, ls, lf, noisew, mbatch=4, sig_k_cap=8
+    )
+
+    for i in range(ev0.shape[0]):
+        top = ev0[i] > 1e-2 * max(ev0[i].max(), 1e-300)
+        k = int(top.sum())
+        if k == 0:
+            continue
+        np.testing.assert_allclose(ev1[i, -k:], ev0[i, -k:], rtol=5e-3)
