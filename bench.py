@@ -218,12 +218,14 @@ def _log(msg):
 _T0 = time.time()
 
 
-def resident_phases(tel, max_m=None, mbatch=8):
+def resident_phases(tel, max_m=None, mbatch=8, max_units=None):
     """Device-resident BTM + product phases; returns (t_btm, t_prod).
 
     Timings force execution with a scalar reduction fetch (the remote
     runtime's block_until_ready is not a reliable fence), so only O(1)
-    bytes cross the link inside the timed regions.
+    bytes cross the link inside the timed regions.  ``max_units``
+    restricts the BTM phase to a strided unit subset (for the
+    extrapolated CPU baseline leg).
     """
     from driftscan_tpu.parallel import mstep, resident
 
@@ -233,6 +235,10 @@ def resident_phases(tel, max_m=None, mbatch=8):
     bl = np.arange(tel.npairs)
     fi = np.arange(tel.nfreq)
     blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+    if max_units is not None and max_units < len(blg):
+        # stride so the subset samples every nside bucket
+        stride = int(np.ceil(len(blg) / max_units))
+        blg, fig = blg[::stride], fig[::stride]
 
     def sync(z):
         return float(np.asarray(z.re.sum() if hasattr(z, "re") else z.sum()))
@@ -308,8 +314,14 @@ def main():
                 _reset_backend_caches()
 
                 tel_c = build_telescope()
-                nsub = max(8, nm // 8)
-                t_btm_cpu, t_prod_sub = resident_phases(tel_c, max_m=nsub)
+                nsub = max(8, nm // 12)
+                n_units = max(16, nfb_total // 6)
+                stride = int(np.ceil(nfb_total / n_units))
+                n_done = len(range(0, nfb_total, stride))
+                t_btm_sub, t_prod_sub = resident_phases(
+                    tel_c, max_m=nsub, max_units=n_units
+                )
+                t_btm_cpu = t_btm_sub * nfb_total / n_done
                 t_prod_cpu = t_prod_sub * nm / nsub
 
                 cpu_rate = nm / (t_btm_cpu + t_prod_cpu)
