@@ -235,6 +235,7 @@ def resident_phases(tel, max_m=None, mbatch=8, max_units=None):
     bl = np.arange(tel.npairs)
     fi = np.arange(tel.nfreq)
     blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+    nfb_full = len(blg)
     if max_units is not None and max_units < len(blg):
         # stride so the subset samples every nside bucket
         stride = int(np.ceil(len(blg) / max_units))
@@ -254,6 +255,15 @@ def resident_phases(tel, max_m=None, mbatch=8, max_units=None):
     pos, neg = resident.btm_resident(tel, blg, fig)
     sync(pos)
     t_btm = time.time() - st
+
+    if len(blg) < nfb_full:
+        # unit-subset run (CPU baseline leg): tile the subset BTMs back to
+        # the full unit count so the product phase does full-size work
+        import jax.numpy as jnp
+
+        idx = np.arange(nfb_full) % len(blg)
+        pos = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), pos)
+        neg = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), neg)
 
     nm = tel.mmax + 1 if max_m is None else max_m
 
