@@ -30,25 +30,21 @@ def collect_m_arrays(mlist, func, shapes, dtype):
     """Evaluate func(mi) (a list of arrays) for each m and collect them.
 
     Returns the stacked arrays on every process (rank0-only in the
-    reference; returning everywhere is strictly more useful).
+    reference; returning everywhere is strictly more useful).  Each
+    process fills its own m-slices of zero arrays; a single allreduce
+    assembles the totals — uniform-shaped collectives on every process.
     """
-    data = [(mi, func(mi)) for mi in comm.partition_list_mpi(mlist)]
-    comm.barrier()
-
-    if comm.size() == 1:
-        p_all = [data]
-    else:  # pragma: no cover - multi-host
-        from jax.experimental import multihost_utils
-
-        p_all = multihost_utils.process_allgather(data, tiled=False)
-
     marrays = [np.zeros((len(mlist),) + shape, dtype=dtype) for shape in shapes]
-    for p_process in p_all:
-        for mi, result in p_process:
-            for si in range(len(shapes)):
-                if result[si] is not None:
-                    marrays[si][mi] = result[si]
 
+    for mi in comm.partition_list_mpi(mlist):
+        result = func(mi)
+        for si in range(len(shapes)):
+            if result[si] is not None:
+                marrays[si][mi] = result[si]
+
+    comm.barrier()
+    if comm.size() > 1:  # pragma: no cover - requires multi-host run
+        marrays = [comm.allreduce(m) for m in marrays]
     comm.barrier()
     return marrays
 

@@ -139,6 +139,12 @@ def parallel_map(func: Callable, lst: Sequence) -> List:
     Returns the full, ordered result list on every process (the reference
     gathers to rank 0 only; returning everywhere is strictly more useful
     and callers gate on rank0 anyway).
+
+    Multi-process exchange requires array results of one common shape and
+    dtype (every pipeline caller returns per-m arrays): each process
+    fills its round-robin slices of a zero array and a single allreduce
+    assembles the total — uniform-shaped collectives, unlike gathering
+    ragged Python lists.
     """
     local = [(i, func(x)) for i, x in enumerate(lst) if i % size() == rank()]
 
@@ -146,14 +152,17 @@ def parallel_map(func: Callable, lst: Sequence) -> List:
         return [v for _, v in local]
 
     # pragma: no cover - requires multi-host run
-    from jax.experimental import multihost_utils
-
-    gathered = multihost_utils.process_allgather(local, tiled=False)
-    results = [None] * len(lst)
-    for proc in gathered:
-        for i, v in proc:
-            results[i] = v
-    return results
+    if not local:
+        raise RuntimeError(
+            "parallel_map with more processes than items is not supported "
+            "multi-process (cannot infer the result shape)"
+        )
+    proto = np.asarray(local[0][1])
+    full = np.zeros((len(lst),) + proto.shape, dtype=proto.dtype)
+    for i, v in local:
+        full[i] = v
+    full = allreduce(full)
+    return list(full)
 
 
 def _pack_blocks(row_array: np.ndarray, col_blocks, lc: int, lr: int) -> np.ndarray:
