@@ -120,6 +120,17 @@ class CylinderTelescope(telescope.TransitTelescope):
             ]
         )
 
+    def _feed_beam(self, pattern, freq, fwhm_ew, fwhm_ns):
+        """Evaluate a cylbeam pattern at the current sky grid and
+        frequency (cylinder width in wavelengths)."""
+        return pattern(
+            self._angpos,
+            self.zenith,
+            self.cylinder_width / self.wavelengths[freq],
+            fwhm_ew,
+            fwhm_ns,
+        )
+
 
 class UnpolarisedCylinderTelescope(
     CylinderTelescope, telescope.SimpleUnpolarisedTelescope
@@ -127,13 +138,7 @@ class UnpolarisedCylinderTelescope(
     """Unpolarised cylinder telescope (amplitude beam only)."""
 
     def beam(self, feed, freq):
-        return cylbeam.beam_amp(
-            self._angpos,
-            self.zenith,
-            self.cylinder_width / self.wavelengths[freq],
-            self.fwhm_h,
-            self.fwhm_h,
-        )
+        return self._feed_beam(cylbeam.beam_amp, freq, self.fwhm_h, self.fwhm_h)
 
 
 class PolarisedCylinderTelescope(
@@ -142,19 +147,7 @@ class PolarisedCylinderTelescope(
     """Polarised cylinder telescope with X/Y dipole feeds."""
 
     def beamx(self, feed, freq):
-        return cylbeam.beam_x(
-            self._angpos,
-            self.zenith,
-            self.cylinder_width / self.wavelengths[freq],
-            self.fwhm_e,
-            self.fwhm_h,
-        )
+        return self._feed_beam(cylbeam.beam_x, freq, self.fwhm_e, self.fwhm_h)
 
     def beamy(self, feed, freq):
-        return cylbeam.beam_y(
-            self._angpos,
-            self.zenith,
-            self.cylinder_width / self.wavelengths[freq],
-            self.fwhm_e,
-            self.fwhm_h,
-        )
+        return self._feed_beam(cylbeam.beam_y, freq, self.fwhm_e, self.fwhm_h)
