@@ -33,6 +33,32 @@ def split_complex() -> bool:
 
 
 @lru_cache(maxsize=1)
+def device_f32_only() -> bool:
+    """True if device math should be forced to f32 planes.
+
+    On runtimes that emulate f64 as a float32 pair, fused f64 programs
+    compile pathologically (minutes-to-never) and run no more accurately
+    than the chip's native f32; the dispatchers therefore downcast device
+    operands to f32 on such backends (override with
+    ``DRIFTSCAN_TPU_DEVICE_F64=1`` to experiment).
+    """
+    env = os.environ.get("DRIFTSCAN_TPU_DEVICE_F64")
+    if env is not None:
+        return env in ("0", "false", "False")
+    return split_complex()
+
+
+def device_real(x):
+    """Contiguous real array with the device compute dtype applied."""
+    import numpy as np
+
+    x = np.ascontiguousarray(x)
+    if device_f32_only() and x.dtype == np.float64:
+        return x.astype(np.float32)
+    return x
+
+
+@lru_cache(maxsize=1)
 def has_device_fft() -> bool:
     """True if the default backend implements FFT (complex-capable)."""
     env = os.environ.get("DRIFTSCAN_TPU_DEVICE_FFT")

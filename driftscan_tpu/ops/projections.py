@@ -42,9 +42,9 @@ def sky_covariance_projection(beam4: np.ndarray, cl: np.ndarray) -> np.ndarray:
     """
     if backend.split_complex():
         re, im = _proj_sky_split(
-            np.ascontiguousarray(beam4.real),
-            np.ascontiguousarray(beam4.imag),
-            np.asarray(cl, dtype=beam4.real.dtype),
+            backend.device_real(beam4.real),
+            backend.device_real(beam4.imag),
+            backend.device_real(np.asarray(cl, dtype=beam4.real.dtype)),
         )
         return np.asarray(re) + 1j * np.asarray(im)
     return np.asarray(_proj_sky_native(jnp.asarray(beam4), jnp.asarray(cl)))
@@ -66,9 +66,9 @@ def diag_noise_projection(beam_ut: np.ndarray, dmat: np.ndarray) -> np.ndarray:
     """blocks[f,a,b] = sum_t U[f,a,t] d[f,t] conj(U[f,b,t]) (d real)."""
     if backend.split_complex():
         re, im = _diag_split(
-            np.ascontiguousarray(beam_ut.real),
-            np.ascontiguousarray(beam_ut.imag),
-            np.asarray(dmat, dtype=beam_ut.real.dtype),
+            backend.device_real(beam_ut.real),
+            backend.device_real(beam_ut.imag),
+            backend.device_real(np.asarray(dmat, dtype=beam_ut.real.dtype)),
         )
         return np.asarray(re) + 1j * np.asarray(im)
     return np.asarray(_diag_native(jnp.asarray(beam_ut), jnp.asarray(dmat)))
@@ -90,10 +90,10 @@ def block_matvec(mats: np.ndarray, vecs: np.ndarray) -> np.ndarray:
     if backend.split_complex():
         vecs = np.asarray(vecs)
         re, im = _matvec_split(
-            np.ascontiguousarray(np.asarray(mats).real),
-            np.ascontiguousarray(np.asarray(mats).imag),
-            np.ascontiguousarray(vecs.real),
-            np.ascontiguousarray(vecs.imag),
+            backend.device_real(np.asarray(mats).real),
+            backend.device_real(np.asarray(mats).imag),
+            backend.device_real(vecs.real),
+            backend.device_real(vecs.imag),
         )
         return np.asarray(re) + 1j * np.asarray(im)
     return np.asarray(_matvec_native(jnp.asarray(mats), jnp.asarray(vecs)))
@@ -102,7 +102,14 @@ def block_matvec(mats: np.ndarray, vecs: np.ndarray) -> np.ndarray:
 def block_pinv(mats: np.ndarray, rcond: float = 1e-6) -> np.ndarray:
     """Batched pseudo-inverse of (possibly complex) blocks."""
     if backend.split_complex():
-        out = za.pinv(za.of(jnp.asarray(mats)), rcond=rcond)
+        m = np.asarray(mats)
+        out = za.pinv(
+            za.Z(
+                jnp.asarray(backend.device_real(m.real)),
+                jnp.asarray(backend.device_real(m.imag)),
+            ),
+            rcond=rcond,
+        )
         return za.to_numpy(out)
     return np.asarray(jnp.linalg.pinv(jnp.asarray(mats), rcond=rcond))
 
@@ -137,8 +144,8 @@ def triple_svd(bfm_w: np.ndarray, npol: int, nl: int, polsvcut: float, mesh=None
 
     if backend.split_complex():
         ur, ui, br, bi, sig, nmodes = linalg.triple_svd_split_batched(
-            place(np.ascontiguousarray(bfm_w.real)),
-            place(np.ascontiguousarray(bfm_w.imag)),
+            place(backend.device_real(bfm_w.real)),
+            place(backend.device_real(bfm_w.imag)),
             npol=npol,
             nl=nl,
             polsvcut=polsvcut,
@@ -184,9 +191,9 @@ def sky_covariance_projection_m(beam5: np.ndarray, cl: np.ndarray) -> np.ndarray
     """m-batched sky covariance projection: (M,F,S,P,L) -> (M,F,S,F,S)."""
     if backend.split_complex():
         re, im = _proj_sky_split_m(
-            np.ascontiguousarray(beam5.real),
-            np.ascontiguousarray(beam5.imag),
-            np.asarray(cl, dtype=beam5.real.dtype),
+            backend.device_real(beam5.real),
+            backend.device_real(beam5.imag),
+            backend.device_real(np.asarray(cl, dtype=beam5.real.dtype)),
         )
         return np.asarray(re) + 1j * np.asarray(im)
     return np.asarray(_proj_sky_native_m(jnp.asarray(beam5), jnp.asarray(cl)))
@@ -208,9 +215,9 @@ def diag_noise_projection_m(beam_ut: np.ndarray, dmat: np.ndarray) -> np.ndarray
     """m-batched diagonal noise projection: (M,F,S,T), (F,T) -> (M,F,S,S)."""
     if backend.split_complex():
         re, im = _diag_split_m(
-            np.ascontiguousarray(beam_ut.real),
-            np.ascontiguousarray(beam_ut.imag),
-            np.asarray(dmat, dtype=beam_ut.real.dtype),
+            backend.device_real(beam_ut.real),
+            backend.device_real(beam_ut.imag),
+            backend.device_real(np.asarray(dmat, dtype=beam_ut.real.dtype)),
         )
         return np.asarray(re) + 1j * np.asarray(im)
     return np.asarray(_diag_native_m(jnp.asarray(beam_ut), jnp.asarray(dmat)))
@@ -245,9 +252,9 @@ def band_covariance_projection(g: np.ndarray, clarray: np.ndarray) -> np.ndarray
     """
     if backend.split_complex():
         re, im = _band_proj_split(
-            np.ascontiguousarray(g.real),
-            np.ascontiguousarray(g.imag),
-            np.asarray(clarray, dtype=g.real.dtype),
+            backend.device_real(g.real),
+            backend.device_real(g.imag),
+            backend.device_real(np.asarray(clarray, dtype=g.real.dtype)),
         )
         return np.asarray(re) + 1j * np.asarray(im)
     return np.asarray(_band_proj_native(jnp.asarray(g), jnp.asarray(clarray)))
@@ -328,8 +335,12 @@ def kl_factored_batched(
     """
     import jax.sharding as jsh
 
-    b_re = np.ascontiguousarray(bsvd5.real)
-    b_im = np.ascontiguousarray(bsvd5.imag)
+    if backend.split_complex():
+        b_re = backend.device_real(bsvd5.real)
+        b_im = backend.device_real(bsvd5.imag)
+    else:
+        b_re = np.ascontiguousarray(bsvd5.real)
+        b_im = np.ascontiguousarray(bsvd5.imag)
     dt = b_re.dtype
     ls = np.asarray(ls, dtype=dt)
     lf = np.asarray(lf, dtype=dt)

@@ -88,8 +88,9 @@ def test_kl_evecs_diagonalise(pair):
     evals, evecs = kl.modes_m(mi)
     nside = bt.ndof(mi)
     S, N = kl.sn_covariance(mi)
-    # the split-complex Gram-SVD carries a ~1e-5 relative floor
-    tol = 5e-5 if backend.split_complex() else 1e-7
+    # split mode computes at f32 device precision (TPU policy): the
+    # N-orthonormality floor is then ~1e-2; native f64 is ~1e-7
+    tol = 1e-2 if backend.split_complex() else 1e-7
     np.testing.assert_allclose(
         evecs @ N @ evecs.conj().T, np.eye(nside), atol=tol
     )
@@ -156,10 +157,14 @@ psfisher:
         g = ps._sky_modes_t(mi)
         from driftscan_tpu.ops import projections as pk
 
+        import driftscan_tpu.backend as backend
+
         fast = pk.band_covariance_projection(g, ps.clarray)
+        # split mode computes at f32 device precision (TPU policy)
+        rtol, atol = (1e-3, 1e-5) if backend.split_complex() else (1e-8, 1e-10)
         for bi in range(ps.nbands):
             slow = ps.makeproj(mi, bi)
             scale = np.abs(slow).max() + 1e-300
             np.testing.assert_allclose(
-                fast[bi], slow, rtol=1e-8, atol=1e-10 * scale
+                fast[bi], slow, rtol=rtol, atol=atol * scale
             )
