@@ -380,10 +380,23 @@ def generalised_eigh_batched(A: np.ndarray, B: np.ndarray):
     from . import linalg
 
     if backend.split_complex():
-        w, v, _ = za.whiten_eigh(za.of(jnp.asarray(A)), za.of(jnp.asarray(B)))
+        w, v, _ = za.whiten_eigh(_host_split(A), _host_split(B))
         return np.asarray(w), za.to_numpy(v)
     w, v, _ = linalg.eigh_gen_batched(jnp.asarray(A), jnp.asarray(B))
     return np.asarray(w), np.asarray(v)
+
+
+def _host_split(x) -> za.Z:
+    """Split a host complex array into device-dtype (re, im) planes.
+
+    Complex arrays must never reach jnp.asarray on complex-free backends,
+    and f64 planes must follow the device f32 policy (backend.device_real).
+    """
+    x = np.asarray(x)
+    return za.Z(
+        jnp.asarray(backend.device_real(x.real)),
+        jnp.asarray(backend.device_real(x.imag)),
+    )
 
 
 def generalised_eigh(A: np.ndarray, B: np.ndarray, message: str = ""):
@@ -400,14 +413,12 @@ def generalised_eigh(A: np.ndarray, B: np.ndarray, message: str = ""):
             0.0,
         )
 
-    w, v, dmin = za.whiten_eigh(za.of(jnp.asarray(A)), za.of(jnp.asarray(B)))
+    w, v, dmin = za.whiten_eigh(_host_split(A), _host_split(B))
     add_const = 0.0
     if not (np.isfinite(np.asarray(w)).all() and float(dmin) > 0):
         # Mirror the reference's regularisation ladder
-        evb = np.sort(np.asarray(za.eigvalsh(za.of(jnp.asarray(B)))))
-        add_const = 1e-15 * evb[-1] - 2.0 * evb[0] + 1e-60
+        evb = np.sort(np.asarray(za.eigvalsh(_host_split(B))))
+        add_const = 1e-15 * evb[-1] - 2.0 * evb[0] + 1e-30
         Breg = B + add_const * np.identity(B.shape[0], dtype=B.dtype)
-        w, v, dmin = za.whiten_eigh(
-            za.of(jnp.asarray(A)), za.of(jnp.asarray(Breg))
-        )
+        w, v, dmin = za.whiten_eigh(_host_split(A), _host_split(Breg))
     return np.asarray(w), za.to_numpy(v), float(add_const)
