@@ -399,6 +399,28 @@ def _host_split(x) -> za.Z:
     )
 
 
+def _bucket_pad(A, B):
+    """Pad a Hermitian pencil to the next power-of-two size.
+
+    Padding dims get S = -I, N = I: their generalised eigenvalues are
+    exactly -1 (below any genuine eigenvalue of a PSD signal), so they
+    sort first and slice off deterministically, and the block-diagonal
+    structure keeps genuine eigenvectors confined to the original
+    subspace.  One compile then serves every per-m size in a bucket.
+    """
+    n = A.shape[0]
+    nb = 1 << max(n - 1, 7).bit_length()
+    if nb == n:
+        return A, B, 0
+    Ap = np.zeros((nb, nb), dtype=A.dtype)
+    Bp = np.eye(nb, dtype=B.dtype)
+    Ap[:n, :n] = A
+    Bp[:n, :n] = B
+    pad = np.arange(n, nb)
+    Ap[pad, pad] = -1.0
+    return Ap, Bp, nb - n
+
+
 def generalised_eigh(A: np.ndarray, B: np.ndarray, message: str = ""):
     """Dispatching generalised Hermitian eigensolve (see linalg.eigh_gen)."""
     from . import linalg
@@ -406,19 +428,32 @@ def generalised_eigh(A: np.ndarray, B: np.ndarray, message: str = ""):
     if not backend.split_complex():
         return linalg.eigh_gen(A, B, message=message)
 
+    n = A.shape[0]
     if (A == 0).all():
         return (
-            np.zeros(A.shape[0], dtype=A.real.dtype),
-            np.identity(A.shape[0], dtype=A.dtype),
+            np.zeros(n, dtype=A.real.dtype),
+            np.identity(n, dtype=A.dtype),
             0.0,
         )
 
-    w, v, dmin = za.whiten_eigh(_host_split(A), _host_split(B))
+    Ap, Bp, npad = _bucket_pad(A, B)
+
+    def solve(a, b):
+        w, v, dmin = za.whiten_eigh(_host_split(a), _host_split(b))
+        # ascending: the npad marker eigenvalues (-1) come first
+        return (
+            np.asarray(w)[npad:],
+            za.to_numpy(v)[:n, npad:],
+            float(dmin),
+        )
+
+    w, v, dmin = solve(Ap, Bp)
     add_const = 0.0
-    if not (np.isfinite(np.asarray(w)).all() and float(dmin) > 0):
+    if not (np.isfinite(w).all() and dmin > 0):
         # Mirror the reference's regularisation ladder
         evb = np.sort(np.asarray(za.eigvalsh(_host_split(B))))
         add_const = 1e-15 * evb[-1] - 2.0 * evb[0] + 1e-30
-        Breg = B + add_const * np.identity(B.shape[0], dtype=B.dtype)
-        w, v, dmin = za.whiten_eigh(_host_split(A), _host_split(Breg))
-    return np.asarray(w), za.to_numpy(v), float(add_const)
+        Breg = B + add_const * np.identity(n, dtype=B.dtype)
+        Ap, Bp, npad = _bucket_pad(A, Breg)
+        w, v, _ = solve(Ap, Bp)
+    return w, v, float(add_const)

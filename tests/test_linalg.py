@@ -161,3 +161,31 @@ def test_blockla_parity():
     pinv = linalg.pinv_dm(blocks, rcond=1e-8)
     for i in range(4):
         np.testing.assert_allclose(pinv[i], la.pinv(blocks[i]), atol=1e-8)
+
+
+def test_generalised_eigh_bucket_padding(monkeypatch):
+    """The split dispatch pads to power-of-two buckets; results must match
+    the native solve at assorted odd sizes."""
+    import driftscan_tpu.backend as backend
+    from driftscan_tpu.ops import projections
+
+    rng = np.random.default_rng(5)
+    for n in (9, 17, 33, 48):
+        a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        A = (a @ a.conj().T).astype(np.complex128)
+        b = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        B = (b @ b.conj().T + 10 * np.eye(n)).astype(np.complex128)
+
+        w_ref, v_ref, _ = projections.generalised_eigh(A, B)
+
+        monkeypatch.setattr(backend, "split_complex", lambda: True)
+        w, v, ac = projections.generalised_eigh(A, B)
+        monkeypatch.undo()
+
+        assert w.shape == (n,)
+        assert v.shape == (n, n)
+        # split mode computes at f32 device precision (TPU policy)
+        np.testing.assert_allclose(w, w_ref, rtol=1e-3, atol=1e-5)
+        # N-orthonormality of the padded-solve vectors
+        g = v.conj().T @ B @ v
+        np.testing.assert_allclose(g, np.eye(n), atol=1e-3)
