@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..parallel import comm
 from . import psmc
 
 
@@ -15,25 +14,23 @@ class CrossPower(psmc.PSMonteCarlo):
     """Monte-Carlo Fisher for a cross-power estimator.
 
     Instrumental noise does not bias a cross-power, so the noise
-    projection is excluded (`crosspower = True`) and two independent
-    sample sets are drawn.
+    projection is excluded (`crosspower = True`) and each q draw uses two
+    independent realisations of the data.
     """
 
     crosspower = True
 
     def _work_fisher_bias_m(self, mi):
-        qa = np.zeros((self.nbands + 1, self.nsamples))
+        """Fisher and bias from the covariance of two-stream q estimates.
 
-        num, starts, ends = comm.split_m(
-            self.nsamples, (self.nsamples // 1000) + 1
-        )
-        for n, s, e in zip(num, starts, ends):
-            x1 = self.gen_sample(mi, n)
-            x2 = self.gen_sample(mi, n)
-            qa[:, s:e] = self.q_estimator(mi, x1, x2, noise=True)
-
-        ft = np.cov(qa)
-        fisher = ft[: self.nbands, : self.nbands]
-        bias = ft[-1, : self.nbands]
-
-        return fisher, bias
+        The q row block is extended by the noise band (``noise=True``);
+        its covariance row against the signal bands is the bias.
+        """
+        qs = [
+            self.q_estimator(
+                mi, self.gen_sample(mi, n), self.gen_sample(mi, n), noise=True
+            )
+            for n in psmc._chunk_sizes(self.nsamples)
+        ]
+        qcov = np.cov(np.concatenate(qs, axis=1))
+        return qcov[: self.nbands, : self.nbands], qcov[-1, : self.nbands]

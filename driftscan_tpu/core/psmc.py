@@ -33,17 +33,16 @@ def matrix_root_manynull(mat, truncate=False):
     return root
 
 
-class PSMonteCarlo(psestimation.PSEstimation):
-    """Fisher via the sample covariance of the q estimator.
+def _chunk_sizes(total, chunk=1000):
+    """Sample-count chunks bounding the per-pass working set."""
+    full, rem = divmod(total, chunk)
+    return [chunk] * full + ([rem] if rem else [])
 
-    Attributes
-    ----------
-    nsamples : int
-        Number of Gaussian samples to draw per m.
-    """
+
+class MonteCarloMixin:
+    """Shared sampling machinery for the Monte-Carlo PS estimators."""
 
     nsamples = config.Property(proptype=int, default=500)
-
     seed = config.Property(proptype=int, default=None)
 
     def _rng(self, mi):
@@ -52,109 +51,101 @@ class PSMonteCarlo(psestimation.PSEstimation):
         return np.random.default_rng(self.seed + 31 * mi + comm.rank())
 
     def gen_sample(self, mi, nsamples=None, noiseonly=False):
-        """Draw KL-space data realisations from the eigenvalue spectrum."""
+        """Draw KL-space data realisations from the eigenvalue spectrum.
+
+        The KL basis diagonalises the data covariance to diag(evals + 1)
+        (signal eigenvalue + unit noise), so a draw is white noise scaled
+        by sqrt(evals + 1) per mode — sqrt(1) for noise-only draws.
+        """
         nsamples = self.nsamples if nsamples is None else nsamples
 
-        evals, evecs = self.kltrans.modes_m(mi)
-        w = np.ones_like(evals) if noiseonly else (evals + 1.0) ** 0.5
+        evals, _ = self.kltrans.modes_m(mi)
         x = complex_std_normal((evals.shape[0], nsamples), rng=self._rng(mi))
-        return x * w[:, np.newaxis]
+        if noiseonly:
+            return x
+        return x * np.sqrt(evals + 1.0)[:, np.newaxis]
+
+
+class PSMonteCarlo(MonteCarloMixin, psestimation.PSEstimation):
+    """Fisher via the sample covariance of the q estimator.
+
+    Attributes
+    ----------
+    nsamples : int
+        Number of Gaussian samples to draw per m.
+    """
 
     def _work_fisher_bias_m(self, mi):
         """Fisher = Cov(q); bias = mean(q)."""
-        qa = np.zeros((self.nbands, self.nsamples))
-
-        num, starts, ends = comm.split_m(
-            self.nsamples, (self.nsamples // 1000) + 1
-        )
-        for n, s, e in zip(num, starts, ends):
-            x = self.gen_sample(mi, n)
-            qa[:, s:e] = self.q_estimator(mi, x)
-
-        fisher = np.cov(qa)
-        bias = qa.mean(axis=1)
-        return fisher, bias
+        qs = [
+            self.q_estimator(mi, self.gen_sample(mi, n))
+            for n in _chunk_sizes(self.nsamples)
+        ]
+        qa = np.concatenate(qs, axis=1)
+        return np.cov(qa), qa.mean(axis=1)
 
 
-class PSMonteCarloAlt(psestimation.PSEstimation):
+class PSMonteCarloAlt(MonteCarloMixin, psestimation.PSEstimation):
     """Stochastic-trace-style estimation with cached per-band vectors.
 
     Parity with /root/reference/drift/core/psmc.py:92-199.
     """
 
-    nsamples = config.Property(proptype=int, default=500)
     nswitch = config.Property(proptype=int, default=0)
-    seed = config.Property(proptype=int, default=None)
-
-    def _rng(self, mi):
-        if self.seed is None:
-            return np.random.default_rng()
-        return np.random.default_rng(self.seed + 31 * mi + comm.rank())
 
     def gen_vecs(self, mi):
-        """Cache sample vectors projected through each band covariance."""
-        self.vec_cache = []
+        """Cache Z2 sample vectors pushed through each band covariance.
 
+        One batch of Z2 vectors is whitened by (evals+1)^-1/2, projected
+        KL -> SVD -> sky, multiplied by every band's C_l (a single einsum
+        over the stacked band array, TT only), and projected back — the
+        cache entry for band b is then C^-1/2-weighted on both sides.
+        """
         bt = self.kltrans.beamtransfer
         evals, evecs = self.kltrans.modes_m(mi)
-        nbands = self.nbands
 
         cf = (evals + 1.0) ** -0.5
+        z2 = self._rng(mi).integers(0, 2, (evals.size, self.nsamples))
+        xv = (2.0 * z2 - 1.0) * cf[:, np.newaxis]
 
-        rng = self._rng(mi)
-        xv = 2 * (rng.random((evals.size, self.nsamples)) <= 0.5).astype(
-            np.float64
-        ) - 1.0
+        # eigenbasis -> SVD -> sky (temperature rows only)
+        sky = bt.project_vector_svd_to_sky(
+            mi,
+            (evecs.T.conj() @ xv).reshape(bt.ndof(mi), self.nsamples),
+            conj=True,
+            temponly=True,
+        )
 
-        xv1 = cf[:, np.newaxis] * xv
-        xv2 = np.dot(evecs.T.conj(), xv1).reshape(bt.ndof(mi), self.nsamples)
-        xv3 = bt.project_vector_svd_to_sky(mi, xv2, conj=True, temponly=True)
+        # All bands at once over the frequency axis (TT only):
+        # banded[b, f, l, s] = sum_g C_l^b(f, g) sky[g, 0, l, s]
+        clband = np.asarray(self.clarray)  # (nbands, nl, F, F)
+        banded = np.einsum("blfg,gls->bfls", clband, sky[:, 0])
 
-        for bi in range(nbands):
-            xv4 = np.zeros_like(xv3)
-            for li in range(self.telescope.lmax + 1):
-                xv4[:, 0, li, :] = np.dot(
-                    self.clarray[bi][li], xv3[:, 0, li, :]
-                )  # TT only
-
-            xv5 = bt.project_vector_sky_to_svd(mi, xv4, temponly=True)
-            xv6 = np.dot(evecs, xv5.reshape(bt.ndof(mi), self.nsamples))
-            xv7 = cf[:, np.newaxis] * xv6
-
-            self.vec_cache.append(xv7)
+        self.vec_cache = []
+        for bi in range(self.nbands):
+            skyb = np.zeros_like(sky)
+            skyb[:, 0] = banded[bi]
+            svd = bt.project_vector_sky_to_svd(mi, skyb, temponly=True)
+            back = evecs @ svd.reshape(bt.ndof(mi), self.nsamples)
+            self.vec_cache.append(cf[:, np.newaxis] * back)
 
     def _work_fisher_bias_m(self, mi):
-        fisher = np.zeros((self.nbands, self.nbands), dtype=np.complex128)
-        bias = np.zeros(self.nbands, dtype=np.complex128)
-
+        """Fisher from pairwise inner products of the cached band vectors."""
         self.gen_vecs(mi)
-        ns = self.nsamples
 
-        for ia in range(self.nbands):
-            va = self.vec_cache[ia]
-            fisher[ia, ia] = np.sum(va * va.conj()) / ns
-            for ib in range(ia):
-                vb = self.vec_cache[ib]
-                fisher[ia, ib] = np.sum(va * vb.conj()) / ns
-                fisher[ib, ia] = np.conj(fisher[ia, ib])
-
-        return fisher, bias
+        # V: (nbands, nmodes * nsamples) — Fisher is the Gram matrix / ns
+        V = np.stack([v.ravel() for v in self.vec_cache])
+        fisher = (V @ V.conj().T) / self.nsamples
+        bias = np.zeros(self.nbands, dtype=np.complex128)
+        return fisher.astype(np.complex128), bias
 
 
 def sim_skyvec(trans, n):
     """Simulate alm(nu) draws given per-l covariance roots."""
-    lside = trans.shape[0]
-    nfreq = trans.shape[1]
-
-    gaussvars = complex_std_normal((lside, nfreq, n))
-    for i in range(lside):
-        gaussvars[i] = np.dot(trans[i], gaussvars[i])
-    return gaussvars
+    gaussvars = complex_std_normal(trans.shape[:2] + (n,))
+    return np.einsum("lfg,lgn->lfn", trans, gaussvars)
 
 
 def block_root(clzz):
     """Square roots of each l-block of an angular power spectrum."""
-    trans = np.zeros_like(clzz)
-    for i in range(trans.shape[0]):
-        trans[i] = matrix_root_manynull(clzz[i], truncate=False)
-    return trans
+    return np.stack([matrix_root_manynull(b) for b in np.asarray(clzz)])
