@@ -112,7 +112,7 @@ def btm_resident(tel, bl_indices, f_indices):
     jax.jit,
     static_argnames=(
         "npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels",
-        "fg_k_cap", "sig_k_cap",
+        "fg_k_cap", "sig_k_cap", "band_rel",
     ),
 )
 def _resident_batch(
@@ -132,6 +132,7 @@ def _resident_batch(
     sig_levels: int = 5,
     fg_k_cap: int = 0,
     sig_k_cap: int = 0,
+    band_rel: float = 1e-1,
 ):
     """Build the m-batch beam matrices on device and run the product step.
 
@@ -177,6 +178,7 @@ def _resident_batch(
         sig_levels=sig_levels,
         fg_k_cap=fg_k_cap,
         sig_k_cap=sig_k_cap,
+        band_rel=band_rel,
     )
 
 
@@ -184,7 +186,7 @@ def _resident_batch(
     jax.jit,
     static_argnames=(
         "npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels",
-        "fg_k_cap", "sig_k_cap",
+        "fg_k_cap", "sig_k_cap", "band_rel",
     ),
 )
 def _spectrum_batch(
@@ -204,6 +206,7 @@ def _spectrum_batch(
     sig_levels: int = 5,
     fg_k_cap: int = 0,
     sig_k_cap: int = 0,
+    band_rel: float = 1e-1,
 ):
     """Spectrum-only product batch: returns just (evals, nmodes), so XLA
     dead-code-eliminates the eigenvector/beam outputs a spectrum pass
@@ -230,6 +233,7 @@ def _spectrum_batch(
         sig_levels=sig_levels,
         fg_k_cap=fg_k_cap,
         sig_k_cap=sig_k_cap,
+        band_rel=band_rel,
     )
     return res.evals, res.nmodes
 

@@ -9,64 +9,68 @@ from __future__ import annotations
 import numpy as np
 
 from .. import config
-from . import cylinder
+from . import cylinder, exotic_cylinder
 
 
 def gaussian_fwhm(x, fwhm):
-    sigma = fwhm / (8.0 * np.log(2.0)) ** 0.5
-    return np.exp(-(x**2) / (2 * sigma**2))
+    """Unit-peak Gaussian parameterised by its full width at half maximum."""
+    sigma2 = fwhm**2 / (8.0 * np.log(2.0))
+    return np.exp(-(x**2) / (2.0 * sigma2))
 
 
 class RestrictedBeam(cylinder.CylinderTelescope):
+    """Mixin: a declination-strip envelope multiplying the cylinder beam.
+
+    ``beam_height`` is the strip's angular size in degrees;
+    ``beam_type`` selects a Gaussian (FWHM = beam_height) or a hard box.
+    """
+
     beam_height = config.Property(proptype=float, default=30.0)
     beam_type = config.Property(proptype=str, default="box")
 
-    def _bdist(self):
-        pointing = self.zenith
-        bdist = self._angpos - pointing[np.newaxis, :]
-        bdist = np.abs(
-            np.where(
-                (bdist[:, 1] < np.pi)[:, np.newaxis],
-                bdist,
-                bdist - np.array([0, 2 * np.pi])[np.newaxis, :],
-            )
-        )
-        return bdist
-
-    def bmask_gaussian(self, feed, freq):
-        bdist = self._bdist()
-        return gaussian_fwhm(bdist[:, 0], np.radians(self.beam_height))
-
-    def bmask_box(self, feed, freq):
-        bdist = self._bdist()
-        return (np.abs(bdist[:, 0] / np.radians(self.beam_height)) < 0.5).astype(
-            np.float64
-        )
+    def _zenith_distance(self):
+        """|theta - theta_zenith| per pixel, with the azimuth branch cut
+        resolved the same way as the reference (phi wrapped past pi)."""
+        delta = self._angpos - self.zenith[np.newaxis, :]
+        wrap = delta[:, 1] >= np.pi
+        return np.abs(np.where(wrap[:, np.newaxis], delta - [0.0, 2 * np.pi], delta))[
+            :, 0
+        ]
 
     def _bmask(self, feed, freq):
-        bdict = {"gaussian": self.bmask_gaussian, "box": self.bmask_box}
-        return bdict[self.beam_type](feed, freq)
+        height = np.radians(self.beam_height)
+        zd = self._zenith_distance()
+        if self.beam_type == "gaussian":
+            return gaussian_fwhm(zd, height)
+        if self.beam_type == "box":
+            return (zd < 0.5 * height).astype(np.float64)
+        raise ValueError(f"Unknown beam_type {self.beam_type!r}")
+
+    # Reference API names (bmask_gaussian / bmask_box)
+    def bmask_gaussian(self, feed, freq):
+        return gaussian_fwhm(self._zenith_distance(), np.radians(self.beam_height))
+
+    def bmask_box(self, feed, freq):
+        zd = self._zenith_distance()
+        return (zd < 0.5 * np.radians(self.beam_height)).astype(np.float64)
 
 
 class RestrictedCylinder(RestrictedBeam, cylinder.UnpolarisedCylinderTelescope):
-    def beam(self, *args, **kwargs):
-        return self._bmask(*args, **kwargs) * np.asarray(
-            cylinder.UnpolarisedCylinderTelescope.beam(self, *args, **kwargs)
-        )
+    def beam(self, feed, freq):
+        base = cylinder.UnpolarisedCylinderTelescope.beam(self, feed, freq)
+        return self._bmask(feed, freq) * np.asarray(base)
 
 
 class RestrictedPolarisedCylinder(
     RestrictedBeam, cylinder.PolarisedCylinderTelescope
 ):
-    def beamx(self, *args, **kwargs):
-        return self._bmask(*args, **kwargs)[:, np.newaxis] * np.asarray(
-            cylinder.PolarisedCylinderTelescope.beamx(self, *args, **kwargs)
-        )
+    def beamx(self, feed, freq):
+        base = cylinder.PolarisedCylinderTelescope.beamx(self, feed, freq)
+        return self._bmask(feed, freq)[:, np.newaxis] * np.asarray(base)
 
-    def beamy(self, *args, **kwargs):
-        return self._bmask(*args, **kwargs)[:, np.newaxis] * np.asarray(
-            cylinder.PolarisedCylinderTelescope.beamy(self, *args, **kwargs)
-        )
+    def beamy(self, feed, freq):
+        base = cylinder.PolarisedCylinderTelescope.beamy(self, feed, freq)
+        return self._bmask(feed, freq)[:, np.newaxis] * np.asarray(base)
 
 
 class RestrictedExtra(RestrictedCylinder):
@@ -75,11 +79,8 @@ class RestrictedExtra(RestrictedCylinder):
     extra_feeds = config.Property(proptype=np.array, default=np.zeros(0))
 
     def feed_positions_cylinder(self, cylinder_index):
-        pos = super().feed_positions_cylinder(cylinder_index)
-
-        nextra = self.extra_feeds.shape[0]
-        pos2 = np.zeros((pos.shape[0] + nextra, 2), dtype=np.float64)
-        pos2[nextra:] = pos
-        pos2[:nextra, 0] = cylinder_index * self.cylinder_spacing
-        pos2[:nextra, 1] = self.extra_feeds
-        return pos2
+        regular = super().feed_positions_cylinder(cylinder_index)
+        extra = exotic_cylinder._column(
+            cylinder_index, self.cylinder_spacing, self.extra_feeds
+        )
+        return np.concatenate([extra, regular], axis=0)

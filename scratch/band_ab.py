@@ -1,0 +1,82 @@
+"""A/B band_rel vs level count: accuracy + speed of the fg Gram deflation.
+
+Anchor: dense f64 host solve of the same pencil for 2 m-modes, built from
+the device-computed SVD beam factors.
+"""
+import sys, time, functools
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+import bench
+from driftscan_tpu.parallel import mstep, resident
+from driftscan_tpu.ops import fpencil, linalg, zarray as za
+
+tel = bench.build_telescope()
+cl_s, cl_n, noisew, _ = bench._covariances(tel)
+ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)
+bl = np.arange(tel.npairs); fi = np.arange(tel.nfreq)
+blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+pos, neg = resident.btm_resident(tel, blg, fig)
+nl = tel.lmax + 1
+nw = jnp.asarray(noisew, dtype=pos.re.dtype)
+lsj = jnp.asarray(ls, dtype=pos.re.dtype)
+lfj = jnp.asarray(lf, dtype=pos.re.dtype)
+mv = jnp.asarray(np.arange(8, 16, dtype=np.int32))
+print("btm ready", flush=True)
+
+def sweep(tag, **kw):
+    f = functools.partial(resident._spectrum_batch, npairs=tel.npairs,
+                          nfreq=tel.nfreq, nl=nl, **kw)
+    st = time.time()
+    ev, _ = f(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv)
+    ev0 = np.asarray(ev); tc = time.time() - st
+    best = np.inf
+    for _ in range(3):
+        st = time.time()
+        ev, _ = f(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv)
+        _ = float(np.asarray(ev).ravel()[0])
+        best = min(best, time.time() - st)
+    print(f"{tag}: compile {tc:.1f}s steady {best*1e3:.0f} ms finite={np.isfinite(ev0).all()}", flush=True)
+    return ev0
+
+# dense f64 anchor for first 2 batch elements: rebuild beams + svd on device,
+# factor on host
+@functools.partial(jax.jit, static_argnames=("npairs","nfreq","nl"))
+def beams_for(mvv, npairs, nfreq, nl):
+    return resident._resident_batch.__wrapped__(
+        pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mvv,
+        npairs=npairs, nfreq=nfreq, nl=nl)
+
+res = beams_for(mv, tel.npairs, tel.nfreq, nl)
+bs = np.asarray(res.beam_re) + 1j*np.asarray(res.beam_im)  # (M,F,S,P*L)
+F, S = bs.shape[1], bs.shape[2]
+anchors = {}
+for i in (0, 1):
+    b4 = za.Z(jnp.asarray(bs[i].real.reshape(F,S,1,nl)), jnp.asarray(bs[i].imag.reshape(F,S,1,nl)))
+    a_s = fpencil.beam_factor(b4, lsj)
+    a_f = fpencil.beam_factor(b4, lfj)
+    a_s = np.asarray(a_s.re) + 1j*np.asarray(a_s.im)
+    a_f = np.asarray(a_f.re) + 1j*np.asarray(a_f.im)
+    evd, _ = fpencil.kl_solve_dense_ref(a_s, a_f)
+    anchors[i] = evd
+print("dense anchors ready", flush=True)
+
+def acc(tag, ev):
+    for i in (0, 1):
+        e = anchors[i]; c = np.asarray(ev[i], dtype=np.float64)
+        # compare retained modes: eval > 0.1 (KL S/N threshold regime)
+        sel = e > 0.1
+        k = int(sel.sum())
+        if k == 0: continue
+        rel = np.abs(np.sort(c)[::-1][:k] / np.sort(e)[::-1][:k] - 1)
+        print(f"  {tag} m-elt {i}: {k} modes>0.1, max rel {rel.max():.2e} mean {rel.mean():.2e}", flush=True)
+
+ev = sweep("exact fg8 sig5 br=0.1")
+acc("exact", ev)
+for tag, kw in [
+    ("fg5 sig3 br=0.03", dict(fg_levels=5, sig_levels=3, band_rel=3e-2)),
+    ("fg5 sig3 br=0.03 +sigcap", dict(fg_levels=5, sig_levels=3, band_rel=3e-2, sig_k_cap=128)),
+    ("fg4 sig3 br=0.01", dict(fg_levels=4, sig_levels=3, band_rel=1e-2)),
+    ("fg8 sig5 br=0.1 +sigcap", dict(sig_k_cap=128)),
+]:
+    ev = sweep(tag, **kw)
+    acc(tag, ev)
