@@ -199,9 +199,10 @@ def transpose_blocks(row_array: np.ndarray, shape: Tuple[int, ...]) -> np.ndarra
     The reference implements this as a cluster-wide MPI all-to-all
     (caput.mpiutil.transpose_blocks, used at
     /root/reference/drift/core/beamtransfer.py:632).  Single-process it is
-    a pure reshape/slice; multi-process it routes through an allgather +
-    local slice (the ICI-optimised device-level equivalent lives in
-    parallel.mesh as a pjit resharding).
+    a pure reshape/slice; multi-process it is a per-peer tile exchange
+    through one XLA resharding over a cross-process mesh — each process
+    ships ~1/P of its block to each peer and never materialises the global
+    array (exercised by tests/test_multiprocess.py).
 
     Parameters
     ----------
