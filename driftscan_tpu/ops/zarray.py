@@ -118,6 +118,31 @@ def embed_herm(h: Z) -> jnp.ndarray:
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def interleave(m: Z) -> jnp.ndarray:
+    """Interleaved real embedding of a general complex matrix M = A + iB.
+
+    Maps each complex entry to the 2x2 block [[a, -b], [b, a]] at rows
+    (2i, 2i+1), cols (2j, 2j+1).  Unlike the block embedding this is a
+    *ring homomorphism that preserves triangularity*: the interleaved
+    embedding of an upper-triangular complex matrix with real diagonal is
+    a real upper-triangular matrix — which makes real QR/triangular-solve
+    kernels directly usable for complex factorisations (see
+    fpencil.kl_solve_qr).
+    """
+    p, q = m.re.shape[-2], m.re.shape[-1]
+    batch = m.re.shape[:-2]
+    # (..., p, 2, q, 2) with [i, 0, j, 0] = a, [i, 0, j, 1] = -b, ...
+    rows0 = jnp.stack([m.re, -m.im], axis=-1)  # (..., p, q, 2)
+    rows1 = jnp.stack([m.im, m.re], axis=-1)
+    blocks = jnp.stack([rows0, rows1], axis=-3)  # (..., p, 2, q, 2)
+    return blocks.reshape(batch + (2 * p, 2 * q))
+
+
+def deinterleave(e: jnp.ndarray) -> Z:
+    """Inverse of :func:`interleave` (reads the (re, im) block entries)."""
+    return Z(e[..., 0::2, 0::2], e[..., 1::2, 0::2])
+
+
 def unembed_vecs(v2n: jnp.ndarray) -> Z:
     """Complex vectors from the columns of a 2n-real eigenvector matrix."""
     n = v2n.shape[-2] // 2

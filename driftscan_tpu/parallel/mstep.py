@@ -82,10 +82,11 @@ def kl_product_step_split(
     svcut: float = 1e-6,
     with_thermal: bool = True,
     fg_levels: int = 8,
-    sig_levels: int = 5,
-    band_rel: float = 1e-1,
+    sig_levels: int = 3,
+    band_rel: float = 3e-2,
     fg_k_cap: int = 0,
     sig_k_cap: int = 0,
+    method: str = "qr",
 ) -> ProductStepResultSplit:
     """SVD-compress and KL-filter a batch of m-modes in one jitted program.
 
@@ -147,6 +148,7 @@ def kl_product_step_split(
             band_rel=band_rel,
             fg_k_cap=fg_k_cap,
             sig_k_cap=sig_k_cap,
+            method=method,
         )
         evecs = kl.evecs.conj().transpose(1, 0)  # rows are KL modes
 

@@ -112,7 +112,7 @@ def btm_resident(tel, bl_indices, f_indices):
     jax.jit,
     static_argnames=(
         "npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels",
-        "fg_k_cap", "sig_k_cap", "band_rel",
+        "fg_k_cap", "sig_k_cap", "band_rel", "method",
     ),
 )
 def _resident_batch(
@@ -129,10 +129,11 @@ def _resident_batch(
     nl: int,
     npol: int = 1,
     fg_levels: int = 8,
-    sig_levels: int = 5,
+    sig_levels: int = 3,
     fg_k_cap: int = 0,
     sig_k_cap: int = 0,
-    band_rel: float = 1e-1,
+    band_rel: float = 3e-2,
+    method: str = "qr",
 ):
     """Build the m-batch beam matrices on device and run the product step.
 
@@ -179,6 +180,7 @@ def _resident_batch(
         fg_k_cap=fg_k_cap,
         sig_k_cap=sig_k_cap,
         band_rel=band_rel,
+        method=method,
     )
 
 
@@ -186,7 +188,7 @@ def _resident_batch(
     jax.jit,
     static_argnames=(
         "npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels",
-        "fg_k_cap", "sig_k_cap", "band_rel",
+        "fg_k_cap", "sig_k_cap", "band_rel", "method",
     ),
 )
 def _spectrum_batch(
@@ -203,10 +205,11 @@ def _spectrum_batch(
     nl: int,
     npol: int = 1,
     fg_levels: int = 8,
-    sig_levels: int = 5,
+    sig_levels: int = 3,
     fg_k_cap: int = 0,
     sig_k_cap: int = 0,
-    band_rel: float = 1e-1,
+    band_rel: float = 3e-2,
+    method: str = "qr",
 ):
     """Spectrum-only product batch: returns just (evals, nmodes), so XLA
     dead-code-eliminates the eigenvector/beam outputs a spectrum pass
@@ -234,6 +237,7 @@ def _spectrum_batch(
         fg_k_cap=fg_k_cap,
         sig_k_cap=sig_k_cap,
         band_rel=band_rel,
+        method=method,
     )
     return res.evals, res.nmodes
 

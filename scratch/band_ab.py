@@ -62,13 +62,13 @@ print("dense anchors ready", flush=True)
 
 def acc(tag, ev):
     for i in (0, 1):
-        e = anchors[i]; c = np.asarray(ev[i], dtype=np.float64)
-        # compare retained modes: eval > 0.1 (KL S/N threshold regime)
-        sel = e > 0.1
-        k = int(sel.sum())
-        if k == 0: continue
-        rel = np.abs(np.sort(c)[::-1][:k] / np.sort(e)[::-1][:k] - 1)
-        print(f"  {tag} m-elt {i}: {k} modes>0.1, max rel {rel.max():.2e} mean {rel.mean():.2e}", flush=True)
+        e = np.sort(anchors[i])[::-1]
+        c = np.sort(np.asarray(ev[i], dtype=np.float64))[::-1]
+        c = c[:e.size]
+        for k in (16, 64, 256):
+            k = min(k, e.size)
+            rel = np.abs(c[:k] / np.maximum(e[:k], 1e-300) - 1)
+            print(f"  {tag} m{i} top{k}: max rel {rel.max():.2e} mean {rel.mean():.2e} (e[k-1]={e[k-1]:.2e})", flush=True)
 
 ev = sweep("exact fg8 sig5 br=0.1")
 acc("exact", ev)

@@ -229,11 +229,13 @@ class TestRankCappedBands:
         a_f = _random_factor(rng, n, 60, 1e-2, 1e5)
         a_s = _random_factor(rng, n, 40, 1e-3, 3e1)
 
-        exact = jax.jit(lambda s, f: fpencil.kl_solve(s, f))(
+        exact = jax.jit(lambda s, f: fpencil.kl_solve(s, f, method="gram"))(
             _split32(a_s), _split32(a_f)
         )
         capped = jax.jit(
-            lambda s, f: fpencil.kl_solve(s, f, fg_k_cap=24, sig_k_cap=24)
+            lambda s, f: fpencil.kl_solve(
+                s, f, fg_k_cap=24, sig_k_cap=24, method="gram"
+            )
         )(_split32(a_s), _split32(a_f))
 
         ev_e = np.asarray(exact.evals)
@@ -250,3 +252,88 @@ class TestRankCappedBands:
         a = _split32(_random_factor(rng, 8, 10, 1e-1, 1e1))
         with pytest.raises(ValueError):
             fpencil.kl_solve(a, a, with_thermal=False, fg_k_cap=4)
+
+
+class TestKLSolveQR:
+    """Factor-side QR whitening at production-like conditioning.
+
+    The gram-deflation engine's foreground whitening degrades as cond(N)
+    grows (its f32 foreground Gram corrupts directions below
+    n*eps*s_max^2 — measured ~40x eigenvalue overestimates at benchmark
+    scale); the QR path must stay within ~1e-3 of the dense f64 pencil
+    because its backward error lives on the *factor*.
+    """
+
+    def _hard_pencil(self, rng, n=96, kf=288, ks=288):
+        # fully-rotated factors: continuous ~6-decade foreground spectrum
+        # (12 eigenvalue decades, cond(N) ~ 3e11 like the benchmark
+        # telescope), signal norm ~0.3 overlapping the foreground space.
+        def rand_u(p, q):
+            a = rng.standard_normal((p, q)) + 1j * rng.standard_normal((p, q))
+            return np.linalg.qr(a)[0]
+
+        sf = np.logspace(np.log10(5.6e5), -3, n)
+        a_f = (rand_u(n, n) * sf) @ rand_u(kf, n).conj().T
+        ss = 0.3 * np.logspace(0, -3, n)
+        a_s = (rand_u(n, n) * ss) @ rand_u(ks, n).conj().T
+        return a_s, a_f
+
+    def test_qr_matches_dense_f64_at_bench_conditioning(self):
+        rng = np.random.default_rng(3)
+        a_s, a_f = self._hard_pencil(rng)
+        n = a_s.shape[0]
+
+        ev_ref, _ = fpencil.kl_solve_dense_ref(
+            a_s.astype(np.complex64), a_f.astype(np.complex64)
+        )
+        res = jax.jit(lambda s, f: fpencil.kl_solve(s, f, method="qr"))(
+            _split32(a_s), _split32(a_f)
+        )
+        ev = np.asarray(res.evals, dtype=np.float64)
+
+        e = np.sort(ev_ref)[::-1]
+        c = np.sort(ev)[::-1]
+        np.testing.assert_allclose(c[:32], e[:32], rtol=5e-3)
+
+        # top eigenvectors verify by f64 Rayleigh quotient and are
+        # N-orthonormal on the retained block
+        v = (np.asarray(res.evecs.re) + 1j * np.asarray(res.evecs.im)).astype(
+            np.complex128
+        )
+        S = a_s @ a_s.conj().T
+        N = a_f @ a_f.conj().T + np.eye(n)
+        g = v[:, -32:].conj().T @ N @ v[:, -32:]
+        assert np.abs(g - np.eye(32)).max() < 5e-3
+        v1 = v[:, -1]
+        rq = np.real(v1.conj() @ S @ v1) / np.real(v1.conj() @ N @ v1)
+        np.testing.assert_allclose(c[0], rq, rtol=5e-3)
+
+    def test_qr_foreground_only_matches_additive_dense(self):
+        rng = np.random.default_rng(4)
+        a_s, a_f = self._hard_pencil(rng, n=64, kf=200, ks=200)
+
+        ev_ref, _ = fpencil.kl_solve_dense_ref(
+            a_s.astype(np.complex64),
+            a_f.astype(np.complex64),
+            with_thermal=False,
+            fg_floor=1e-6,
+            fg_reg="additive",
+        )
+        res = jax.jit(
+            lambda s, f: fpencil.kl_solve(
+                s, f, with_thermal=False, fg_floor=1e-6, method="qr"
+            )
+        )(_split32(a_s), _split32(a_f))
+        ev = np.asarray(res.evals, dtype=np.float64)
+
+        e = np.sort(ev_ref)[::-1]
+        c = np.sort(ev)[::-1]
+        np.testing.assert_allclose(c[:16], e[:16], rtol=2e-2)
+
+    def test_qr_rejects_fg_cap(self):
+        import pytest
+
+        rng = np.random.default_rng(5)
+        a = _split32(_random_factor(rng, 8, 10, 1e-1, 1e1))
+        with pytest.raises(ValueError):
+            fpencil.kl_solve(a, a, fg_k_cap=4, method="qr")
