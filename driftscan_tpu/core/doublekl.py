@@ -92,6 +92,75 @@ class DoubleKL(kltransform.KLTransform):
         super()._ev_save_hook(f, evextra)
         f.create_dataset("f_evals", data=evextra["f_evals"])
 
+    def _transform_save_mbatch(self, m_chunk):
+        """Two-stage KL for a chunk of m-modes in one device batch.
+
+        Uses the fully-factored two-stage pencil
+        (ops.projections.doublekl_factored_batched) — both stages run
+        from covariance *factors* by QR whitening, so the TPU path keeps
+        the same accuracy story as the single-stage transform.  svcut
+        padding never survives stage 1 (zero signal and foreground rows
+        give S/F = 0 against the suppressed-thermal floor), so the
+        stage-1 spectrum compacts by simply taking the top ndof values.
+        """
+        from ..ops import projections
+        from ..parallel import mesh as meshmod
+
+        tel = self.telescope
+        bsvd, idx_list = self._load_bsvd_batch(m_chunk, self.mbatch)
+        ls, lf = self._cl_factors()
+
+        nc1 = (1e-3 / tel.tsys_flat) ** 2  # suppressed-thermal floor
+        f_ev_b, ev_b, evecs_b, nkept_b = projections.doublekl_factored_batched(
+            bsvd,
+            ls,
+            lf,
+            nc=1.0,
+            nc1=nc1,
+            fg_threshold=self.foreground_threshold,
+            fg_reg_rel=self._foreground_regulariser,
+            mesh=meshmod.get_mesh(),
+        )
+
+        for i, mi in enumerate(m_chunk):
+            idx = idx_list[i]
+            ndof = len(idx)
+            nkept = int(nkept_b[i])
+
+            f_evals = f_ev_b[i][-ndof:]  # ascending, padding zeros shed
+            if nkept:
+                evals = ev_b[i][-nkept:]
+                # rows = modes, compact coordinates
+                evecs = evecs_b[i][idx, -nkept:].T.conj()
+            else:
+                evals = np.array([])
+                evecs = np.array([[]])
+
+            logger.info(
+                "Writing DoubleKL file for m = %i (%i kept): %s",
+                mi,
+                nkept,
+                self._evfile % mi,
+            )
+            with h5py.File(self._evfile % mi, "w") as f:
+                f.attrs["m"] = mi
+                f.attrs["SUBSET"] = self.subset
+
+                evalsf = np.zeros(ndof, dtype=np.float64)
+                if evals.size:
+                    evalsf[-evals.size :] = evals
+                f.create_dataset("evals_full", data=evalsf)
+
+                if self.subset and evals.size:
+                    i_ev = np.searchsorted(evals, self.threshold)
+                    evals = evals[i_ev:]
+                    evecs = evecs[i_ev:]
+
+                f.create_dataset("evals", data=evals)
+                f.create_dataset("evecs", data=np.ascontiguousarray(evecs))
+                f.attrs["num_modes"] = evals.size
+                self._ev_save_hook(f, {"ac": 0.0, "f_evals": f_evals})
+
     def _collect(self):
         """Collect both spectra (S/N and stage-1 S/F) into evals.hdf5."""
         ndofmax = self.beamtransfer.ndofmax

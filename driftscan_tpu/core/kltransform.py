@@ -295,12 +295,21 @@ class KLTransform(config.Reader):
         ]
 
         # Batched path: one compiled covariance-projection + whitened-eigh
-        # program serves every m-chunk.  Subclasses with custom transforms
-        # (DoubleKL) fall back to the per-m path.
+        # program serves every m-chunk.  Subclasses either inherit it
+        # untouched, ship their own batched writer (DoubleKL), or — if
+        # they customise only the per-m transform — fall back to the
+        # per-m path.
+        own_batched = (
+            type(self)._transform_save_mbatch
+            is not KLTransform._transform_save_mbatch
+        )
         use_batched = (
             self.mbatch > 1
             and not self.inverse
-            and type(self)._transform_m == KLTransform._transform_m
+            and (
+                own_batched
+                or type(self)._transform_m == KLTransform._transform_m
+            )
         )
 
         if use_batched and mlist:
@@ -352,6 +361,29 @@ class KLTransform(config.Reader):
             self._cl_factor_cache = (ls, lf)
         return self._cl_factor_cache
 
+    def _load_bsvd_batch(self, m_chunk, mbatch):
+        """Padded, svcut-masked SVD-beam batch for a chunk of m-modes.
+
+        Returns (bsvd (mbatch, F, S, npol, nl) complex, per-m compact
+        index lists); the chunk is right-padded by repeating its last m.
+        """
+        bt = self.beamtransfer
+        tel = self.telescope
+        nfreq, npol, nl = tel.nfreq, tel.num_pol_sky, tel.lmax + 1
+        S = bt.svd_len
+
+        ms = list(m_chunk) + [m_chunk[-1]] * (mbatch - len(m_chunk))
+        bsvd = np.zeros((mbatch, nfreq, S, npol, nl), dtype=np.complex128)
+        idx_list = []
+        for i, mi in enumerate(ms):
+            svnum, _ = bt._svd_num(mi)
+            mask = np.zeros((nfreq, S))
+            for fi in range(nfreq):
+                mask[fi, : svnum[fi]] = 1.0
+            bsvd[i] = bt.beam_svd(mi) * mask[:, :, None, None]
+            idx_list.append(bt._compact_indices(mi)[0])
+        return bsvd, idx_list
+
     def _transform_save_mbatch(self, m_chunk):
         """KL-transform a chunk of m-modes in one device batch.
 
@@ -376,19 +408,7 @@ class KLTransform(config.Reader):
         S = bt.svd_len
 
         mbatch = self.mbatch
-        ms = list(m_chunk) + [m_chunk[-1]] * (mbatch - len(m_chunk))
-
-        # Load padded SVD beams, masked by svcut.
-        bsvd = np.zeros((mbatch, nfreq, S, npol, nl), dtype=np.complex128)
-        idx_list = []
-        for i, mi in enumerate(ms):
-            svnum, svbounds = bt._svd_num(mi)
-            mask = np.zeros((nfreq, S))
-            for fi in range(nfreq):
-                mask[fi, : svnum[fi]] = 1.0
-            bsvd[i] = bt.beam_svd(mi) * mask[:, :, None, None]
-            idx_list.append(bt._compact_indices(mi)[0])
-
+        bsvd, idx_list = self._load_bsvd_batch(m_chunk, mbatch)
         ls, lf = self._cl_factors()
         nc = 1.0 if self.use_thermal else (1e-3 / tel.tsys_flat) ** 2
 

@@ -358,39 +358,6 @@ def whiten_apply_floor(bands: GramBands, y: za.Z, floor_rel: float) -> za.Z:
 # ------------------------------------------------------------------
 
 
-def whiten_factor_qr(a_fg: za.Z, nc: float | jnp.ndarray = 1.0) -> jnp.ndarray:
-    """Triangular whitening factor of N = nc*I + A_f A_f^H, by QR.
-
-    Computes the complex Cholesky-like factor R (N = R^H R) **without ever
-    forming N**: a real Householder QR of the interleaved embedding of the
-    augmented matrix ``[A_f^H; sqrt(nc) I]``.  QR is backward stable *on
-    the factor*, so the singular values of A_f are preserved to an
-    absolute ~eps * s_max — and whitening only needs the directions with
-    s >~ sqrt(nc), which sit far above that floor.  Forming the Gram
-    N in f32 instead would corrupt every direction below n*eps*s_max^2
-    (the failure mode of plain f32 whitening on the ~14-decade foreground,
-    cf. /root/reference/drift/core/kltransform.py:258-341 which relies on
-    LAPACK f64 for the same reason).
-
-    Returns the interleaved real embedding of R (upper triangular,
-    positive diagonal), shape (2n, 2n).
-    """
-    n = a_fg.shape[-2]
-    dt = a_fg.dtype
-    afh = za.Z(
-        jnp.swapaxes(a_fg.re, -1, -2), -jnp.swapaxes(a_fg.im, -1, -2)
-    )  # A_f^H (K, n)
-    top = za.interleave(afh)  # (2K, 2n)
-    eye = jnp.sqrt(jnp.asarray(nc, dtype=dt)) * jnp.eye(2 * n, dtype=dt)
-    aug = jnp.concatenate([top, eye], axis=-2)
-    r = jnp.linalg.qr(aug, mode="r")
-    # Normalise to positive diagonal: restores the interleaved-embedding
-    # structure (QR factors are unique up to row signs).
-    d = jnp.diagonal(r, axis1=-2, axis2=-1)
-    sign = jnp.where(d < 0, -1.0, 1.0).astype(dt)
-    return r * sign[..., :, None]
-
-
 def _solve_tri_interleaved(r_e: jnp.ndarray, b: za.Z, adjoint: bool) -> za.Z:
     """Solve R x = b (adjoint=False) or R^H x = b (True), R interleaved."""
     be = za.interleave(b)
@@ -429,6 +396,154 @@ def _spectral_norm_sq(a: za.Z, iters: int = 8) -> jnp.ndarray:
     return lam
 
 
+def pencil_solve_qr(
+    a_signal: za.Z,
+    noise_rows: za.Z,
+    sig_levels: int = 3,
+    band_rel: float = 3e-2,
+    sig_k_cap: int = 0,
+) -> KLResult:
+    """Solve S v = w N v with S = A_s A_s^H and N = G^H G given by rows G.
+
+    The general core of :func:`kl_solve_qr`: any noise covariance
+    expressible as a (rows, n) factor works — ``[A_f^H; sqrt(nc) I]`` for
+    the standard thermal pencil, restricted/projected factors for the
+    two-stage DoubleKL.  Returns evals ascending and N-orthonormal
+    eigenvector columns.
+    """
+    in_dtype = a_signal.re.dtype
+    n = a_signal.shape[-2]
+
+    aug = za.interleave(noise_rows)
+    r_e = jnp.linalg.qr(aug, mode="r")
+    d = jnp.diagonal(r_e, axis1=-2, axis2=-1)
+    sign = jnp.where(d < 0, -1.0, 1.0).astype(in_dtype)
+    r_e = r_e * sign[..., :, None]
+
+    y = _solve_tri_interleaved(r_e, a_signal, adjoint=True)  # R^-H A_s
+
+    if sig_k_cap:
+        yb = gram_bands_topk(
+            y, levels=sig_levels, band_rel=band_rel, k_cap=sig_k_cap
+        )
+    else:
+        yb = gram_bands(y, levels=sig_levels, band_rel=band_rel)
+    u, sy = _select_complete_basis(yb)
+    evals = sy * sy  # descending
+
+    v = _solve_tri_interleaved(r_e, u, adjoint=False)  # R^-1 U
+
+    evals = evals[..., ::-1].astype(in_dtype)
+    v = za.Z(
+        v.re[..., ::-1].astype(in_dtype), v.im[..., ::-1].astype(in_dtype)
+    )
+    return KLResult(evals, v)
+
+
+def _thermal_noise_rows(a_fg: za.Z, nc) -> za.Z:
+    """Noise factor rows [A_f^H; sqrt(nc) I] for N = nc*I + A_f A_f^H."""
+    n = a_fg.shape[-2]
+    dt = a_fg.dtype
+    afh = za.Z(
+        jnp.swapaxes(a_fg.re, -1, -2), -jnp.swapaxes(a_fg.im, -1, -2)
+    )
+    root = jnp.sqrt(jnp.asarray(nc, dtype=dt))
+    eye = root * jnp.eye(n, dtype=dt)
+    zero = jnp.zeros_like(eye)
+    pad_shape = afh.re.shape[:-2] + (n, n)
+    return za.Z(
+        jnp.concatenate([afh.re, jnp.broadcast_to(eye, pad_shape)], axis=-2),
+        jnp.concatenate([afh.im, jnp.broadcast_to(zero, pad_shape)], axis=-2),
+    )
+
+
+def doublekl_solve_qr(
+    a_signal: za.Z,
+    a_fg: za.Z,
+    fg_threshold: float = 100.0,
+    fg_floor: float = 1e-6,
+    nc1: float | None = None,
+    fg_reg_rel: float = 1e-14,
+    sig_levels: int = 3,
+    band_rel: float = 3e-2,
+) -> tuple:
+    """Two-stage (DoubleKL) pencil, fully factored and shape-static.
+
+    Stage 1 solves S v = w (F + nc1 I) v (thermal suppressed to the
+    reference's 1 mK floor, or an additive fg_floor regularisation when
+    nc1 is not given); modes with w <= fg_threshold are *mask-dropped*
+    (their columns zeroed) instead of sliced, so the whole two-stage
+    solve jits and vmaps.  Stage 2 solves the thermal pencil restricted
+    to the kept subspace: signal factor p^H A_s, noise factor
+    [A_f^H p; p] (+ a relative ~1e-6 diagonal so dropped columns stay
+    nonsingular — they emerge with eval exactly ~0 and zero vectors,
+    sorting below any genuine mode, matching the padding contract of
+    kl_product_step).
+
+    Reference behaviour: /root/reference/drift/core/doublekl.py:30-88.
+
+    Returns (f_evals (n,) ascending stage-1 spectrum,
+             evals (n,) ascending stage-2 spectrum (dropped -> 0),
+             evecs Z (n, n) final mode columns in the original basis,
+             nkept () int32).
+    """
+    dt = a_signal.dtype
+    n = a_signal.shape[-2]
+
+    # ---- stage 1: S/F ----
+    # The identity floor is the reference's *suppressed* radiometer noise
+    # (kltransform._noise_power with use_thermal=False: Tsys -> 1 mK)
+    # when the caller knows it (otherwise a relative foreground floor),
+    # plus the reference's relative foreground regulariser — its dense
+    # path adds fg_reg_rel * max|F_ij| to the diagonal
+    # (/root/reference/drift/core/kltransform.py:289-290), and for a PSD
+    # F the max entry sits on the diagonal = the max row norm^2 of A_f.
+    if nc1 is None:
+        nc1 = fg_floor * _spectral_norm_sq(a_fg) + jnp.asarray(1e-30, dt)
+    reg = fg_reg_rel * jnp.max(jnp.sum(a_fg.abs2(), axis=-1))
+    nc1 = nc1 + reg
+    kl1 = pencil_solve_qr(
+        a_signal,
+        _thermal_noise_rows(a_fg, nc1),
+        sig_levels=sig_levels,
+        band_rel=band_rel,
+    )
+    f_evals = kl1.evals  # ascending
+    keep = (f_evals > fg_threshold).astype(dt)  # (n,)
+    p = za.Z(kl1.evecs.re * keep[None, :], kl1.evecs.im * keep[None, :])
+
+    # ---- stage 2: S/(nc I + F) on the kept subspace ----
+    bs = za.einsum("ji,jk->ik", p.conj(), a_signal)  # p^H A_s
+    fp = za.einsum("ja,jc->ac", a_fg.conj(), p)  # A_f^H p, (K, n)
+    # noise rows: [A_f^H p ; p ; delta I]
+    gr = za.Z(
+        jnp.concatenate([fp.re, p.re], axis=-2),
+        jnp.concatenate([fp.im, p.im], axis=-2),
+    )
+    # kept-mode diagonal of N' is >= 1 (stage-1 noise normalisation), so a
+    # 1e-4 diagonal keeps dropped columns nonsingular at ~1e-8 relative
+    # effect on genuine eigenvalues.
+    delta = jnp.asarray(1e-4, dt) * jnp.eye(n, dtype=dt)
+    gr = za.Z(
+        jnp.concatenate([gr.re, delta], axis=-2),
+        jnp.concatenate([gr.im, jnp.zeros_like(delta)], axis=-2),
+    )
+
+    kl2 = pencil_solve_qr(bs, gr, sig_levels=sig_levels, band_rel=band_rel)
+
+    # back to the original basis: final mode columns are p @ v2
+    v = za.einsum("ij,jk->ik", p, kl2.evecs)
+
+    # dropped/padded stage-2 outputs carry no signal: mask their evals to 0
+    # (they are ~0 already; exact zeros keep the file contract clean)
+    vnorm = jnp.sum(v.abs2(), axis=-2)
+    alive = (vnorm > 1e-12).astype(dt)
+    evals2 = kl2.evals * alive
+
+    nkept = jnp.sum(keep).astype(jnp.int32)
+    return f_evals, evals2, v, nkept
+
+
 def kl_solve_qr(
     a_signal: za.Z,
     a_fg: za.Z,
@@ -441,7 +556,7 @@ def kl_solve_qr(
     """Solve S v = w N v by factor-side QR whitening (the accurate path).
 
     The pencil eigenvalues are the squared singular values of R^-H A_s
-    where N = R^H R comes from :func:`whiten_factor_qr` — one backward-
+    where N = R^H R comes from one backward-
     stable QR on the *factor* instead of multi-level Gram deflation of the
     ~14-decade foreground covariance.  Measured against the dense f64
     pencil at benchmark scale (n=352, cond(N) ~ 3e11): eigenvalues match
@@ -466,25 +581,13 @@ def kl_solve_qr(
     else:
         nc = fg_floor * _spectral_norm_sq(a_fg) + jnp.asarray(1e-30, in_dtype)
 
-    r_e = whiten_factor_qr(a_fg, nc=nc)
-    y = _solve_tri_interleaved(r_e, a_signal, adjoint=True)  # R^-H A_s
-
-    if sig_k_cap:
-        yb = gram_bands_topk(
-            y, levels=sig_levels, band_rel=band_rel, k_cap=sig_k_cap
-        )
-    else:
-        yb = gram_bands(y, levels=sig_levels, band_rel=band_rel)
-    u, sy = _select_complete_basis(yb)
-    evals = sy * sy  # descending
-
-    v = _solve_tri_interleaved(r_e, u, adjoint=False)  # R^-1 U
-
-    evals = evals[..., ::-1].astype(in_dtype)
-    v = za.Z(
-        v.re[..., ::-1].astype(in_dtype), v.im[..., ::-1].astype(in_dtype)
+    return pencil_solve_qr(
+        a_signal,
+        _thermal_noise_rows(a_fg, nc),
+        sig_levels=sig_levels,
+        band_rel=band_rel,
+        sig_k_cap=sig_k_cap,
     )
-    return KLResult(evals, v)
 
 
 def kl_solve(

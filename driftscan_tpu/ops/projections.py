@@ -378,6 +378,118 @@ def kl_factored_batched(
     return np.asarray(w)[:M], evecs
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fg_threshold", "fg_floor", "nc1", "fg_reg_rel", "sig_levels",
+        "band_rel",
+    ),
+)
+def _doublekl_factored_m(
+    b_re,
+    b_im,
+    ls,
+    lf,
+    inv_sqrt_nc,
+    fg_threshold: float,
+    fg_floor: float,
+    nc1,
+    fg_reg_rel: float,
+    sig_levels: int,
+    band_rel: float,
+):
+    from . import fpencil
+
+    def one(bre, bim):
+        b4 = za.Z(bre, bim)
+        a_s = fpencil.beam_factor(b4, ls) * inv_sqrt_nc
+        a_f = fpencil.beam_factor(b4, lf) * inv_sqrt_nc
+        f_evals, evals, v, nkept = fpencil.doublekl_solve_qr(
+            a_s,
+            a_f,
+            fg_threshold=fg_threshold,
+            fg_floor=fg_floor,
+            nc1=nc1,
+            fg_reg_rel=fg_reg_rel,
+            sig_levels=sig_levels,
+            band_rel=band_rel,
+        )
+        return f_evals, evals, v.re, v.im, nkept
+
+    return jax.vmap(one)(b_re, b_im)
+
+
+def doublekl_factored_batched(
+    bsvd5: np.ndarray,
+    ls: np.ndarray,
+    lf: np.ndarray,
+    nc: float = 1.0,
+    nc1: float | None = None,
+    fg_threshold: float = 100.0,
+    fg_floor: float = 1e-6,
+    fg_reg_rel: float = 1e-14,
+    sig_levels: int = 3,
+    band_rel: float = 3e-2,
+    mesh=None,
+):
+    """m-batched two-stage (DoubleKL) factored pencil, mesh-sharded.
+
+    Stage 1 solves the S/F pencil per m; stage 2 re-solves S/(nc I + F)
+    on the modes whose S/F exceeds ``fg_threshold`` (mask-static —
+    dropped modes emerge with eval 0 / zero columns; the caller compacts
+    using ``nkept``).  Accuracy notes as :func:`fpencil.doublekl_solve_qr`;
+    reference semantics: /root/reference/drift/core/doublekl.py:30-88.
+
+    Returns (f_evals (M, n) ascending, evals (M, n) ascending,
+    evecs (M, n, n) complex columns, nkept (M,) int).
+    """
+    import jax.sharding as jsh
+
+    if backend.split_complex():
+        b_re = backend.device_real(bsvd5.real)
+        b_im = backend.device_real(bsvd5.imag)
+    else:
+        b_re = np.ascontiguousarray(bsvd5.real)
+        b_im = np.ascontiguousarray(bsvd5.imag)
+    dt = b_re.dtype
+    ls = np.asarray(ls, dtype=dt)
+    lf = np.asarray(lf, dtype=dt)
+    inv_sqrt_nc = np.asarray(1.0 / np.sqrt(nc), dtype=dt)
+
+    M = b_re.shape[0]
+    if mesh is not None and mesh.devices.size > 1:
+        ndev = mesh.devices.size
+        pad = (-M) % ndev
+        if pad:
+            b_re = np.concatenate([b_re, np.repeat(b_re[-1:], pad, axis=0)])
+            b_im = np.concatenate([b_im, np.repeat(b_im[-1:], pad, axis=0)])
+        ax = mesh.axis_names[0]
+        shard = jsh.NamedSharding(mesh, jsh.PartitionSpec(ax))
+        b_re = jax.device_put(b_re, shard)
+        b_im = jax.device_put(b_im, shard)
+
+    f_ev, ev, v_re, v_im, nkept = _doublekl_factored_m(
+        b_re,
+        b_im,
+        ls,
+        lf,
+        inv_sqrt_nc,
+        fg_threshold=fg_threshold,
+        fg_floor=fg_floor,
+        nc1=None if nc1 is None else float(nc1 / nc),
+        fg_reg_rel=fg_reg_rel,
+        sig_levels=sig_levels,
+        band_rel=band_rel,
+    )
+    evecs = (np.asarray(v_re) + 1j * np.asarray(v_im))[:M]
+    return (
+        np.asarray(f_ev)[:M],
+        np.asarray(ev)[:M],
+        evecs,
+        np.asarray(nkept)[:M],
+    )
+
+
 def generalised_eigh_batched(A: np.ndarray, B: np.ndarray):
     """m-batched generalised Hermitian eigensolve.
 
