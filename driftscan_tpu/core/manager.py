@@ -59,6 +59,7 @@ class Registry:
     def _load_plugin(spec):
         import importlib
         import importlib.util
+        import sys
 
         modname, clsname = spec["module"], spec["class"]
         if "file" in spec:
@@ -66,6 +67,10 @@ class Registry:
                 modname, spec["file"]
             )
             module = importlib.util.module_from_spec(loader_spec)
+            # Register before exec so the module is importable by name —
+            # required for pickling plugin telescopes into the product
+            # directory (beamtransfer stores the telescope object).
+            sys.modules[modname] = module
             loader_spec.loader.exec_module(module)
         else:
             module = importlib.import_module(modname)
