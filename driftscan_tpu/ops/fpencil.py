@@ -399,7 +399,7 @@ def _spectral_norm_sq(a: za.Z, iters: int = 8) -> jnp.ndarray:
 def pencil_solve_qr(
     a_signal: za.Z,
     noise_rows: za.Z,
-    sig_levels: int = 3,
+    sig_levels: int = 2,
     band_rel: float = 3e-2,
     sig_k_cap: int = 0,
 ) -> KLResult:
@@ -464,7 +464,7 @@ def doublekl_solve_qr(
     fg_floor: float = 1e-6,
     nc1: float | None = None,
     fg_reg_rel: float = 1e-14,
-    sig_levels: int = 3,
+    sig_levels: int = 2,
     band_rel: float = 3e-2,
 ) -> tuple:
     """Two-stage (DoubleKL) pencil, fully factored and shape-static.
@@ -548,7 +548,7 @@ def kl_solve_qr(
     a_signal: za.Z,
     a_fg: za.Z,
     with_thermal: bool = True,
-    sig_levels: int = 3,
+    sig_levels: int = 2,
     band_rel: float = 3e-2,
     fg_floor: float = 1e-6,
     sig_k_cap: int = 0,
@@ -595,8 +595,8 @@ def kl_solve(
     a_fg: za.Z,
     with_thermal: bool = True,
     fg_levels: int = 8,
-    sig_levels: int = 5,
-    band_rel: float = 1e-1,
+    sig_levels: int | None = None,
+    band_rel: float | None = None,
     fg_floor: float = 1e-6,
     solve_dtype=None,
     fg_k_cap: int = 0,
@@ -643,6 +643,14 @@ def kl_solve(
     KLResult with evals ascending (matching eigh convention) and evecs as
     columns satisfying v^H N v = I on the resolved subspace.
     """
+    # method-appropriate depth defaults: the QR path whitens first, so its
+    # y spectrum is narrow (2 levels at band_rel 3e-2 cover ~7 eigenvalue
+    # decades); the gram engine needs its deeper ladder.
+    if sig_levels is None:
+        sig_levels = 2 if method == "qr" else 5
+    if band_rel is None:
+        band_rel = 3e-2 if method == "qr" else 1e-1
+
     if method == "qr":
         if fg_k_cap:
             raise ValueError(

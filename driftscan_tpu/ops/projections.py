@@ -308,7 +308,7 @@ def kl_factored_batched(
     nc: float = 1.0,
     with_thermal: bool = True,
     fg_levels: int = 8,
-    sig_levels: int = 3,
+    sig_levels: int = 2,
     band_rel: float = 3e-2,
     fg_floor: float = 1e-6,
     method: str = "qr",
@@ -428,7 +428,7 @@ def doublekl_factored_batched(
     fg_threshold: float = 100.0,
     fg_floor: float = 1e-6,
     fg_reg_rel: float = 1e-14,
-    sig_levels: int = 3,
+    sig_levels: int = 2,
     band_rel: float = 3e-2,
     mesh=None,
 ):

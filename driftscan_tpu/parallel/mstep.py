@@ -82,7 +82,7 @@ def kl_product_step_split(
     svcut: float = 1e-6,
     with_thermal: bool = True,
     fg_levels: int = 8,
-    sig_levels: int = 3,
+    sig_levels: int = 2,
     band_rel: float = 3e-2,
     fg_k_cap: int = 0,
     sig_k_cap: int = 0,

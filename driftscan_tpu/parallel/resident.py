@@ -129,7 +129,7 @@ def _resident_batch(
     nl: int,
     npol: int = 1,
     fg_levels: int = 8,
-    sig_levels: int = 3,
+    sig_levels: int = 2,
     fg_k_cap: int = 0,
     sig_k_cap: int = 0,
     band_rel: float = 3e-2,
@@ -205,7 +205,7 @@ def _spectrum_batch(
     nl: int,
     npol: int = 1,
     fg_levels: int = 8,
-    sig_levels: int = 3,
+    sig_levels: int = 2,
     fg_k_cap: int = 0,
     sig_k_cap: int = 0,
     band_rel: float = 3e-2,
