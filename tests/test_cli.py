@@ -93,3 +93,62 @@ def test_makeproducts_queue_script(tmp_path):
     script = tmp_path / "testdir" / "slurm" / "jobscript.sh"
     assert script.exists()
     assert "srun" in script.read_text()
+
+
+PIPE_CONFIG = """
+config:
+    product_directory:  {prod}
+    generate_modes:     Yes
+    generate_klmodes:   No
+    generate_powerspectra: No
+    generate_maps:      Yes
+    nside:              16
+
+timestreams:
+    -   name:       ts1
+        directory:  {ts}
+        simulate:
+            product_directory:  {prod}
+            maps:
+                - {mapfile}
+            ndays:  0
+"""
+
+
+def test_runpipeline_run_config(tmp_path):
+    """Products -> simulated timestream -> m-modes -> maps, via the CLI."""
+    import h5py
+    import numpy as np
+
+    prod = tmp_path / "testdir"
+    cfile = tmp_path / "params.yaml"
+    cfile.write_text(CONFIG.format(out=prod))
+    res = _run_cli("driftscan_tpu.scripts.makeproducts", ["run", str(cfile)])
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    # band-limited random input map at the pipeline nside
+    mapfile = tmp_path / "inmap.hdf5"
+    nside = 16
+    with h5py.File(mapfile, "w") as f:
+        rng = np.random.default_rng(0)
+        f.create_dataset(
+            "map", data=rng.standard_normal((1, 1, 12 * nside**2))
+        )
+
+    pfile = tmp_path / "pipe.yaml"
+    pfile.write_text(
+        PIPE_CONFIG.format(
+            prod=prod, ts=tmp_path / "timestream", mapfile=mapfile
+        )
+    )
+    res = _run_cli(
+        "driftscan_tpu.scripts.runpipeline", ["run-config", str(pfile)]
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    tsdir = tmp_path / "timestream"
+    assert (tsdir / "mmodes" / "COMPLETED_M").exists()
+    with h5py.File(tsdir / "map_full.hdf5", "r") as f:
+        m = f["map"][:]
+    assert np.isfinite(m).all()
+    assert np.abs(m).max() > 0
