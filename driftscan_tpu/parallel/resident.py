@@ -242,9 +242,16 @@ def _spectrum_batch(
     return res.evals, res.nmodes
 
 
+# One y-Gram deflation level resolves eigenvalues to ~n*eps(f32) of the
+# top absolutely; with retained modes cut at eval ~0.1 a single level is
+# accurate (rel <~ 1e-3) whenever the batch's top whitened eigenvalue
+# stays below this bound — above it the batch is re-solved deeper.
+_SIG1_TOP_BOUND = 1.0
+
+
 def product_all_resident(
     tel, pos, neg, ls, lf, noisew, mbatch=8, max_m=None, mesh=None,
-    sig_k_cap=0,
+    sig_k_cap=0, sig_levels=None,
 ):
     """Run the SVD+KL product step over every m from resident BTMs.
 
@@ -255,6 +262,13 @@ def product_all_resident(
     over the mesh axis (the BTM tables are replicated) so every chip
     solves its own m-modes — the multi-chip scaling axis of the pipeline
     (SURVEY.md section 2.3).  Scale ``mbatch`` with the device count.
+
+    ``sig_levels=None`` selects the depth *adaptively per batch*: each
+    batch is first solved with a single whitened-signal Gram level (the
+    eigh is ~85% of the step cost), and only batches whose top
+    eigenvalue exceeds ``_SIG1_TOP_BOUND`` — where the retained range
+    outruns one level's f32 resolution — are re-solved with the deeper
+    default.  The host sees every spectrum anyway, so the check is free.
 
     ``sig_k_cap`` rank-caps the *signal-side* Gram levels (subspace
     iteration): measured exact to ~2e-3 — within the f32 engine's own
@@ -280,12 +294,11 @@ def product_all_resident(
         def place_mv(x):
             return jax.device_put(x, shard)
 
-    evals, nmodes = [], []
-    for s in range(0, nm, mbatch):
-        ms = np.arange(s, min(s + mbatch, nm))
-        mv = np.full(mbatch, -1, np.int32)
-        mv[: len(ms)] = ms
-        ev, nmo = _spectrum_batch(
+    adaptive = sig_levels is None
+
+    def run(mv, levels):
+        kwargs = {} if levels is None else {"sig_levels": levels}
+        return _spectrum_batch(
             pos.re,
             pos.im,
             neg.re,
@@ -299,7 +312,19 @@ def product_all_resident(
             nl=nl,
             npol=tel.num_pol_sky,
             sig_k_cap=sig_k_cap,
+            **kwargs,
         )
-        evals.append(np.asarray(ev)[: len(ms)])
+
+    evals, nmodes = [], []
+    for s in range(0, nm, mbatch):
+        ms = np.arange(s, min(s + mbatch, nm))
+        mv = np.full(mbatch, -1, np.int32)
+        mv[: len(ms)] = ms
+        ev, nmo = run(mv, 1 if adaptive else sig_levels)
+        ev = np.asarray(ev)
+        if adaptive and ev.max() > _SIG1_TOP_BOUND:
+            ev, nmo = run(mv, None)  # deepen: default levels
+            ev = np.asarray(ev)
+        evals.append(ev[: len(ms)])
         nmodes.append(np.asarray(nmo)[: len(ms)])
     return np.concatenate(evals), np.concatenate(nmodes)

@@ -191,3 +191,38 @@ def test_product_all_resident_sig_cap_matches_exact():
         if k == 0:
             continue
         np.testing.assert_allclose(ev1[i, -k:], ev0[i, -k:], rtol=5e-3)
+
+
+def test_adaptive_sig_depth_matches_fixed():
+    """Adaptive per-batch deflation depth must match the fixed depth —
+    both in the weak regime (stays at one level) and in a strong-signal
+    regime (must deepen: top eigenvalue above the one-level bound)."""
+    import bench
+
+    tel = _tel()
+    bl = np.arange(tel.npairs)
+    fi = np.arange(tel.nfreq)
+    blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+
+    cl_s, cl_n, noisew, _ = bench._covariances(tel)
+    pos, neg = resident.btm_resident(tel, blg, fig)
+
+    for boost, tag in [(1.0, "weak"), (1e15, "strong")]:
+        ls, lf = mstep.prepare_cl_factors(
+            cl_s * boost, cl_n, out_dtype=np.float64
+        )
+        nw = noisew.astype(np.float64)
+
+        ev_a, nm_a = resident.product_all_resident(
+            tel, pos, neg, ls, lf, nw, mbatch=4
+        )
+        ev_f, nm_f = resident.product_all_resident(
+            tel, pos, neg, ls, lf, nw, mbatch=4, sig_levels=2
+        )
+        if tag == "strong":
+            assert ev_a.max() > resident._SIG1_TOP_BOUND  # deepening hit
+        np.testing.assert_array_equal(nm_a, nm_f)
+        big = ev_f > max(ev_f.max() * 1e-6, 1e-12)
+        np.testing.assert_allclose(
+            ev_a[big], ev_f[big], rtol=1e-6, err_msg=tag
+        )
