@@ -294,6 +294,26 @@ def resident_phases(tel, max_m=None, mbatch=8, max_units=None):
     return t_btm, t_prod
 
 
+def _product_flops(tel, nm):
+    """Analytic FLOP count of the product phase (per the QR pencil design).
+
+    Per m (n = ndof, K = nl*npf real factor columns, on 2x real
+    embeddings): QR of (2(K+n), 2n); two triangular solves; one Gram +
+    one 2n eigh (QDWH ~ 30 (2n)^3) per deflation level (adaptive: 1);
+    triple SVD and beam build are negligible.
+    """
+    nl = tel.lmax + 1
+    npf = tel.num_pol_sky * tel.nfreq
+    n = tel.nfreq * min(nl, 2 * tel.npairs) * tel.num_pol_sky
+    K = nl * npf
+    n2, k2 = 2 * n, 2 * K
+    qr = 2 * (k2 + n2) * n2**2 - (2 / 3) * n2**3
+    solves = 2 * n2**2 * k2
+    gram = 2 * n2**2 * k2
+    eigh = 30 * n2**3
+    return nm * (qr + solves + gram + eigh)
+
+
 def main():
     platform = jax.devices()[0].platform
 
@@ -362,6 +382,9 @@ def main():
             # steady-state phase walls (post warm-up)
             "t_btm_s": round(t_btm, 2),
             "t_product_s": round(t_prod, 2),
+            # analytic product-phase flop rate (eigh-dominated: QDWH-eig
+            # runs far below matmul peak on any platform)
+            "product_tflops": round(_product_flops(tel, nm) / t_prod / 1e12, 3),
             # compile/warm-up split (cold unless the persistent
             # compilation cache in .jax_cache is populated)
             **_PHASES,
