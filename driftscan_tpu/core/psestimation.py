@@ -344,34 +344,35 @@ class PSEstimation(config.Reader, metaclass=abc.ABCMeta):
                 err = cv.diagonal()
                 cr = np.zeros_like(self.fisher)
 
+            # reference file contract: result datasets plus the band-grid
+            # geometry for whichever band parameterisation was used
+            datasets = {
+                "fisher": self.fisher,
+                "bias": self.bias,
+                "covariance": cv,
+                "errors": err,
+                "correlation": cr,
+                "band_power": self.band_power,
+            }
+            grid_keys = {
+                "polar": (
+                    "k_start", "k_end", "k_center",
+                    "theta_start", "theta_end", "theta_center",
+                    "k_bands", "theta_bands",
+                ),
+                "cartesian": (
+                    "kpar_start", "kpar_end", "kpar_center",
+                    "kperp_start", "kperp_end", "kperp_center",
+                    "kpar_bands", "kperp_bands",
+                ),
+            }
+            for key in grid_keys.get(self.bandtype, ()):
+                datasets[key] = getattr(self, key)
+
             with h5py.File(self.psdir + "/fisher.hdf5", "w") as f:
                 f.attrs["bandtype"] = np.bytes_(self.bandtype)
-
-                f.create_dataset("fisher", data=self.fisher)
-                f.create_dataset("bias", data=self.bias)
-                f.create_dataset("covariance", data=cv)
-                f.create_dataset("errors", data=err)
-                f.create_dataset("correlation", data=cr)
-                f.create_dataset("band_power", data=self.band_power)
-
-                if self.bandtype == "polar":
-                    f.create_dataset("k_start", data=self.k_start)
-                    f.create_dataset("k_end", data=self.k_end)
-                    f.create_dataset("k_center", data=self.k_center)
-                    f.create_dataset("theta_start", data=self.theta_start)
-                    f.create_dataset("theta_end", data=self.theta_end)
-                    f.create_dataset("theta_center", data=self.theta_center)
-                    f.create_dataset("k_bands", data=self.k_bands)
-                    f.create_dataset("theta_bands", data=self.theta_bands)
-                elif self.bandtype == "cartesian":
-                    f.create_dataset("kpar_start", data=self.kpar_start)
-                    f.create_dataset("kpar_end", data=self.kpar_end)
-                    f.create_dataset("kpar_center", data=self.kpar_center)
-                    f.create_dataset("kperp_start", data=self.kperp_start)
-                    f.create_dataset("kperp_end", data=self.kperp_end)
-                    f.create_dataset("kperp_center", data=self.kperp_center)
-                    f.create_dataset("kpar_bands", data=self.kpar_bands)
-                    f.create_dataset("kperp_bands", data=self.kperp_bands)
+                for name, data in datasets.items():
+                    f.create_dataset(name, data=data)
         comm.barrier()
 
     def fisher_file(self):
