@@ -25,4 +25,15 @@ import jax
 if os.environ.get("DRIFTSCAN_TPU_X64", "1") != "0":
     jax.config.update("jax_enable_x64", True)
 
+# Full-f32 matmuls everywhere: TPU MXUs run f32 contractions in bf16
+# passes by default, which injects ~1e-2 relative noise — measured to
+# violate the reference's beam_m rel-1e-4 accuracy tier, while "highest"
+# (bf16x6) costs nothing measurable on this pipeline's matmul mix.  The
+# accuracy tiers are contractual, so this is the library default
+# (override with DRIFTSCAN_TPU_MATMUL_PRECISION).
+jax.config.update(
+    "jax_default_matmul_precision",
+    os.environ.get("DRIFTSCAN_TPU_MATMUL_PRECISION", "highest"),
+)
+
 __version__ = "0.1.0"
