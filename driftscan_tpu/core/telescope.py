@@ -81,6 +81,8 @@ def _class_representatives(labels, mask):
     flat = labels.ravel()
     sel = np.nonzero(np.asarray(mask, dtype=bool).ravel())[0]
     labs = flat[sel]
+    if labs.size == 0:
+        return np.zeros((0, 2), dtype=np.int64)
     first = np.full(labs.max() + 1, -1, dtype=np.int64)
     first[labs[::-1]] = sel[::-1]  # reversed fill leaves the earliest index
     return np.column_stack(np.unravel_index(first, labels.shape))
@@ -291,6 +293,12 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
         tmask = mask & ~conj
         self._feedmap, self._feedmask, self._feedconj = fmap, mask, conj
         self._uniquepairs = _class_representatives(fmap, tmask)
+        if self._uniquepairs.shape[0] == 0:
+            raise ValueError(
+                "telescope has no included feed pairs — check "
+                "auto_correlations (needed for zero-baseline arrays such "
+                "as focal planes) and the min/max baseline-length cuts"
+            )
         self._redundancy = np.bincount(fmap[tmask])
         self._baselines = (
             self.feedpositions[self._uniquepairs[:, 0]]
