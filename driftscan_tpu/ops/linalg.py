@@ -335,12 +335,37 @@ def triple_svd_split_batched(bfr_re, bfr_im, npol: int, nl: int, polsvcut: float
                 bf1.re.reshape(K1, npol, nl)[:, 1:].reshape(K1, (npol - 1) * nl),
                 bf1.im.reshape(K1, npol, nl)[:, 1:].reshape(K1, (npol - 1) * nl),
             )
-            # Left-nullspace via the left Gram (K1, K1): keep directions
-            # with singular value below the polarisation cut.
-            u2, s2, _ = za.svd_eigh(bfp, gram_side="left", full_matrices=True)
-            keep2 = s2 < s2[0] * polsvcut
-            u2m = za.Z(u2.re * keep2[None, :], u2.im * keep2[None, :])
-            ut2 = za.einsum("ji,jk->ik", u2m.conj(), ut1)
+            # Left-nullspace of the polarised response, as the explicit
+            # complement of the *resolved* polarised directions.  Two f32
+            # traps, both measured to change retained SVD spectra by tens
+            # of percent at product scale:  (1) a single f32 Gram resolves
+            # singular values only to ~1e-3 relative — too coarse for the
+            # polsvcut (1e-4) classification — so the directions come from
+            # multi-level Gram deflation (accurate to ~3e-5);  (2) an
+            # eigh's *small-eigenvalue* columns are useless as a null
+            # basis: the deflated remainder's Gram is numerically singular
+            # along every previously-deflated direction, so its
+            # noise-level eigenvectors mix the true null space with
+            # already-extracted polarised directions.  Projecting out the
+            # resolved polarised columns (mutually orthogonal across
+            # bands; CGS2) sidesteps both.
+            from . import fpencil
+
+            bands2 = fpencil.gram_bands(bfp, levels=3, band_rel=3e-2)
+            cut2 = jnp.max(bands2.s) * polsvcut
+            maskp = (bands2.s >= cut2).astype(bf_re.dtype)  # (levels, K1)
+            qp = za.Z(
+                bands2.q.re * maskp[:, None, :],
+                bands2.q.im * maskp[:, None, :],
+            )
+
+            def _reject_pol(x):
+                for _ in range(2):  # CGS2
+                    proj = za.einsum("lji,jk->lik", qp.conj(), x)
+                    x = x - za.einsum("lij,ljk->ik", qp, proj)
+                return x
+
+            ut2 = _reject_pol(ut1)
             bf2 = za.einsum("ij,jk->ik", ut2, bf)
 
         K2 = bf2.re.shape[0]
