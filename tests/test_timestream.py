@@ -173,6 +173,24 @@ def test_mapmake_kl(tstream, products):
     assert os.path.exists(tstream.output_directory + "/map_kl.hdf5")
 
 
+def test_mapmake_kl_wiener(tstream, products):
+    """Wiener-weighted KL map: S/(S+N) filtering of the KL modes
+    (reference /root/reference/drift/pipeline/timestream.py:400-455)."""
+    tstream.set_kltransform("kl")
+    tstream.mapmake_kl(16, "map_kl_wiener.hdf5", wiener=True)
+    path = tstream.output_directory + "/map_kl_wiener.hdf5"
+    assert os.path.exists(path)
+    with h5py.File(path, "r") as f:
+        mw = f["map"][:]
+    with h5py.File(tstream.output_directory + "/map_kl.hdf5", "r") as f:
+        m0 = f["map"][:]
+    assert np.isfinite(mw).all()
+    # the Wiener weight down-weights low-S/N modes: maps differ but stay
+    # at the same overall scale
+    assert not np.allclose(mw, m0)
+    assert np.abs(mw).max() < 10 * np.abs(m0).max() + 1e-12
+
+
 def test_powerspectrum(tstream, products):
     tstream.set_kltransform("kl")
     tstream.set_psestimator("ps1")
