@@ -58,6 +58,11 @@ class BeamTransfer(config.Reader):
     polsvcut = config.Property(proptype=float, default=1e-4)
 
     truncate = config.Property(proptype=bool, default=True)
+
+    # The batched (mesh-sharded) KL path assumes this beamtransfer's
+    # stored beams are noise-prewhitened and laid out (F, svd_len, npol,
+    # nl); variants with other conventions fall back to the per-m KL.
+    kl_mbatch_ok = True
     truncate_rel = config.Property(proptype=float, default=1e-7)
     truncate_maxl = config.Property(proptype=float, default=1e-8)
     chunk_cache_size = config.Property(proptype=int, default=128)
@@ -895,6 +900,7 @@ class BeamTransferNoSVD(BeamTransfer):
 
     svcut = 0.0
     noise_weight = False
+    kl_mbatch_ok = False  # telescope-basis beams: not prewhitened, (2, npairs) layout
 
     def _svd_num(self, mi):
         svnum = (np.ones(self.nfreq) * self.ntel).astype(int)

@@ -306,6 +306,7 @@ class KLTransform(config.Reader):
         use_batched = (
             self.mbatch > 1
             and not self.inverse
+            and getattr(self.beamtransfer, "kl_mbatch_ok", True)
             and (
                 own_batched
                 or type(self)._transform_m == KLTransform._transform_m

@@ -101,3 +101,47 @@ class TestDishArray:
         zd = np.abs(t._angpos[:, 0] - t.zenith[0])
         amp = np.abs(b)
         assert amp[np.argmin(zd)] > 0.5 * amp.max()
+
+
+def test_focalplane_products_nosvd(tmp_path):
+    """End-to-end products for a focal-plane array under NoSVD.
+
+    Regression: the batched KL path assumed the standard BeamTransfer
+    layout/prewhitening and crashed on BeamTransferNoSVD (whose beams
+    live in the telescope basis, un-prewhitened) — it must gate to the
+    per-m transform instead (beamtransfer.kl_mbatch_ok).
+    """
+    import h5py
+
+    from driftscan_tpu.core import beamtransfer, manager
+
+    conf = {
+        "config": {
+            "beamtransfers": True,
+            "kltransform": True,
+            "psfisher": False,
+            "output_directory": str(tmp_path / "prod"),
+            "nosvd": True,
+        },
+        "telescope": {
+            "type": "FocalPlane",
+            "num_freq": 2,
+            "freq_start": 400.0,
+            "freq_end": 410.0,
+            "beam_num_u": 2,
+            "beam_num_v": 1,
+            "beam_spacing_u": 3.0,
+            "beam_spacing_v": 3.0,
+            "beam_size": 6.0,
+            "auto_correlations": True,
+        },
+        "kltransform": [{"type": "KLTransform", "name": "kl"}],
+    }
+    m = manager.ProductManager()
+    m.apply_config(conf)
+    assert isinstance(m.beamtransfer, beamtransfer.BeamTransferNoSVD)
+    assert not m.beamtransfer.kl_mbatch_ok
+    m.generate()
+    with h5py.File(f"{tmp_path}/prod/bt/kl/evals.hdf5") as f:
+        ev = f["evals"][:]
+    assert np.isfinite(ev).all()
