@@ -116,6 +116,36 @@ def _get_indices(keyarray, mask=None):
     return _class_representatives(keyarray, mask)
 
 
+def sht_unit_chunks(n_units: int, npix: int, npol: int = 1):
+    """Split a unit batch into SHT-call chunks bounded by a memory budget.
+
+    The beam-map + SHT program materialises several pixel-grid temporaries
+    per unit (fringe phases, Stokes products, ring layout); an unbounded
+    unit batch at large nside exhausts HBM (measured: 1024 units at
+    nside 256 needs a 6 GB phase table alone).  The budget is
+    ``DRIFTSCAN_TPU_SHT_BUDGET_GB`` (default 2.0) — the analogue of the
+    reference's ``mem_chunk`` streaming ceiling
+    (/root/reference/drift/core/beamtransfer.py:186,533-544).
+
+    Returns a list of slice lengths (each a power of two, covering
+    ``n_units``).
+    """
+    import os
+
+    budget = float(os.environ.get("DRIFTSCAN_TPU_SHT_BUDGET_GB", "2.0")) * 2**30
+    per_unit = npix * 4.0 * 8.0 * max(npol, 1)  # ~8 f32 pixel temporaries
+    cap = max(8, int(budget / max(per_unit, 1.0)))
+    cap = 1 << (cap.bit_length() - 1)  # round down to a power of two
+
+    chunks = []
+    left = n_units
+    while left > 0:
+        take = min(cap, left)
+        chunks.append(take)
+        left -= take
+    return chunks
+
+
 def max_lm(baselines, wavelengths, uwidth, vwidth=0.0):
     """Maximum (l, m) a baseline is sensitive to.
 
@@ -563,19 +593,28 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
         tarray = np.zeros((flat_bl.size,) + tshape[len(bl_indices.shape) :], np.complex128)
 
         for ns in np.unique(nsides):
-            sel = np.nonzero(nsides == ns)[0]
-            sub_lmax = int(np.ravel(lmax)[sel].max())
-            block = self._transfer_batch(
-                flat_bl[sel], flat_f[sel], int(ns), sub_lmax, lside
-            )
-            # Zero each unit above its own lmax — the reference computes
-            # each unit only to its own band limit (telescope.py:821), and
-            # the m-mode packing relies on those entries being exactly 0.
-            ls = np.arange(lside + 1)
-            unit_lmax = np.ravel(lmax)[sel]
-            lmask = ls[np.newaxis, :] <= unit_lmax[:, np.newaxis]
-            block *= lmask[:, np.newaxis, :, np.newaxis]
-            tarray[sel] = block
+            bucket = np.nonzero(nsides == ns)[0]
+            sub_lmax = int(np.ravel(lmax)[bucket].max())
+            # memory ceiling: chunk the bucket so one SHT call's pixel
+            # temporaries stay within budget (large nside x many units)
+            off = 0
+            for take in sht_unit_chunks(
+                len(bucket), 12 * int(ns) ** 2, self.num_pol_sky
+            ):
+                sel = bucket[off : off + take]
+                off += take
+                block = self._transfer_batch(
+                    flat_bl[sel], flat_f[sel], int(ns), sub_lmax, lside
+                )
+                # Zero each unit above its own lmax — the reference
+                # computes each unit only to its own band limit
+                # (telescope.py:821), and the m-mode packing relies on
+                # those entries being exactly 0.
+                ls = np.arange(lside + 1)
+                unit_lmax = np.ravel(lmax)[sel]
+                lmask = ls[np.newaxis, :] <= unit_lmax[:, np.newaxis]
+                block *= lmask[:, np.newaxis, :, np.newaxis]
+                tarray[sel] = block
 
         return tarray.reshape(tshape)
 

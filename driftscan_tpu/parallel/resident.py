@@ -63,47 +63,51 @@ def btm_resident(tel, bl_indices, f_indices):
     neg_im = jnp.zeros_like(neg_re)
 
     for ns in np.unique(nsides):
-        sel = np.nonzero(nsides == ns)[0]
-        sub_lmax = int(lmax_arr[sel].max())
+        bucket = np.nonzero(nsides == ns)[0]
+        boff = 0
+        for take in teles.sht_unit_chunks(len(bucket), 12 * int(ns) ** 2, npol):
+            sel = bucket[boff : boff + take]
+            boff += take
+            sub_lmax = int(lmax_arr[sel].max())
 
-        # pad the unit batch to a power of two for shape-stable compiles
-        nsel = len(sel)
-        npad = 1 << max(nsel - 1, 0).bit_length()
-        bsel = np.concatenate(
-            [bl_indices[sel], np.repeat(bl_indices[sel][-1], npad - nsel)]
-        )
-        fsel = np.concatenate(
-            [f_indices[sel], np.repeat(f_indices[sel][-1], npad - nsel)]
-        )
+            # pad the unit batch to a power of two for shape-stable compiles
+            nsel = len(sel)
+            npad = 1 << max(nsel - 1, 0).bit_length()
+            bsel = np.concatenate(
+                [bl_indices[sel], np.repeat(bl_indices[sel][-1], npad - nsel)]
+            )
+            fsel = np.concatenate(
+                [f_indices[sel], np.repeat(f_indices[sel][-1], npad - nsel)]
+            )
 
-        tel._init_trans(int(ns))
-        cvis = tel._beam_map_batch_split(bsel, fsel)
-        if tel.single_precision:
-            cvis = za.Z(cvis.re.astype(jnp.float32), cvis.im.astype(jnp.float32))
+            tel._init_trans(int(ns))
+            cvis = tel._beam_map_batch_split(bsel, fsel)
+            if tel.single_precision:
+                cvis = za.Z(cvis.re.astype(jnp.float32), cvis.im.astype(jnp.float32))
 
-        # btrans = conj(SHT(conj(map))) (reference telescope.py:1188-1191)
-        p, n = sht.analysis_split(cvis.conj(), lmax=sub_lmax, neg_m=True)
-        p, n = p.conj(), n.conj()
+            # btrans = conj(SHT(conj(map))) (reference telescope.py:1188-1191)
+            p, n = sht.analysis_split(cvis.conj(), lmax=sub_lmax, neg_m=True)
+            p, n = p.conj(), n.conj()
 
-        # normalise to a pol axis: (nu, npol_t, l, m)
-        if p.re.ndim == 3:
-            p = za.Z(p.re[:, None], p.im[:, None])
-            n = za.Z(n.re[:, None], n.im[:, None])
-        npol_t = p.re.shape[1]
+            # normalise to a pol axis: (nu, npol_t, l, m)
+            if p.re.ndim == 3:
+                p = za.Z(p.re[:, None], p.im[:, None])
+                n = za.Z(n.re[:, None], n.im[:, None])
+            npol_t = p.re.shape[1]
 
-        # per-unit band-limit mask
-        ls = np.arange(sub_lmax + 1)
-        lmask = jnp.asarray(
-            (ls[None, :] <= lmax_arr[sel, None]).astype(np.float32), dtype=dt
-        )
-        sub = np.s_[: sub_lmax + 1]
+            # per-unit band-limit mask
+            ls = np.arange(sub_lmax + 1)
+            lmask = jnp.asarray(
+                (ls[None, :] <= lmax_arr[sel, None]).astype(np.float32), dtype=dt
+            )
+            sub = np.s_[: sub_lmax + 1]
 
-        pm = lmask[:, None, :, None]  # masks l; broadcasts (pol, m)
-        pols = np.s_[:npol_t]
-        pos_re = pos_re.at[sel, pols, sub, : sub_lmax + 1].set(p.re[:nsel] * pm)
-        pos_im = pos_im.at[sel, pols, sub, : sub_lmax + 1].set(p.im[:nsel] * pm)
-        neg_re = neg_re.at[sel, pols, sub, :sub_lmax].set(n.re[:nsel] * pm)
-        neg_im = neg_im.at[sel, pols, sub, :sub_lmax].set(n.im[:nsel] * pm)
+            pm = lmask[:, None, :, None]  # masks l; broadcasts (pol, m)
+            pols = np.s_[:npol_t]
+            pos_re = pos_re.at[sel, pols, sub, : sub_lmax + 1].set(p.re[:nsel] * pm)
+            pos_im = pos_im.at[sel, pols, sub, : sub_lmax + 1].set(p.im[:nsel] * pm)
+            neg_re = neg_re.at[sel, pols, sub, :sub_lmax].set(n.re[:nsel] * pm)
+            neg_im = neg_im.at[sel, pols, sub, :sub_lmax].set(n.im[:nsel] * pm)
 
     return za.Z(pos_re, pos_im), za.Z(neg_re, neg_im)
 
