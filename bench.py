@@ -218,7 +218,7 @@ def _log(msg):
 _T0 = time.time()
 
 
-def resident_phases(tel, max_m=None, mbatch=8, max_units=None):
+def resident_phases(tel, max_m=None, mbatch=None, max_units=None):
     """Device-resident BTM + product phases; returns (t_btm, t_prod).
 
     Timings force execution with a scalar reduction fetch (the remote
@@ -228,6 +228,9 @@ def resident_phases(tel, max_m=None, mbatch=8, max_units=None):
     extrapolated CPU baseline leg).
     """
     from driftscan_tpu.parallel import mstep, resident
+
+    if mbatch is None:
+        mbatch = resident._auto_mbatch(tel)
 
     cl_s, cl_n, noisew, _ = _covariances(tel)
     ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)

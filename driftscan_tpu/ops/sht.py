@@ -150,13 +150,22 @@ def _legendre_chunk(mvals, cos_t, sin_t, lmax: int, logpref):
     return lam  # (lmax+1, mc, nring)
 
 
-def _chunk_size(nring: int, maxlen: int, nm: int, budget_bytes: int = 1 << 30) -> int:
+def _chunk_size(nring: int, maxlen: int, nm: int, budget_bytes=None) -> int:
     """m-chunk size keeping the phase tensor under ~budget_bytes.
 
     The phase-stage contraction is a batch of (maxlen x B) @ (maxlen x mc)
     matmuls per ring, so mc is an MXU tile dimension: keep it >= 64 or
     the systolic array runs mostly empty (measured 15x off peak at mc=8).
+    The budget is overridable (``DRIFTSCAN_TPU_SHT_MCHUNK_MB``): at large
+    nside the default-size phase program also stresses the remote AOT
+    compiler, and a smaller chunk compiles far faster.
     """
+    import os
+
+    if budget_bytes is None:
+        budget_bytes = int(
+            float(os.environ.get("DRIFTSCAN_TPU_SHT_MCHUNK_MB", "1024")) * 2**20
+        )
     per_m = nring * maxlen * 16
     mc = max(64, min(nm, budget_bytes // max(per_m, 1)))
     return int(mc)

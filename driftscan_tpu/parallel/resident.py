@@ -253,8 +253,31 @@ def _spectrum_batch(
 _SIG1_TOP_BOUND = 1.0
 
 
+def _auto_mbatch(tel, hbm_budget_gb=4.0):
+    """m-batch size bounding the product step's working set.
+
+    Dominant per-m buffers (all f32 on split backends): the interleaved
+    QR augmentation (2(K+n) x 2n), the whitened factor (2n x 2K) and a
+    few (2n)^2 Gram/eigh temporaries; a ~3x allowance covers XLA's
+    fusion copies.  Measured: mbatch=8 at ndof=1088 exceeds HBM by
+    ~0.8 GB, and this estimate picks 4 there.
+    """
+    nl = tel.lmax + 1
+    n = tel.nfreq * min(nl, 2 * tel.npairs) * tel.num_pol_sky
+    K = nl * tel.num_pol_sky * tel.nfreq
+    n2, k2 = 2 * n, 2 * K
+    per_m = (
+        (k2 + n2) * n2  # QR augmentation
+        + n2 * k2  # whitened factor planes
+        + 6 * n2 * n2  # Gram + eigh workspace
+    ) * 4.0 * 3.0
+    budget = hbm_budget_gb * 2**30
+    mb = int(max(1, min(8, budget // max(per_m, 1.0))))
+    return 1 << (mb.bit_length() - 1)  # power of two
+
+
 def product_all_resident(
-    tel, pos, neg, ls, lf, noisew, mbatch=8, max_m=None, mesh=None,
+    tel, pos, neg, ls, lf, noisew, mbatch=None, max_m=None, mesh=None,
     sig_k_cap=0, sig_levels=None,
 ):
     """Run the SVD+KL product step over every m from resident BTMs.
@@ -282,6 +305,9 @@ def product_all_resident(
     nm = tel.mmax + 1 if max_m is None else max_m
     nl = tel.lmax + 1
     dt = pos.re.dtype
+
+    if mbatch is None:
+        mbatch = _auto_mbatch(tel)
 
     noisew = jnp.asarray(np.asarray(noisew), dtype=dt)
     ls = jnp.asarray(np.asarray(ls), dtype=dt)

@@ -32,10 +32,10 @@ t_btm = time.time()-st
 print(f"BTM steady: {t_btm:.1f}s", flush=True)
 
 st = time.time()
-resident.product_all_resident(tel, pos, neg, ls, lf, noisew, mbatch=8, max_m=8)
+resident.product_all_resident(tel, pos, neg, ls, lf, noisew, max_m=8)
 print(f"product warm: {time.time()-st:.1f}s", flush=True)
 st = time.time()
-evals, nmodes = resident.product_all_resident(tel, pos, neg, ls, lf, noisew, mbatch=8)
+evals, nmodes = resident.product_all_resident(tel, pos, neg, ls, lf, noisew)
 t_prod = time.time()-st
 print(f"product steady: {t_prod:.1f}s; rate {nm/(t_btm+t_prod):.2f} m-modes/s", flush=True)
 print("finite:", np.isfinite(evals).all(), "max eval:", evals.max(), flush=True)
