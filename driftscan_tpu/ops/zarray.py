@@ -130,12 +130,22 @@ def interleave(m: Z) -> jnp.ndarray:
     fpencil.kl_solve_qr).
     """
     p, q = m.re.shape[-2], m.re.shape[-1]
-    batch = m.re.shape[:-2]
-    # (..., p, 2, q, 2) with [i, 0, j, 0] = a, [i, 0, j, 1] = -b, ...
-    rows0 = jnp.stack([m.re, -m.im], axis=-1)  # (..., p, q, 2)
-    rows1 = jnp.stack([m.im, m.re], axis=-1)
-    blocks = jnp.stack([rows0, rows1], axis=-3)  # (..., p, 2, q, 2)
-    return blocks.reshape(batch + (2 * p, 2 * q))
+
+    # Assemble with concatenate + gather only: any intermediate with a
+    # trailing (or sublane) dimension of 2 gets padded to the TPU's
+    # (8, 128) tile — measured 32x memory expansion (a 440 MB embedding
+    # ballooned to 13.7 GB of HLO temp at production scale).
+    def rowmix(x, y):
+        # (..., 2p, q) with rows x0, y0, x1, y1, ...
+        both = jnp.concatenate([x, y], axis=-2)
+        idx = jnp.arange(2 * p) // 2 + (jnp.arange(2 * p) % 2) * p
+        return jnp.take(both, idx, axis=-2)
+
+    even = rowmix(m.re, m.im)  # content of even columns
+    odd = rowmix(-m.im, m.re)  # content of odd columns
+    both = jnp.concatenate([even, odd], axis=-1)
+    cidx = jnp.arange(2 * q) // 2 + (jnp.arange(2 * q) % 2) * q
+    return jnp.take(both, cidx, axis=-1)
 
 
 def deinterleave(e: jnp.ndarray) -> Z:
