@@ -61,6 +61,11 @@ class RingGeometry:
     pix_index: np.ndarray  # int32 gather indices (clipped for padding)
     mask: np.ndarray  # float64 1/0 validity
     phi: np.ndarray  # azimuth per (ring, slot), 0 for padding
+    # Integer angle tables: phi[r, j] = 2*pi * twoj_h[r, j] / n2[r], exact.
+    # Lets m*phi be range-reduced in integer arithmetic so the phase stage
+    # runs entirely in f32 without losing accuracy at large m.
+    twoj_h: np.ndarray  # int32 (nring, maxlen): 2*j + h_r (h = 2*phi0*n/2pi)
+    n2: np.ndarray  # int32 (nring,): 2 * nphi
 
     @property
     def pixarea(self) -> float:
@@ -110,6 +115,12 @@ def ring_geometry(nside: int) -> RingGeometry:
     dphi = 2.0 * np.pi / nphi.astype(np.float64)
     phi = np.where(valid, phi0[:, np.newaxis] + j * dphi[:, np.newaxis], 0.0)
 
+    # phi0 is always (2*pi / nphi) * (h/2) with h in {0, 1}: recover h
+    # exactly and build the integer numerators of phi / (2*pi / (2*nphi)).
+    h = np.rint(phi0 * nphi / np.pi).astype(np.int64)
+    assert set(np.unique(h)) <= {0, 1}, "unexpected healpix ring offset"
+    twoj_h = np.where(valid, 2 * j + h[:, np.newaxis], 0).astype(np.int32)
+
     return RingGeometry(
         nside=nside,
         npix=npix,
@@ -123,6 +134,8 @@ def ring_geometry(nside: int) -> RingGeometry:
         start=start,
         pix_index=pix_index,
         mask=mask,
+        twoj_h=twoj_h,
+        n2=(2 * nphi).astype(np.int32),
         phi=phi,
     )
 

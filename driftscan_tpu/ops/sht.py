@@ -150,6 +150,24 @@ def _legendre_chunk(mvals, cos_t, sin_t, lmax: int, logpref):
     return lam  # (lmax+1, mc, nring)
 
 
+
+def _phase_angle(mv, geom, rdtype):
+    """m*phi reduced mod 2*pi in integer arithmetic, returned as rdtype.
+
+    phi[r, j] = 2*pi * twoj_h[r, j] / n2[r] exactly (healpix azimuths are
+    rational in 2*pi), so (m*phi) mod 2*pi = 2*pi*((m mod n2)*twoj_h mod
+    n2)/n2 with every product bounded by n2^2 — int32-safe to nside 8192.
+    An f32 angle in [0, 2*pi) then carries full f32 accuracy at any m,
+    where the unreduced f64 product (the previous implementation) needed
+    an f64 phase tensor twice the size and twice the bandwidth.
+    """
+    tj = jnp.asarray(geom.twoj_h)  # (nring, maxlen) int32
+    n2 = jnp.asarray(geom.n2)[None, :, None]  # (1, nring, 1) int32
+    mmod = (mv[:, None, None].astype(jnp.int32) % n2 + n2) % n2
+    r = (mmod * tj[None]) % n2
+    return r.astype(rdtype) * (2.0 * np.pi / n2.astype(rdtype))
+
+
 def _chunk_size(nring: int, maxlen: int, nm: int, budget_bytes=None) -> int:
     """m-chunk size keeping the phase tensor under ~budget_bytes.
 
@@ -179,10 +197,69 @@ def _pad_rings(maps, geom: RingGeometry):
     return padded * mask.astype(padded.real.dtype)
 
 
+
+def _scan_xs(m_chunks, lam_table):
+    """Scan inputs with or without a precomputed Legendre table."""
+    return m_chunks if lam_table is None else (m_chunks, lam_table)
+
+
+def _split_xs(xs):
+    if isinstance(xs, tuple):
+        return xs
+    return xs, None
+
+
+_LEGENDRE_DEV_CACHE = {}
+
+
+def _legendre_table(geom, lmax: int, mmax: int, rdtype):
+    """Device-cached full Legendre table, chunked to match the m scan.
+
+    The recurrence depends only on (nside, lmax, m) — recomputing it
+    inside every analysis/synthesis call made the scan's 300+ tiny
+    sequential steps the dominant cost of large-nside SHTs (measured
+    ~0.4 s/unit at nside 256 vs 8 ms at nside 128).  The table is built
+    once per (nside, lmax, mmax, dtype) and reused as a scan input;
+    shape (nchunks, lmax+1, mc, nring).  Returns None (callers fall back
+    to in-scan recurrence) if the table would exceed
+    ``DRIFTSCAN_TPU_LEGENDRE_CACHE_GB`` (default 1.0).
+    """
+    import os
+
+    nm = mmax + 1
+    mc = _chunk_size(geom.nring, geom.maxlen, nm)
+    nchunks = (nm + mc - 1) // mc
+    nbytes = nchunks * mc * (lmax + 1) * geom.nring * np.dtype(rdtype).itemsize
+    budget = float(os.environ.get("DRIFTSCAN_TPU_LEGENDRE_CACHE_GB", "1.0")) * 2**30
+    if nbytes > budget:
+        return None
+
+    key = (geom.nside, lmax, mmax, np.dtype(rdtype).name)
+    tab = _LEGENDRE_DEV_CACHE.get(key)
+    if tab is None:
+        logpref = jnp.asarray(_log_lambda_mm_prefactor(max(lmax, mmax)))
+        cos_t = jnp.asarray(geom.cos_theta)
+        sin_t = jnp.asarray(geom.sin_theta)
+        fn = jax.jit(_legendre_chunk, static_argnames=("lmax",))
+        chunks = [
+            fn(
+                jnp.arange(c * mc, (c + 1) * mc, dtype=jnp.int64),
+                cos_t,
+                sin_t,
+                lmax,
+                logpref,
+            ).astype(rdtype)
+            for c in range(nchunks)
+        ]
+        tab = jnp.stack(chunks)
+        _LEGENDRE_DEV_CACHE[key] = tab
+    return tab
+
+
 @functools.partial(
     jax.jit, static_argnames=("nside", "lmax", "mmax", "neg_m", "real_field")
 )
-def _analysis(maps, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: bool):
+def _analysis(maps, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: bool, lam_table=None):
     """Core forward SHT.
 
     Parameters
@@ -203,7 +280,6 @@ def _analysis(maps, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: b
     rdtype = jnp.float64 if double else jnp.float32
 
     padded = _pad_rings(maps, geom).astype(cdtype)  # (B, nring, maxlen)
-    phi = jnp.asarray(geom.phi)  # (nring, maxlen) f64
     mask = jnp.asarray(geom.mask)
     cos_t = jnp.asarray(geom.cos_theta)
     sin_t = jnp.asarray(geom.sin_theta)
@@ -217,17 +293,20 @@ def _analysis(maps, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: b
 
     pixarea = jnp.asarray(geom.pixarea, dtype=rdtype)
 
-    def chunk_fn(_, mv):
+    def chunk_fn(_, xs):
+        mv, lam = _split_xs(xs)
         # Phase stage: F[b, i, r] = sum_j padded[b, r, j] exp(-i m_i phi_rj).
-        # Build the phase factors via lax.complex on pre-cast reals so no
+        # The angle is integer-range-reduced so the whole stage (including
+        # cos/sin) runs in the compute dtype with full accuracy, and no
         # complex128 intermediate appears (TPUs do not support C128).
-        phase = mv[:, None, None].astype(jnp.float64) * phi[None, :, :]
+        phase = _phase_angle(mv, geom, rdtype)
         mr = mask[None].astype(rdtype)
         e_neg = jax.lax.complex(
-            jnp.cos(phase).astype(rdtype) * mr, -jnp.sin(phase).astype(rdtype) * mr
+            jnp.cos(phase) * mr, -jnp.sin(phase) * mr
         )  # (mc, nring, maxlen)
         F = jnp.einsum("brj,mrj->bmr", padded, e_neg)
-        lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
+        if lam is None:
+            lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
         # Legendre stage: a[b, l, i] = Omega * sum_r lam[l, i, r] F[b, i, r]
         a_pos = pixarea * jnp.einsum("lmr,bmr->blm", lam, F)
         if neg_m:
@@ -237,8 +316,9 @@ def _analysis(maps, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: b
             return None, (a_pos, a_neg)
         return None, (a_pos, None)
 
+    xs = _scan_xs(m_chunks, lam_table)
     if neg_m:
-        _, (a_pos, a_neg) = jax.lax.scan(chunk_fn, None, m_chunks)
+        _, (a_pos, a_neg) = jax.lax.scan(chunk_fn, None, xs)
         a_pos = jnp.moveaxis(a_pos, 0, -2).reshape(
             maps.shape[0], lmax + 1, nchunks * mc
         )[..., :nm]
@@ -246,7 +326,7 @@ def _analysis(maps, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: b
             maps.shape[0], lmax + 1, nchunks * mc
         )[..., 1 : mmax + 1]
         return a_pos, a_neg
-    _, (a_pos, _) = jax.lax.scan(chunk_fn, None, m_chunks)
+    _, (a_pos, _) = jax.lax.scan(chunk_fn, None, xs)
     a_pos = jnp.moveaxis(a_pos, 0, -2).reshape(maps.shape[0], lmax + 1, nchunks * mc)[
         ..., :nm
     ]
@@ -254,7 +334,7 @@ def _analysis(maps, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: b
 
 
 @functools.partial(jax.jit, static_argnames=("nside", "lmax", "mmax"))
-def _synthesis_real(alm, nside: int, lmax: int, mmax: int):
+def _synthesis_real(alm, nside: int, lmax: int, mmax: int, lam_table=None):
     """Inverse SHT onto a real field.
 
     Parameters
@@ -269,7 +349,6 @@ def _synthesis_real(alm, nside: int, lmax: int, mmax: int):
     cdtype = alm.dtype
     rdtype = jnp.float64 if alm.dtype.itemsize >= 16 else jnp.float32
 
-    phi = jnp.asarray(geom.phi)
     mask = jnp.asarray(geom.mask)
     cos_t = jnp.asarray(geom.cos_theta)
     sin_t = jnp.asarray(geom.sin_theta)
@@ -288,21 +367,27 @@ def _synthesis_real(alm, nside: int, lmax: int, mmax: int):
     )  # (nchunks, B, l, mc)
 
     def chunk_fn(acc, xs):
-        mv, a_chunk = xs
-        lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
+        if len(xs) == 3:
+            mv, a_chunk, lam = xs
+        else:
+            mv, a_chunk = xs
+            lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
         # T[b, i, r] = sum_l lam[l, i, r] a[b, l, i]
         T = jnp.einsum("lmr,blm->bmr", lam, a_chunk)
-        phase = mv[:, None, None].astype(jnp.float64) * phi[None, :, :]
+        phase = _phase_angle(mv, geom, rdtype)
         mr = mask[None].astype(rdtype)
-        e_pos = jax.lax.complex(
-            jnp.cos(phase).astype(rdtype) * mr, jnp.sin(phase).astype(rdtype) * mr
-        )
+        e_pos = jax.lax.complex(jnp.cos(phase) * mr, jnp.sin(phase) * mr)
         weight = jnp.where(mv == 0, 1.0, 2.0).astype(rdtype)  # m>0 counted twice
         contrib = jnp.einsum("bmr,mrj->brj", T * weight[None, :, None], e_pos)
         return acc + contrib.real.astype(rdtype), None
 
     acc0 = jnp.zeros((B, geom.nring, geom.maxlen), dtype=rdtype)
-    acc, _ = jax.lax.scan(chunk_fn, acc0, (m_chunks, alm_chunks))
+    xs = (
+        (m_chunks, alm_chunks)
+        if lam_table is None
+        else (m_chunks, alm_chunks, lam_table)
+    )
+    acc, _ = jax.lax.scan(chunk_fn, acc0, xs)
 
     # Scatter the padded ring layout back to RING pixel order.
     flat = acc.reshape(B, -1)
@@ -311,7 +396,7 @@ def _synthesis_real(alm, nside: int, lmax: int, mmax: int):
 
 
 @functools.partial(jax.jit, static_argnames=("nside", "lmax", "mmax"))
-def _synthesis_complex(alm_pos, alm_neg, nside: int, lmax: int, mmax: int):
+def _synthesis_complex(alm_pos, alm_neg, nside: int, lmax: int, mmax: int, lam_table=None):
     """Inverse SHT of a general complex field.
 
     f(p) = sum_{m>=0} T+_m(r) e^{i m phi} + sum_{m>0} T-_m(r) e^{-i m phi}
@@ -321,7 +406,6 @@ def _synthesis_complex(alm_pos, alm_neg, nside: int, lmax: int, mmax: int):
     cdtype = alm_pos.dtype
     rdtype = jnp.float64 if alm_pos.dtype.itemsize >= 16 else jnp.float32
 
-    phi = jnp.asarray(geom.phi)
     mask = jnp.asarray(geom.mask)
     cos_t = jnp.asarray(geom.cos_theta)
     sin_t = jnp.asarray(geom.sin_theta)
@@ -341,30 +425,36 @@ def _synthesis_complex(alm_pos, alm_neg, nside: int, lmax: int, mmax: int):
     neg_chunks = jnp.moveaxis(neg_shift.reshape(B, lmax + 1, nchunks, mc), 2, 0)
 
     def chunk_fn(acc, xs):
-        mv, a_p, a_n = xs
-        lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
+        if len(xs) == 4:
+            mv, a_p, a_n, lam = xs
+        else:
+            mv, a_p, a_n = xs
+            lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
         t_pos = jnp.einsum("lmr,blm->bmr", lam, a_p)
         t_neg = jnp.einsum("lmr,blm->bmr", lam, a_n)
         signm = jnp.where(mv % 2 == 0, 1.0, -1.0).astype(rdtype)
         t_neg = t_neg * signm[None, :, None]
-        phase = mv[:, None, None].astype(jnp.float64) * phi[None, :, :]
+        phase = _phase_angle(mv, geom, rdtype)
         mr = mask[None].astype(rdtype)
-        e_pos = jax.lax.complex(
-            jnp.cos(phase).astype(rdtype) * mr, jnp.sin(phase).astype(rdtype) * mr
-        )
+        e_pos = jax.lax.complex(jnp.cos(phase) * mr, jnp.sin(phase) * mr)
         contrib = jnp.einsum("bmr,mrj->brj", t_pos, e_pos)
         contrib += jnp.einsum("bmr,mrj->brj", t_neg, jnp.conj(e_pos))
         return acc + contrib, None
 
     acc0 = jnp.zeros((B, geom.nring, geom.maxlen), dtype=cdtype)
-    acc, _ = jax.lax.scan(chunk_fn, acc0, (m_chunks, pos_chunks, neg_chunks))
+    xs = (
+        (m_chunks, pos_chunks, neg_chunks)
+        if lam_table is None
+        else (m_chunks, pos_chunks, neg_chunks, lam_table)
+    )
+    acc, _ = jax.lax.scan(chunk_fn, acc0, xs)
     flat = acc.reshape(B, -1)
     valid = np.nonzero(geom.mask.ravel())[0]
     return flat[:, jnp.asarray(valid)]
 
 
 @functools.partial(jax.jit, static_argnames=("nside", "lmax", "mmax", "neg_m"))
-def _analysis_split(maps_re, maps_im, nside: int, lmax: int, mmax: int, neg_m: bool):
+def _analysis_split(maps_re, maps_im, nside: int, lmax: int, mmax: int, neg_m: bool, lam_table=None):
     """Split-complex forward SHT (for complex-free TPU backends).
 
     Identical math to :func:`_analysis`, with the complex phase/Legendre
@@ -382,7 +472,6 @@ def _analysis_split(maps_re, maps_im, nside: int, lmax: int, mmax: int, neg_m: b
     p_re = jnp.take(maps_re, idx, axis=-1) * maskr
     p_im = jnp.take(maps_im, idx, axis=-1) * maskr
 
-    phi = jnp.asarray(geom.phi)
     cos_t = jnp.asarray(geom.cos_theta)
     sin_t = jnp.asarray(geom.sin_theta)
     logpref = jnp.asarray(_log_lambda_mm_prefactor(lmax))
@@ -396,10 +485,11 @@ def _analysis_split(maps_re, maps_im, nside: int, lmax: int, mmax: int, neg_m: b
 
     pixarea = jnp.asarray(geom.pixarea, dtype=rdtype)
 
-    def chunk_fn(_, mv):
-        phase = mv[:, None, None].astype(jnp.float64) * phi[None, :, :]
-        c = jnp.cos(phase).astype(rdtype) * maskr[None]
-        s = jnp.sin(phase).astype(rdtype) * maskr[None]
+    def chunk_fn(_, xs):
+        mv, lam_xs = _split_xs(xs)
+        phase = _phase_angle(mv, geom, rdtype)
+        c = jnp.cos(phase) * maskr[None]
+        s = jnp.sin(phase) * maskr[None]
 
         # F = sum_j p e^{-im phi}:  F.re = pr.c + pi.s ; F.im = pi.c - pr.s
         rc = jnp.einsum("brj,mrj->bmr", p_re, c)
@@ -409,7 +499,11 @@ def _analysis_split(maps_re, maps_im, nside: int, lmax: int, mmax: int, neg_m: b
         f_re = rc + is_
         f_im = ic - rs
 
-        lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
+        lam = (
+            lam_xs
+            if lam_xs is not None
+            else _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
+        )
         a_re = pixarea * jnp.einsum("lmr,bmr->blm", lam, f_re)
         a_im = pixarea * jnp.einsum("lmr,bmr->blm", lam, f_im)
 
@@ -427,7 +521,9 @@ def _analysis_split(maps_re, maps_im, nside: int, lmax: int, mmax: int, neg_m: b
             return None, (a_re, a_im, n_re, n_im)
         return None, (a_re, a_im, a_re[..., :0], a_im[..., :0])
 
-    _, (a_re, a_im, n_re, n_im) = jax.lax.scan(chunk_fn, None, m_chunks)
+    _, (a_re, a_im, n_re, n_im) = jax.lax.scan(
+        chunk_fn, None, _scan_xs(m_chunks, lam_table)
+    )
 
     B = maps_re.shape[0]
 
@@ -463,7 +559,8 @@ def analysis_split(maps_z, lmax: int, mmax: Optional[int] = None, neg_m: bool = 
     lead = maps_z.re.shape[:-1]
     fr = maps_z.re.reshape((-1, npix))
     fi = maps_z.im.reshape((-1, npix))
-    pr, pi, nr, ni = _analysis_split(fr, fi, nside, lmax, mmax, neg_m)
+    lam = _legendre_table(ring_geometry(nside), lmax, mmax, fr.dtype)
+    pr, pi, nr, ni = _analysis_split(fr, fi, nside, lmax, mmax, neg_m, lam)
     pos = za.Z(pr.reshape(lead + (lmax + 1, mmax + 1)), pi.reshape(lead + (lmax + 1, mmax + 1)))
     if not neg_m:
         return pos, None
@@ -504,17 +601,23 @@ def analysis(
     real_field = not jnp.iscomplexobj(flat)
     if iters and not real_field and not neg_m:
         raise ValueError("refinement of a complex field requires neg_m=True")
-    pos, neg = _analysis(flat, nside, lmax, mmax, neg_m, real_field)
+    double = flat.dtype.itemsize >= (16 if not real_field else 8)
+    lam = _legendre_table(
+        ring_geometry(nside), lmax, mmax, jnp.float64 if double else jnp.float32
+    )
+    pos, neg = _analysis(flat, nside, lmax, mmax, neg_m, real_field, lam)
 
     for _ in range(iters):
         if neg_m:
-            resid = flat - _synthesis_complex(pos, neg, nside, lmax, mmax)
-            dpos, dneg = _analysis(resid, nside, lmax, mmax, True, real_field)
+            resid = flat - _synthesis_complex(pos, neg, nside, lmax, mmax, lam)
+            dpos, dneg = _analysis(resid, nside, lmax, mmax, True, real_field, lam)
             pos = pos + dpos
             neg = neg + dneg
         else:
-            resid = flat - _synthesis_real(pos, nside, lmax, mmax).astype(flat.dtype)
-            dpos, _ = _analysis(resid, nside, lmax, mmax, False, real_field)
+            resid = flat - _synthesis_real(pos, nside, lmax, mmax, lam).astype(
+                flat.dtype
+            )
+            dpos, _ = _analysis(resid, nside, lmax, mmax, False, real_field, lam)
             pos = pos + dpos
 
     pos = pos.reshape(lead + (lmax + 1, mmax + 1))
@@ -530,7 +633,13 @@ def synthesis_real(alm, nside: int):
     lmax = alm.shape[-2] - 1
     mmax = alm.shape[-1] - 1
     flat = alm.reshape((-1, lmax + 1, mmax + 1))
-    maps = _synthesis_real(flat, nside, lmax, mmax)
+    lam = _legendre_table(
+        ring_geometry(nside),
+        lmax,
+        mmax,
+        jnp.float64 if alm.dtype.itemsize >= 16 else jnp.float32,
+    )
+    maps = _synthesis_real(flat, nside, lmax, mmax, lam)
     return maps.reshape(lead + (maps.shape[-1],))
 
 
@@ -543,7 +652,13 @@ def synthesis_complex(alm_pos, alm_neg, nside: int):
     mmax = alm_pos.shape[-1] - 1
     fp = alm_pos.reshape((-1, lmax + 1, mmax + 1))
     fn = alm_neg.reshape((-1, lmax + 1, mmax))
-    maps = _synthesis_complex(fp, fn, nside, lmax, mmax)
+    lam = _legendre_table(
+        ring_geometry(nside),
+        lmax,
+        mmax,
+        jnp.float64 if alm_pos.dtype.itemsize >= 16 else jnp.float32,
+    )
+    maps = _synthesis_complex(fp, fn, nside, lmax, mmax, lam)
     return maps.reshape(lead + (maps.shape[-1],))
 
 
