@@ -783,13 +783,41 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
             self._beam_cache_bytes += beam.nbytes
         return self._beam_cache[key]
 
+    # Device-resident unique-beam cache: (nside, freq, beamclass) ->
+    # jnp array.  On a remote-attached TPU the link runs at ~10-30 MB/s;
+    # re-shipping the unique beams every unit chunk dominated the
+    # large-nside BTM phase (measured 13 s of a 16 s chunk at nside 512).
+    _beam_dev_cache = None
+    _beam_dev_bytes = 0
+    _beam_dev_budget = 1 << 30  # ~1 GB of cached device beams
+
+    def _beam_device(self, feed, fi):
+        """The (host-cached) beam of ``feed`` at ``fi``, on device."""
+        if self._beam_dev_cache is None:
+            self._beam_dev_cache = {}
+        key = (self._nside, int(fi), int(self.beamclass[feed]))
+        beam = self._beam_dev_cache.get(key)
+        if beam is None:
+            host = self._beam(feed, fi)
+            beam = jnp.asarray(host)
+            nbytes = host.nbytes
+            while (
+                self._beam_dev_bytes + nbytes > self._beam_dev_budget
+                and self._beam_dev_cache
+            ):
+                oldest = next(iter(self._beam_dev_cache))
+                self._beam_dev_bytes -= self._beam_dev_cache.pop(oldest).nbytes
+            self._beam_dev_cache[key] = beam
+            self._beam_dev_bytes += nbytes
+        return beam
+
     def _gather_beams(self, bl_ind, f_ind):
         """Per-unit beam maps and uv coordinates for a unit batch.
 
-        Only the *unique* (freq, beamclass) maps are evaluated and shipped
-        to the device (a batch of nfb units typically shares a handful of
-        beams); the per-unit stacking is a device-side gather, so the
-        host->device transfer is O(unique) instead of O(units).
+        Only the *unique* (freq, beamclass) maps are evaluated, and each
+        crosses the host->device link once per (nside, freq, beamclass)
+        (``_beam_device``); the per-unit stacking is a device-side
+        gather, so repeat unit chunks cost no host transfers at all.
         """
         slot = {}
         unique = []
@@ -800,7 +828,7 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
                 key = (int(fi), int(self.beamclass[feed]))
                 if key not in slot:
                     slot[key] = len(unique)
-                    unique.append(self._beam(feed, fi))
+                    unique.append(self._beam_device(feed, fi))
                 idx.append(slot[key])
             uvs.append(self.baselines[bi] / self.wavelengths[fi])
 
@@ -808,7 +836,7 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
         if self.single_precision:
             uv = uv.astype(np.float32)
 
-        stack = jnp.asarray(np.stack(unique))
+        stack = jnp.stack(unique)
         beam_i = jnp.take(stack, jnp.asarray(np.array(idx_i)), axis=0)
         beam_j = jnp.take(stack, jnp.asarray(np.array(idx_j)), axis=0)
         return beam_i, beam_j, uv
