@@ -142,3 +142,25 @@ def test_high_m_polar_stability():
 def test_nside_for_lmax():
     assert healpix.nside_for_lmax(40, accuracy_boost=1) == 64
     assert healpix.nside_for_lmax(1, accuracy_boost=0) >= 1
+
+
+def test_legendre_table_matches_recurrence(monkeypatch):
+    """The device-cached Legendre table path must equal the in-scan
+    recurrence path exactly (the table is the same recurrence, computed
+    once); a zero cache budget forces the fallback."""
+    import numpy as np
+
+    from driftscan_tpu.ops import sht
+
+    rng = np.random.default_rng(5)
+    nside, lmax = 8, 12
+    maps = rng.standard_normal((2, 12 * nside**2))
+
+    pos_t, _ = sht.analysis(maps, lmax)
+
+    monkeypatch.setenv("DRIFTSCAN_TPU_LEGENDRE_CACHE_GB", "0")
+    pos_r, _ = sht.analysis(maps, lmax)
+
+    np.testing.assert_allclose(
+        np.asarray(pos_t), np.asarray(pos_r), rtol=1e-12, atol=1e-14
+    )
