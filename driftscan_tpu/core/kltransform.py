@@ -295,22 +295,21 @@ class KLTransform(config.Reader):
         ]
 
         # Batched path: one compiled covariance-projection + whitened-eigh
-        # program serves every m-chunk.  Subclasses either inherit it
-        # untouched, ship their own batched writer (DoubleKL), or — if
-        # they customise only the per-m transform — fall back to the
-        # per-m path.
-        own_batched = (
-            type(self)._transform_save_mbatch
-            is not KLTransform._transform_save_mbatch
-        )
+        # program serves every m-chunk.  It is only taken when the
+        # effective ``_transform_m`` is defined at or above (in MRO) the
+        # class supplying the batched writer — a subclass that overrides
+        # only ``_transform_m`` (even below DoubleKL, which ships its own
+        # writer) falls back to the per-m path so its customisation is
+        # never silently ignored.
+        mro = type(self).__mro__
+        writer_cls = next(c for c in mro if "_transform_save_mbatch" in c.__dict__)
+        tm_cls = next(c for c in mro if "_transform_m" in c.__dict__)
+        batched_honours_tm = mro.index(tm_cls) >= mro.index(writer_cls)
         use_batched = (
             self.mbatch > 1
             and not self.inverse
             and getattr(self.beamtransfer, "kl_mbatch_ok", True)
-            and (
-                own_batched
-                or type(self)._transform_m == KLTransform._transform_m
-            )
+            and batched_honours_tm
         )
 
         if use_batched and mlist:

@@ -63,6 +63,15 @@ class Registry:
 
         modname, clsname = spec["module"], spec["class"]
         if "file" in spec:
+            existing = sys.modules.get(modname)
+            if existing is not None and getattr(existing, "__file__", None) != str(
+                spec["file"]
+            ):
+                raise ValueError(
+                    f"Plugin module name {modname!r} collides with an already "
+                    f"imported module ({getattr(existing, '__file__', existing)}); "
+                    "choose a unique 'module' name in the plugin spec"
+                )
             loader_spec = importlib.util.spec_from_file_location(
                 modname, spec["file"]
             )
@@ -71,7 +80,12 @@ class Registry:
             # required for pickling plugin telescopes into the product
             # directory (beamtransfer stores the telescope object).
             sys.modules[modname] = module
-            loader_spec.loader.exec_module(module)
+            try:
+                loader_spec.loader.exec_module(module)
+            except BaseException:
+                # Don't leave a half-initialised module importable by name.
+                sys.modules.pop(modname, None)
+                raise
         else:
             module = importlib.import_module(modname)
         return getattr(module, clsname)

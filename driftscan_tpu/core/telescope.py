@@ -462,10 +462,22 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
             frequencies = frequencies.reshape(-1, self.channel_bin).mean(axis=1)
             df = df * self.channel_bin
 
+        # Channel selection (after binning).  ``channel_list`` takes
+        # priority over ``channel_range`` (ref drift/core/telescope.py:158-168
+        # documents both; the reference raises NotImplementedError for
+        # channel_list — here sparse selections are supported, since no
+        # downstream stage assumes uniform channel spacing).
         if self.channel_list is not None and len(self.channel_list):
-            raise NotImplementedError("`channel_list` is not supported")
-        if self.channel_range is not None and len(self.channel_range):
-            frequencies = frequencies[self.channel_range[0] : self.channel_range[1]]
+            chans = np.asarray(self.channel_list, dtype=int)
+            if chans.min() < 0 or chans.max() >= len(frequencies):
+                raise ValueError(
+                    f"channel_list entries must be in [0, {len(frequencies)}); "
+                    f"got {self.channel_list}"
+                )
+            frequencies = frequencies[chans]
+        elif self.channel_range is not None and len(self.channel_range):
+            # [stop], [start, stop] or [start, stop, step]
+            frequencies = frequencies[slice(*self.channel_range)]
 
         self._frequencies = frequencies
 
@@ -797,6 +809,11 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
             self._beam_dev_cache = {}
         key = (self._nside, int(fi), int(self.beamclass[feed]))
         beam = self._beam_dev_cache.get(key)
+        if beam is not None:
+            # LRU: refresh position on hit so the most-reused beams are
+            # evicted last, not first.
+            self._beam_dev_cache.pop(key)
+            self._beam_dev_cache[key] = beam
         if beam is None:
             host = self._beam(feed, fi)
             beam = jnp.asarray(host)

@@ -156,15 +156,22 @@ def _phase_angle(mv, geom, rdtype):
 
     phi[r, j] = 2*pi * twoj_h[r, j] / n2[r] exactly (healpix azimuths are
     rational in 2*pi), so (m*phi) mod 2*pi = 2*pi*((m mod n2)*twoj_h mod
-    n2)/n2 with every product bounded by n2^2 — int32-safe to nside 8192.
-    An f32 angle in [0, 2*pi) then carries full f32 accuracy at any m,
-    where the unreduced f64 product (the previous implementation) needed
-    an f64 phase tensor twice the size and twice the bandwidth.
+    n2)/n2 with every product bounded by n2^2 <= (8*nside-1)^2 —
+    int32-safe through nside 4096; above that the product is promoted to
+    int64 before the mod (the reduced residue still fits int32).  An f32
+    angle in [0, 2*pi) then carries full f32 accuracy at any m, where the
+    unreduced f64 product (the previous implementation) needed an f64
+    phase tensor twice the size and twice the bandwidth.
     """
     tj = jnp.asarray(geom.twoj_h)  # (nring, maxlen) int32
     n2 = jnp.asarray(geom.n2)[None, :, None]  # (1, nring, 1) int32
     mmod = (mv[:, None, None].astype(jnp.int32) % n2 + n2) % n2
-    r = (mmod * tj[None]) % n2
+    if (8 * geom.nside - 1) ** 2 > np.iinfo(np.int32).max:
+        r = ((mmod.astype(jnp.int64) * tj[None]) % n2.astype(jnp.int64)).astype(
+            jnp.int32
+        )
+    else:
+        r = (mmod * tj[None]) % n2
     return r.astype(rdtype) * (2.0 * np.pi / n2.astype(rdtype))
 
 
@@ -220,9 +227,11 @@ def _legendre_table(geom, lmax: int, mmax: int, rdtype):
     sequential steps the dominant cost of large-nside SHTs (measured
     ~0.4 s/unit at nside 256 vs 8 ms at nside 128).  The table is built
     once per (nside, lmax, mmax, dtype) and reused as a scan input;
-    shape (nchunks, lmax+1, mc, nring).  Returns None (callers fall back
-    to in-scan recurrence) if the table would exceed
-    ``DRIFTSCAN_TPU_LEGENDRE_CACHE_GB`` (default 1.0).
+    shape (nchunks, lmax+1, mc, nring).  ``DRIFTSCAN_TPU_LEGENDRE_CACHE_GB``
+    (default 1.0) bounds the *total* bytes cached across all keys: older
+    tables are LRU-evicted to make room, and a single table larger than
+    the whole budget returns None (callers fall back to the in-scan
+    recurrence).
     """
     import os
 
@@ -236,7 +245,17 @@ def _legendre_table(geom, lmax: int, mmax: int, rdtype):
 
     key = (geom.nside, lmax, mmax, np.dtype(rdtype).name)
     tab = _LEGENDRE_DEV_CACHE.get(key)
+    if tab is not None:
+        # LRU: refresh position on hit so reused tables survive eviction.
+        _LEGENDRE_DEV_CACHE.pop(key)
+        _LEGENDRE_DEV_CACHE[key] = tab
     if tab is None:
+        # Evict least-recently-used tables until this one fits the budget.
+        total = sum(int(t.nbytes) for t in _LEGENDRE_DEV_CACHE.values())
+        while _LEGENDRE_DEV_CACHE and total + nbytes > budget:
+            old = _LEGENDRE_DEV_CACHE.pop(next(iter(_LEGENDRE_DEV_CACHE)))
+            total -= int(old.nbytes)
+            del old
         logpref = jnp.asarray(_log_lambda_mm_prefactor(max(lmax, mmax)))
         cos_t = jnp.asarray(geom.cos_theta)
         sin_t = jnp.asarray(geom.sin_theta)

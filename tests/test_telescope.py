@@ -217,3 +217,81 @@ class TestOldCylinder:
             assert np.abs(bx[:, 0]).max() == 0
             assert np.abs(by[:, 1]).max() == 0
         assert np.isfinite(bx).all() and np.isfinite(by).all()
+
+
+class TestChannelSelection:
+    """channel_bin / channel_range / channel_list semantics.
+
+    Mirrors ref drift/core/telescope.py:158-168 (docs) and :404-430
+    (implementation); channel_list is NotImplementedError in the
+    reference but supported here.
+    """
+
+    def _freqs(self, **kw):
+        return _small_unpol(freq_mode="centre", num_freq=8, **kw).frequencies
+
+    def test_channel_bin(self):
+        full = np.linspace(400, 450, 8, endpoint=False)
+        np.testing.assert_allclose(
+            self._freqs(channel_bin=2), full.reshape(-1, 2).mean(axis=1)
+        )
+
+    def test_channel_bin_must_divide(self):
+        with pytest.raises(ValueError):
+            self._freqs(channel_bin=3)
+
+    def test_channel_range_forms(self):
+        full = np.linspace(400, 450, 8, endpoint=False)
+        np.testing.assert_allclose(self._freqs(channel_range=[2, 6]), full[2:6])
+        np.testing.assert_allclose(self._freqs(channel_range=[5]), full[:5])
+        np.testing.assert_allclose(
+            self._freqs(channel_range=[1, 8, 2]), full[1:8:2]
+        )
+
+    def test_channel_list_sparse(self):
+        full = np.linspace(400, 450, 8, endpoint=False)
+        np.testing.assert_allclose(
+            self._freqs(channel_list=[0, 3, 7]), full[[0, 3, 7]]
+        )
+
+    def test_channel_list_priority_over_range(self):
+        full = np.linspace(400, 450, 8, endpoint=False)
+        np.testing.assert_allclose(
+            self._freqs(channel_list=[1, 4], channel_range=[0, 2]), full[[1, 4]]
+        )
+
+    def test_channel_list_bounds(self):
+        with pytest.raises(ValueError):
+            self._freqs(channel_list=[0, 8])
+
+    def test_channel_list_after_binning(self):
+        full = np.linspace(400, 450, 8, endpoint=False).reshape(-1, 2).mean(axis=1)
+        np.testing.assert_allclose(
+            self._freqs(channel_bin=2, channel_list=[0, 3]), full[[0, 3]]
+        )
+
+    def test_channel_list_products(self, tmp_path):
+        """Sparse channel selection flows through product generation."""
+        from driftscan_tpu.core import beamtransfer
+        from driftscan_tpu.telescope import cylinder
+
+        tel = cylinder.UnpolarisedCylinderTelescope.from_config(
+            dict(
+                num_freq=4,
+                freq_start=100.0,
+                freq_end=110.0,
+                freq_mode="edge",
+                num_cylinders=1,
+                cylinder_width=2.0,
+                num_feeds=2,
+                feed_spacing=1.5,
+                tsys=50.0,
+                channel_list=[0, 2, 3],
+            )
+        )
+        assert tel.nfreq == 3
+        bt = beamtransfer.BeamTransfer(str(tmp_path / "bt"), telescope=tel)
+        bt.generate()
+        beam = bt.beam_m(1)
+        assert beam.shape[0] == 3  # nfreq axis follows the selection
+        assert np.isfinite(beam).all()
