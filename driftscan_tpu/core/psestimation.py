@@ -544,14 +544,29 @@ class PSExact(PSEstimation):
         with h5py.File(self._cfile % (mi, bi), "r") as f:
             return f["proj"][:]
 
+    # Device working-set budget for one chunk of band projections in the
+    # disk-streamed Fisher contraction (bytes; two f32 planes per entry).
+    _fisher_chunk_bytes = 512 * 2**20
+
+    def _getproj_chunk(self, mi, b_lo, b_hi):
+        """Load bands [b_lo, b_hi) of the projection cache as one stack."""
+        return np.asarray(
+            [self.getproj(mi, bi) for bi in range(b_lo, b_hi)]
+        )
+
     def _work_fisher_bias_m(self, mi):
         """Exact per-m Fisher: F_ab = sum_ij C_a[i,j] C_b[j,i] w_i w_j with
         inverse-covariance weights w = 1/(1 + lambda).
 
-        The in-memory case contracts all band pairs in one einsum; the
-        disk-cached case streams pairs.  (The bias term vanishes for the
-        zero-mean exact estimator.)
+        Both cases run the trace contraction as device matmuls
+        (ops.projections.fisher_trace_block); the disk-cached case streams
+        band *chunks* (each band is read O(nbands/chunk) times rather than
+        O(nbands) — the reference's per-pair getproj loop at
+        /root/reference/drift/core/psestimation.py:775-815 is the analogue).
+        The bias term vanishes for the zero-mean exact estimator.
         """
+        from ..ops import projections as projkern
+
         evals = self.kltrans.evals_m(mi, self.threshold)
         bias = np.zeros(self.nbands, dtype=np.complex128)
 
@@ -560,19 +575,26 @@ class PSExact(PSEstimation):
 
         if not self._use_disk(mi):
             stack = np.asarray(self._bp_cache)
-            fisher = np.einsum(
-                "aij,bji,i,j->ab", stack, stack, w, w, optimize=True
-            ).astype(np.complex128)
+            fisher = projkern.fisher_trace_block(stack, stack, w).astype(
+                np.complex128
+            )
         else:
-            wij = np.outer(w, w)
+            nkl = evals.size
+            chunk = max(1, int(self._fisher_chunk_bytes // max(nkl * nkl * 8, 1)))
+            edges = list(range(0, self.nbands, chunk)) + [self.nbands]
             fisher = np.zeros((self.nbands, self.nbands), dtype=np.complex128)
-            for ia in range(self.nbands):
-                c_a = self.getproj(mi, ia)
-                fisher[ia, ia] = np.sum(c_a * c_a.T * wij)
-                for ib in range(ia):
-                    c_b = self.getproj(mi, ib)
-                    fisher[ia, ib] = np.sum(c_a * c_b.T * wij)
-                    fisher[ib, ia] = np.conj(fisher[ia, ib])
+            for ai in range(len(edges) - 1):
+                a_lo, a_hi = edges[ai], edges[ai + 1]
+                c_a = self._getproj_chunk(mi, a_lo, a_hi)
+                f_aa = projkern.fisher_trace_block(c_a, c_a, w)
+                fisher[a_lo:a_hi, a_lo:a_hi] = f_aa
+                for bi in range(ai):
+                    b_lo, b_hi = edges[bi], edges[bi + 1]
+                    c_b = self._getproj_chunk(mi, b_lo, b_hi)
+                    f_ab = projkern.fisher_trace_block(c_a, c_b, w)
+                    fisher[a_lo:a_hi, b_lo:b_hi] = f_ab
+                    # Hermitian in the band indices (C_a, C_b Hermitian)
+                    fisher[b_lo:b_hi, a_lo:a_hi] = f_ab.conj().T
 
         self.delproj(mi)
         return fisher, bias

@@ -239,6 +239,82 @@ def _band_proj_split(g_re, g_im, cl):
     return out.re, out.im
 
 
+@jax.jit
+def _simple_svd_native(bfr):
+    from . import linalg
+
+    return linalg.svd_simple_batched(bfr)
+
+
+@jax.jit
+def _simple_svd_split(b_re, b_im):
+    u, s, _ = za.svd_eigh(za.Z(b_re, b_im))
+    ut = u.conj().transpose(0, 2, 1)
+    return ut.re, ut.im, s
+
+
+def simple_svd(bfm_w: np.ndarray):
+    """Batched plain SVD compression (BeamTransferFullSVD / TempSVD).
+
+    bfm_w : (batch, ntel, k) complex.  Returns (ut (batch, kk, ntel)
+    with ut = u^H, sig (batch, kk)) as numpy, kk = min(ntel, k).
+    Native XLA SVD on complex-capable backends; Gram-eigendecomposition
+    SVD (ops.zarray.svd_eigh) on split-complex ones — replacing the
+    reference's per-m LAPACK svd (drift/core/beamtransfer.py:1500,1652).
+    """
+    bfm_w = np.asarray(bfm_w)
+    if backend.split_complex():
+        ur, ui, s = _simple_svd_split(
+            backend.device_real(bfm_w.real),
+            backend.device_real(bfm_w.imag),
+        )
+        return np.asarray(ur) + 1j * np.asarray(ui), np.asarray(s)
+    ut, s = _simple_svd_native(jnp.asarray(bfm_w))
+    return np.asarray(ut), np.asarray(s)
+
+
+@jax.jit
+def _fisher_trace_native(da, cb):
+    # F[a, b] = sum_ij D_a[i, j] C_b[j, i]  (D pre-weighted)
+    af = da.reshape(da.shape[0], -1)
+    bf = jnp.swapaxes(cb, -1, -2).reshape(cb.shape[0], -1)
+    return af @ bf.T
+
+
+@jax.jit
+def _fisher_trace_split(da_re, da_im, cb_re, cb_im):
+    af = za.Z(da_re.reshape(da_re.shape[0], -1), da_im.reshape(da_im.shape[0], -1))
+    bt_re = jnp.swapaxes(cb_re, -1, -2).reshape(cb_re.shape[0], -1)
+    bt_im = jnp.swapaxes(cb_im, -1, -2).reshape(cb_im.shape[0], -1)
+    out = za.einsum("ax,bx->ab", af, za.Z(bt_re, bt_im))
+    return out.re, out.im
+
+
+def fisher_trace_block(proj_a: np.ndarray, proj_b: np.ndarray, w: np.ndarray):
+    """F[a, b] = sum_ij C_a[i, j] C_b[j, i] w_i w_j for two band chunks.
+
+    One (chunk_a, nkl^2) @ (nkl^2, chunk_b) device matmul replaces the
+    reference's per-band-pair trace loop
+    (/root/reference/drift/core/psestimation.py:775-815).  ``w`` is the
+    real inverse-covariance weight vector (1/(1+lambda)); the weights are
+    folded into the A side.
+    """
+    proj_a = np.asarray(proj_a)
+    proj_b = np.asarray(proj_b)
+    da = proj_a * np.asarray(w)[None, :, None] * np.asarray(w)[None, None, :]
+    if backend.split_complex():
+        re, im = _fisher_trace_split(
+            backend.device_real(da.real),
+            backend.device_real(da.imag),
+            backend.device_real(proj_b.real),
+            backend.device_real(proj_b.imag),
+        )
+        return np.asarray(re) + 1j * np.asarray(im)
+    return np.asarray(
+        _fisher_trace_native(jnp.asarray(da), jnp.asarray(proj_b))
+    ).astype(np.complex128)
+
+
 def band_covariance_projection(g: np.ndarray, clarray: np.ndarray) -> np.ndarray:
     """Project every band's angular power spectrum into the KL basis at once.
 

@@ -144,3 +144,82 @@ def test_seeded_determinism(products):
         f2, b2 = ps._work_fisher_bias_m(1)
         np.testing.assert_allclose(f1, f2)
         np.testing.assert_allclose(b1, b2)
+
+
+def test_disk_streamed_fisher_matches_memory(products):
+    """The chunked disk-streamed Fisher path == the in-memory device path.
+
+    Forces the disk cache on (tiny ndof threshold) and a chunk budget so
+    small that several chunk blocks are exercised, including the
+    off-diagonal Hermitian fill.
+    """
+    ps = products.psestimators["psx"]
+    ps.genbands()
+    mi = 1
+    f_mem, _ = ps._work_fisher_bias_m(mi)
+
+    old_ndof, old_bytes = ps._disk_cache_ndof, ps._fisher_chunk_bytes
+    ps._disk_cache_ndof = 1  # force disk path
+    ps._fisher_chunk_bytes = 1  # force chunk size 1 -> nbands chunks
+    try:
+        assert ps._use_disk(mi)
+        f_disk, _ = ps._work_fisher_bias_m(mi)
+    finally:
+        ps._disk_cache_ndof, ps._fisher_chunk_bytes = old_ndof, old_bytes
+
+    scale = np.abs(f_mem).max()
+    np.testing.assert_allclose(f_disk, f_mem, rtol=1e-5, atol=1e-7 * scale)
+
+
+def test_fisher_first_principles(products):
+    """PSExact Fisher for one m == an independent f64 host computation.
+
+    Re-derives the whole Fisher chain with the *reference's* loop
+    formulas (/root/reference/drift/core/psestimation.py:701-815): per
+    (f, g) frequency-pair sandwich of the band C_l through the SVD
+    beams, dense KL projection, then the explicit weighted double-loop
+    pair trace — no driftscan_tpu projection kernels involved.
+    """
+    ps = products.psestimators["psx"]
+    kl = ps.kltrans
+    bt = kl.beamtransfer
+    ps.genbands()
+    mi = 1
+
+    f_pipeline, _ = ps._work_fisher_bias_m(mi)
+
+    evals, evecs = kl.modes_m(mi, threshold=ps.threshold)
+    assert evals is not None
+    w = 1.0 / (evals + 1.0)
+    nkl = evals.size
+    nbands = ps.nbands
+
+    beam = bt.beam_svd(mi).astype(np.complex128)  # (F, S, P, L)
+    idx, _, _ = bt._compact_indices(mi)
+    F, S = bt.nfreq, bt.svd_len
+
+    projs = []
+    for bi in range(nbands):
+        cl = ps.clarray[bi]  # (L, F, F) real
+        # sandwich per frequency pair (temperature only)
+        svdmat = np.zeros((F, S, F, S), dtype=np.complex128)
+        for fi in range(F):
+            for gi in range(F):
+                # sum_l B[fi,a,l] cl[l,fi,gi] conj(B[gi,b,l])
+                bf = beam[fi, :, 0, :]  # (S, L)
+                bg = beam[gi, :, 0, :]
+                svdmat[fi, :, gi, :] = (bf * cl[:, fi, gi][None, :]) @ bg.conj().T
+        compact = svdmat.reshape(F * S, F * S)[np.ix_(idx, idx)]
+        projs.append(evecs @ compact @ evecs.conj().T)
+
+    f_ref = np.zeros((nbands, nbands), dtype=np.complex128)
+    for ia in range(nbands):
+        for ib in range(nbands):
+            acc = 0.0 + 0.0j
+            for i in range(nkl):
+                for j in range(nkl):
+                    acc += projs[ia][i, j] * projs[ib][j, i] * w[i] * w[j]
+            f_ref[ia, ib] = acc
+
+    scale = max(np.abs(f_ref).max(), 1e-30)
+    np.testing.assert_allclose(f_pipeline, f_ref, rtol=1e-6, atol=1e-9 * scale)
