@@ -472,13 +472,26 @@ def _synthesis_complex(alm_pos, alm_neg, nside: int, lmax: int, mmax: int, lam_t
     return flat[:, jnp.asarray(valid)]
 
 
-@functools.partial(jax.jit, static_argnames=("nside", "lmax", "mmax", "neg_m"))
-def _analysis_split(maps_re, maps_im, nside: int, lmax: int, mmax: int, neg_m: bool, lam_table=None):
+@functools.partial(
+    jax.jit, static_argnames=("nside", "lmax", "mmax", "neg_m", "real_field")
+)
+def _analysis_split(
+    maps_re,
+    maps_im,
+    nside: int,
+    lmax: int,
+    mmax: int,
+    neg_m: bool,
+    lam_table=None,
+    real_field: bool = False,
+):
     """Split-complex forward SHT (for complex-free TPU backends).
 
     Identical math to :func:`_analysis`, with the complex phase/Legendre
     contractions expanded into real einsums on (re, im) planes — the same
-    FLOP count, all MXU-eligible.
+    FLOP count, all MXU-eligible.  With ``real_field`` the imaginary
+    plane is ignored (may be None) and its einsums are skipped — half the
+    phase-stage work.
 
     Returns (pos_re, pos_im, neg_re, neg_im); the negative blocks are
     zeros when ``neg_m`` is False.
@@ -489,7 +502,7 @@ def _analysis_split(maps_re, maps_im, nside: int, lmax: int, mmax: int, neg_m: b
     idx = jnp.asarray(geom.pix_index)
     maskr = jnp.asarray(geom.mask).astype(rdtype)
     p_re = jnp.take(maps_re, idx, axis=-1) * maskr
-    p_im = jnp.take(maps_im, idx, axis=-1) * maskr
+    p_im = None if real_field else jnp.take(maps_im, idx, axis=-1) * maskr
 
     cos_t = jnp.asarray(geom.cos_theta)
     sin_t = jnp.asarray(geom.sin_theta)
@@ -513,8 +526,11 @@ def _analysis_split(maps_re, maps_im, nside: int, lmax: int, mmax: int, neg_m: b
         # F = sum_j p e^{-im phi}:  F.re = pr.c + pi.s ; F.im = pi.c - pr.s
         rc = jnp.einsum("brj,mrj->bmr", p_re, c)
         rs = jnp.einsum("brj,mrj->bmr", p_re, s)
-        ic = jnp.einsum("brj,mrj->bmr", p_im, c)
-        is_ = jnp.einsum("brj,mrj->bmr", p_im, s)
+        if real_field:
+            ic = is_ = jnp.zeros_like(rc)
+        else:
+            ic = jnp.einsum("brj,mrj->bmr", p_im, c)
+            is_ = jnp.einsum("brj,mrj->bmr", p_im, s)
         f_re = rc + is_
         f_im = ic - rs
 
@@ -561,6 +577,143 @@ def _analysis_split(maps_re, maps_im, nside: int, lmax: int, mmax: int, neg_m: b
     return pos_re, pos_im, neg_re, neg_im
 
 
+@functools.partial(jax.jit, static_argnames=("nside", "lmax", "mmax"))
+def _synthesis_real_split(a_re, a_im, nside: int, lmax: int, mmax: int, lam_table=None):
+    """Split-complex inverse SHT onto a real field (complex-free backends).
+
+    Same math as :func:`_synthesis_real` on (re, im) planes of the m >= 0
+    coefficients: the map is sum_m w_m * Re(T_m e^{i m phi}) with
+    w_0 = 1, w_{m>0} = 2.  Returns (B, npix) real.
+    """
+    geom = ring_geometry(nside)
+    rdtype = a_re.dtype
+
+    mask = jnp.asarray(geom.mask)
+    cos_t = jnp.asarray(geom.cos_theta)
+    sin_t = jnp.asarray(geom.sin_theta)
+    logpref = jnp.asarray(_log_lambda_mm_prefactor(lmax))
+
+    nm = mmax + 1
+    mc = _chunk_size(geom.nring, geom.maxlen, nm)
+    nchunks = (nm + mc - 1) // mc
+    m_chunks = jnp.asarray(
+        np.arange(nchunks * mc, dtype=np.int64).reshape(nchunks, mc)
+    )
+
+    B = a_re.shape[0]
+
+    def to_chunks(x):
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, nchunks * mc - nm)))
+        return jnp.moveaxis(x.reshape(B, lmax + 1, nchunks, mc), 2, 0)
+
+    re_chunks, im_chunks = to_chunks(a_re), to_chunks(a_im)
+
+    def chunk_fn(acc, xs):
+        if len(xs) == 4:
+            mv, ar, ai, lam = xs
+        else:
+            mv, ar, ai = xs
+            lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
+        t_re = jnp.einsum("lmr,blm->bmr", lam, ar)
+        t_im = jnp.einsum("lmr,blm->bmr", lam, ai)
+        phase = _phase_angle(mv, geom, rdtype)
+        mr = mask[None].astype(rdtype)
+        c = jnp.cos(phase) * mr
+        s = jnp.sin(phase) * mr
+        weight = jnp.where(mv == 0, 1.0, 2.0).astype(rdtype)[None, :, None]
+        # Re(T e^{i m phi}) = T.re * cos - T.im * sin
+        contrib = jnp.einsum("bmr,mrj->brj", t_re * weight, c)
+        contrib -= jnp.einsum("bmr,mrj->brj", t_im * weight, s)
+        return acc + contrib, None
+
+    acc0 = jnp.zeros((B, geom.nring, geom.maxlen), dtype=rdtype)
+    xs = (
+        (m_chunks, re_chunks, im_chunks)
+        if lam_table is None
+        else (m_chunks, re_chunks, im_chunks, lam_table)
+    )
+    acc, _ = jax.lax.scan(chunk_fn, acc0, xs)
+    flat = acc.reshape(B, -1)
+    valid = np.nonzero(geom.mask.ravel())[0]
+    return flat[:, jnp.asarray(valid)]
+
+
+@functools.partial(jax.jit, static_argnames=("nside", "lmax", "mmax"))
+def _synthesis_complex_split(
+    p_re, p_im, n_re, n_im, nside: int, lmax: int, mmax: int, lam_table=None
+):
+    """Split-complex inverse SHT of a general complex field.
+
+    Same math as :func:`_synthesis_complex` on (re, im) planes; the
+    negative block holds a_{l,-m} for m = 1..mmax.  Returns (map_re,
+    map_im), each (B, npix).
+    """
+    geom = ring_geometry(nside)
+    rdtype = p_re.dtype
+
+    mask = jnp.asarray(geom.mask)
+    cos_t = jnp.asarray(geom.cos_theta)
+    sin_t = jnp.asarray(geom.sin_theta)
+    logpref = jnp.asarray(_log_lambda_mm_prefactor(lmax))
+
+    nm = mmax + 1
+    mc = _chunk_size(geom.nring, geom.maxlen, nm)
+    nchunks = (nm + mc - 1) // mc
+    m_chunks = jnp.asarray(
+        np.arange(nchunks * mc, dtype=np.int64).reshape(nchunks, mc)
+    )
+
+    B = p_re.shape[0]
+
+    def pos_chunks(x):
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, nchunks * mc - nm)))
+        return jnp.moveaxis(x.reshape(B, lmax + 1, nchunks, mc), 2, 0)
+
+    def neg_chunks(x):
+        # shift so column m holds a_{l,-m} (column 0 unused)
+        x = jnp.pad(x, ((0, 0), (0, 0), (1, nchunks * mc - nm)))
+        return jnp.moveaxis(x.reshape(B, lmax + 1, nchunks, mc), 2, 0)
+
+    chunks = (
+        pos_chunks(p_re), pos_chunks(p_im), neg_chunks(n_re), neg_chunks(n_im)
+    )
+
+    def chunk_fn(acc, xs):
+        if len(xs) == 6:
+            mv, pr, pi, nr, ni, lam = xs
+        else:
+            mv, pr, pi, nr, ni = xs
+            lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
+        tp_re = jnp.einsum("lmr,blm->bmr", lam, pr)
+        tp_im = jnp.einsum("lmr,blm->bmr", lam, pi)
+        signm = jnp.where(mv % 2 == 0, 1.0, -1.0).astype(rdtype)[None, :, None]
+        tn_re = jnp.einsum("lmr,blm->bmr", lam, nr) * signm
+        tn_im = jnp.einsum("lmr,blm->bmr", lam, ni) * signm
+        phase = _phase_angle(mv, geom, rdtype)
+        mr = mask[None].astype(rdtype)
+        c = jnp.cos(phase) * mr
+        s = jnp.sin(phase) * mr
+        # T+ e^{i m phi} + T- e^{-i m phi}
+        acc_re, acc_im = acc
+        acc_re = acc_re + jnp.einsum("bmr,mrj->brj", tp_re + tn_re, c)
+        acc_re = acc_re - jnp.einsum("bmr,mrj->brj", tp_im - tn_im, s)
+        acc_im = acc_im + jnp.einsum("bmr,mrj->brj", tp_im + tn_im, c)
+        acc_im = acc_im + jnp.einsum("bmr,mrj->brj", tp_re - tn_re, s)
+        return (acc_re, acc_im), None
+
+    acc0 = (
+        jnp.zeros((B, geom.nring, geom.maxlen), dtype=rdtype),
+        jnp.zeros((B, geom.nring, geom.maxlen), dtype=rdtype),
+    )
+    xs = chunks if lam_table is None else chunks + (lam_table,)
+    (acc_re, acc_im), _ = jax.lax.scan(chunk_fn, acc0, (m_chunks,) + xs)
+    valid = jnp.asarray(np.nonzero(geom.mask.ravel())[0])
+    return (
+        acc_re.reshape(B, -1)[:, valid],
+        acc_im.reshape(B, -1)[:, valid],
+    )
+
+
 def analysis_split(maps_z, lmax: int, mmax: Optional[int] = None, neg_m: bool = False):
     """Forward SHT of split-complex maps (ops.zarray.Z in, Z out).
 
@@ -585,6 +738,35 @@ def analysis_split(maps_z, lmax: int, mmax: Optional[int] = None, neg_m: bool = 
         return pos, None
     neg = za.Z(nr.reshape(lead + (lmax + 1, mmax)), ni.reshape(lead + (lmax + 1, mmax)))
     return pos, neg
+
+
+def synthesis_split(pos_z, neg_z, nside: int):
+    """Inverse SHT of split-complex coefficients (ops.zarray.Z in, Z out).
+
+    pos_z : Z with arrays (..., lmax+1, mmax+1) — m >= 0 coefficients.
+    neg_z : Z with arrays (..., lmax+1, mmax) for m = -1..-mmax, or None
+        for a real field (the map's imaginary plane is then zero).
+    Returns Z with arrays (..., npix).
+    """
+    from . import zarray as za
+
+    lead = pos_z.re.shape[:-2]
+    lmax = pos_z.re.shape[-2] - 1
+    mmax = pos_z.re.shape[-1] - 1
+    pr = pos_z.re.reshape((-1, lmax + 1, mmax + 1))
+    pi = pos_z.im.reshape((-1, lmax + 1, mmax + 1))
+    lam = _legendre_table(ring_geometry(nside), lmax, mmax, pr.dtype)
+    if neg_z is None:
+        maps = _synthesis_real_split(pr, pi, nside, lmax, mmax, lam)
+        return za.Z(
+            maps.reshape(lead + (maps.shape[-1],)), jnp.zeros(lead + (maps.shape[-1],), maps.dtype)
+        )
+    nr = neg_z.re.reshape((-1, lmax + 1, mmax))
+    ni = neg_z.im.reshape((-1, lmax + 1, mmax))
+    mr, mi = _synthesis_complex_split(pr, pi, nr, ni, nside, lmax, mmax, lam)
+    return za.Z(
+        mr.reshape(lead + (mr.shape[-1],)), mi.reshape(lead + (mi.shape[-1],))
+    )
 
 
 # ------------------------------------------------------------------
@@ -684,21 +866,25 @@ def synthesis_complex(alm_pos, alm_neg, nside: int):
 # ------------------------------------------------------------------
 # driftscan/cora compatible wrappers (numpy in / numpy out)
 #
-# These one-shot transforms (map making, timestream simulation) need
-# complex arithmetic on device; on complex-free TPU runtimes they run on
-# the host CPU backend instead (the BTM hot path routes through
-# analysis_split separately).
+# On complex-free TPU runtimes these route through the split-complex
+# kernels (host-side plane split, device matmul stages) — the same
+# engine as the BTM hot path — so timestream simulation and mapmaking
+# get the accelerator too.  Complex-capable backends use the native
+# kernels directly.
 # ------------------------------------------------------------------
 
-import contextlib
 
-
-def _wrapper_device():
+def _split_backend() -> bool:
     from .. import backend
 
-    if backend.split_complex():
-        return jax.default_device(jax.devices("cpu")[0])
-    return contextlib.nullcontext()
+    return backend.split_complex()
+
+
+def _dev_plane(x):
+    """Host real plane -> device compute dtype (f32 on split TPUs)."""
+    from .. import backend
+
+    return jnp.asarray(backend.device_real(np.ascontiguousarray(x)))
 
 
 def pack_fftlike(pos: np.ndarray, neg: Optional[np.ndarray], lside: int) -> np.ndarray:
@@ -732,7 +918,14 @@ def sphtrans_complex(
     nside = int(np.sqrt(hpmap.shape[-1] / 12))
     lmax = 3 * nside - 1 if lmax is None else lmax
     lside = lmax if lside is None else lside
-    with _wrapper_device():
+    if _split_backend():
+        from . import zarray as za
+
+        maps_z = za.Z(_dev_plane(hpmap.real), _dev_plane(hpmap.imag))
+        pos_z, neg_z = analysis_split(maps_z, lmax, neg_m=True)
+        pos = np.asarray(pos_z.re, np.float64) + 1j * np.asarray(pos_z.im, np.float64)
+        neg = np.asarray(neg_z.re, np.float64) + 1j * np.asarray(neg_z.im, np.float64)
+    else:
         pos, neg = analysis(hpmap, lmax, neg_m=True)
         pos, neg = np.asarray(pos), np.asarray(neg)
     return pack_fftlike(pos, neg, lside)
@@ -752,9 +945,17 @@ def sphtrans_sky(skymap, lmax: Optional[int] = None) -> np.ndarray:
     skymap = np.asarray(skymap)
     nside = int(np.sqrt(skymap.shape[-1] / 12))
     lmax = 3 * nside - 1 if lmax is None else lmax
-    with _wrapper_device():
-        pos, _ = analysis(skymap, lmax)
-        return np.asarray(pos)
+    if _split_backend():
+        lead = skymap.shape[:-1]
+        flat = _dev_plane(skymap.reshape(-1, skymap.shape[-1]))
+        lam = _legendre_table(ring_geometry(nside), lmax, lmax, flat.dtype)
+        pr, pi, _, _ = _analysis_split(
+            flat, None, nside, lmax, lmax, False, lam, real_field=True
+        )
+        pos = np.asarray(pr, np.float64) + 1j * np.asarray(pi, np.float64)
+        return pos.reshape(lead + pos.shape[-2:])
+    pos, _ = analysis(skymap, lmax)
+    return np.asarray(pos)
 
 
 def sphtrans_inv_sky(alm, nside: int) -> np.ndarray:
@@ -763,8 +964,17 @@ def sphtrans_inv_sky(alm, nside: int) -> np.ndarray:
     Equivalent of ``hputil.sphtrans_inv_sky`` used at
     /root/reference/drift/pipeline/timestream.py:262.
     """
-    with _wrapper_device():
-        return np.asarray(synthesis_real(np.asarray(alm), nside))
+    alm = np.asarray(alm)
+    if _split_backend():
+        lead = alm.shape[:-2]
+        lmax, mmax = alm.shape[-2] - 1, alm.shape[-1] - 1
+        ar = _dev_plane(alm.real.reshape((-1,) + alm.shape[-2:]))
+        ai = _dev_plane(alm.imag.reshape((-1,) + alm.shape[-2:]))
+        lam = _legendre_table(ring_geometry(nside), lmax, mmax, ar.dtype)
+        maps = _synthesis_real_split(ar, ai, nside, lmax, mmax, lam)
+        out = np.asarray(maps, np.float64)
+        return out.reshape(lead + (out.shape[-1],))
+    return np.asarray(synthesis_real(alm, nside))
 
 
 __all__ = [

@@ -4,6 +4,7 @@ our from-scratch engine, see SURVEY.md section 7 'hard parts' #1)."""
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from driftscan_tpu.ops import healpix, sht
 
@@ -164,3 +165,88 @@ def test_legendre_table_matches_recurrence(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(pos_t), np.asarray(pos_r), rtol=1e-12, atol=1e-14
     )
+
+
+class TestSplitSynthesis:
+    """Split-complex synthesis kernels == native-complex synthesis."""
+
+    nside = 8
+    lmax = 12
+
+    def _alm(self, rng, mmax=None):
+        mmax = self.lmax if mmax is None else mmax
+        pos = rng.standard_normal((2, self.lmax + 1, mmax + 1)) + 1j * rng.standard_normal(
+            (2, self.lmax + 1, mmax + 1)
+        )
+        neg = rng.standard_normal((2, self.lmax + 1, mmax)) + 1j * rng.standard_normal(
+            (2, self.lmax + 1, mmax)
+        )
+        # zero the unphysical l < m entries
+        ls = np.arange(self.lmax + 1)[:, None]
+        pos *= ls >= np.arange(mmax + 1)[None, :]
+        neg *= ls >= np.arange(1, mmax + 1)[None, :]
+        return pos, neg
+
+    def test_real_split_matches_native(self):
+        from driftscan_tpu.ops import zarray as za
+
+        rng = np.random.default_rng(42)
+        pos, _ = self._alm(rng)
+        pos[..., 0] = pos[..., 0].real  # m=0 of a real field is real
+        native = np.asarray(sht.synthesis_real(pos, self.nside))
+        out = sht.synthesis_split(
+            za.Z(jnp.asarray(pos.real), jnp.asarray(pos.imag)), None, self.nside
+        )
+        np.testing.assert_allclose(np.asarray(out.re), native, rtol=1e-10, atol=1e-12)
+        assert np.abs(np.asarray(out.im)).max() == 0
+
+    def test_complex_split_matches_native(self):
+        from driftscan_tpu.ops import zarray as za
+
+        rng = np.random.default_rng(43)
+        pos, neg = self._alm(rng)
+        native = np.asarray(sht.synthesis_complex(pos, neg, self.nside))
+        out = sht.synthesis_split(
+            za.Z(jnp.asarray(pos.real), jnp.asarray(pos.imag)),
+            za.Z(jnp.asarray(neg.real), jnp.asarray(neg.imag)),
+            self.nside,
+        )
+        got = np.asarray(out.re) + 1j * np.asarray(out.im)
+        np.testing.assert_allclose(got, native, rtol=1e-10, atol=1e-12)
+
+    def test_analysis_split_real_field_flag(self):
+        """real_field=True (imag plane None) == full split analysis."""
+        rng = np.random.default_rng(44)
+        npix = 12 * self.nside**2
+        maps = rng.standard_normal((3, npix))
+        pr, pi, _, _ = sht._analysis_split(
+            jnp.asarray(maps), None, self.nside, self.lmax, self.lmax, False,
+            None, real_field=True,
+        )
+        ref_pos, _ = sht.analysis(maps, self.lmax)
+        got = np.asarray(pr) + 1j * np.asarray(pi)
+        np.testing.assert_allclose(got, np.asarray(ref_pos), rtol=1e-10, atol=1e-12)
+
+    def test_wrappers_route_split(self, monkeypatch):
+        """sphtrans wrappers on a split backend == the native-path output."""
+        rng = np.random.default_rng(45)
+        npix = 12 * self.nside**2
+
+        sky = rng.standard_normal((2, npix))
+        pos_native = sht.sphtrans_sky(sky, lmax=self.lmax)
+        cmap = rng.standard_normal(npix) + 1j * rng.standard_normal(npix)
+        packed_native = sht.sphtrans_complex(cmap, lmax=self.lmax)
+        alm = pos_native.copy()
+        inv_native = sht.sphtrans_inv_sky(alm, self.nside)
+
+        monkeypatch.setattr(sht, "_split_backend", lambda: True)
+        np.testing.assert_allclose(
+            sht.sphtrans_sky(sky, lmax=self.lmax), pos_native, rtol=1e-10, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            sht.sphtrans_complex(cmap, lmax=self.lmax), packed_native,
+            rtol=1e-10, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            sht.sphtrans_inv_sky(alm, self.nside), inv_native, rtol=1e-10, atol=1e-12
+        )
