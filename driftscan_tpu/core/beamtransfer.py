@@ -824,8 +824,8 @@ class BeamTransferTempSVD(BeamTransfer):
         noisew = np.stack([self._noise_weights(fi) for fi in range(nfreq)])
         bfm_w = bfm * noisew[:, :, np.newaxis, np.newaxis]
 
-        u, sig, _ = np.linalg.svd(bfm_w[:, :, 0, :], full_matrices=False)
-        ut = np.swapaxes(u, -1, -2).conj()[:, : self.svd_len]
+        ut, sig = projections.simple_svd(bfm_w[:, :, 0, :])
+        ut = ut[:, : self.svd_len]
         sig = sig[:, : self.svd_len]
 
         bsvd = np.einsum(
@@ -863,8 +863,8 @@ class BeamTransferFullSVD(BeamTransfer):
         noisew = np.stack([self._noise_weights(fi) for fi in range(nfreq)])
         bfm_w = bfm * noisew[:, :, np.newaxis]
 
-        u, sig, _ = np.linalg.svd(bfm_w, full_matrices=False)
-        ut = np.swapaxes(u, -1, -2).conj()[:, : self.svd_len]
+        ut, sig = projections.simple_svd(bfm_w)
+        ut = ut[:, : self.svd_len]
         sig = sig[:, : self.svd_len]
 
         bsvd = np.einsum("fst,ftk->fsk", ut, bfm_w)
