@@ -780,7 +780,11 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
         key = (self._nside, freq_ind, beamclass)
 
         if key not in self._beam_cache:
-            cpu = jax.devices("cpu")[0]
+            # local_devices, not devices: in a multi-process jax.distributed
+            # cluster jax.devices("cpu")[0] is process 0's device, which is
+            # non-addressable from other ranks (their beam outputs would be
+            # unfetchable global arrays).
+            cpu = jax.local_devices(backend="cpu")[0]
             with jax.default_device(cpu):
                 beam = np.asarray(self.beam(feed_ind, freq_ind))
             if self.single_precision:

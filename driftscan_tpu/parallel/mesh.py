@@ -26,14 +26,22 @@ M_AXIS = "m"
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = M_AXIS) -> Mesh:
-    """Create a 1-D mesh over the given (default: all) devices."""
+    """Create a 1-D mesh over the given (default: process-local) devices.
+
+    The default is *local* devices deliberately: the file-based pipeline
+    follows the reference's MPI model — each process owns a subset of
+    m/fb units and batches them over its own accelerators — so sharding
+    a process-local batch over a global mesh would be wrong (and
+    ``jax.device_put`` asserts the data is identical on every process).
+    Cross-process SPMD paths construct their global mesh explicitly.
+    """
     if devices is None:
-        devices = jax.devices()
+        devices = jax.local_devices()
     return Mesh(np.array(devices), (axis_name,))
 
 
 def get_mesh() -> Mesh:
-    """The active mesh, creating a default all-device mesh if needed."""
+    """The active mesh, creating a default local-device mesh if needed."""
     global _active_mesh
     if _active_mesh is None:
         _active_mesh = make_mesh()
