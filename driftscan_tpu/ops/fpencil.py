@@ -371,6 +371,86 @@ def _solve_tri_interleaved(r_e: jnp.ndarray, b: za.Z, adjoint: bool) -> za.Z:
 
 
 # ------------------------------------------------------------------
+# Tall R factorisation: shifted CholeskyQR (matmul-only)
+# ------------------------------------------------------------------
+
+# Relative shift per round, in units of the current lambda_max estimate.
+# Must sit above the f32 Gram's roundoff (~sqrt(rows)*eps*lambda_max)
+# so the shifted Cholesky always succeeds; each round then reduces
+# cond^2 by ~1/shift_rel, so 3 shifted rounds + 1 unshifted cover
+# cond(N) up to ~(1/shift_rel)^3 (>= 1e11 at the f32 setting).
+_CHOLQR_SHIFT_EPS_MULT = 3000.0
+_CHOLQR_ROUNDS = 4
+
+
+def chol_qr_r(aug_e: jnp.ndarray, rounds: int = _CHOLQR_ROUNDS) -> jnp.ndarray:
+    """Upper-triangular R with ``aug_e ~= Q R`` for a tall real matrix.
+
+    XLA's Householder QR is panel-sequential and runs ~60 GFLOP/s on the
+    TPU for the (2(K+n), 2n) pencil augmentations (measured 2 s/m at
+    ndof 1088 — 93% of the whole product step).  This computes the same
+    R by *shifted CholeskyQR* iteration: per round one Gram matmul, one
+    (2n)^2 Cholesky and one triangular solve — all MXU/blocked ops.
+
+    Accuracy is Householder-class *on the factor*: the shifted first
+    rounds only precondition (aug = G_k (R_{k-1}..R_1) holds to rounding
+    regardless of the shifts), and the final unshifted round leaves
+    G_last orthonormal to ~eps, so N = R^T R carries the small noise
+    eigenvalues exactly like QR's R does — unlike a direct Cholesky of
+    the (once-formed, eps*lambda_max-corrupted) f32 Gram.  Validated
+    against the dense f64 pencil at bench conditioning
+    (tests/test_fpencil.py) and against XLA QR (method A/B).
+
+    The diagonal is positive (Cholesky convention), matching the sign
+    fix the Householder path applies.  Batched over leading axes.
+    """
+    dt = aug_e.dtype
+    n = aug_e.shape[-1]
+    eps = float(jnp.finfo(dt).eps)
+    shift_rel = _CHOLQR_SHIFT_EPS_MULT * eps
+    eye = jnp.eye(n, dtype=dt)
+
+    g = aug_e
+    r_total = None
+    for k in range(rounds):
+        gram = jnp.einsum("...ji,...jk->...ik", g, g)
+        gram = 0.5 * (gram + jnp.swapaxes(gram, -1, -2))
+        last = k == rounds - 1
+        if not last:
+            # inf-norm upper bound on lambda_max, per batch element
+            lam = jnp.max(
+                jnp.sum(jnp.abs(gram), axis=-1), axis=-1, keepdims=True
+            )[..., None]
+            gram = gram + (shift_rel * lam + 1e-30) * eye
+        L = jnp.linalg.cholesky(gram)
+        r_k = jnp.swapaxes(L, -1, -2)
+        r_total = r_k if r_total is None else r_k @ r_total
+        if not last:
+            # G <- G R_k^{-1}  (solve R_k^T X^T = G^T, R_k^T lower)
+            gt = jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(r_k, -1, -2), jnp.swapaxes(g, -1, -2), lower=True
+            )
+            g = jnp.swapaxes(gt, -1, -2)
+    return r_total
+
+
+# Factorisation used for the pencil's noise whitening: "cholqr" (the
+# matmul-only iteration above) or "householder" (XLA's QR) for A/B.
+_QR_IMPL = "cholqr"
+
+
+def _noise_r_factor(noise_rows: za.Z) -> jnp.ndarray:
+    """Interleaved upper-triangular R with N = R^H R from noise rows G."""
+    aug = za.interleave(noise_rows)
+    if _QR_IMPL == "householder":
+        r_e = jnp.linalg.qr(aug, mode="r")
+        d = jnp.diagonal(r_e, axis1=-2, axis2=-1)
+        sign = jnp.where(d < 0, -1.0, 1.0).astype(aug.dtype)
+        return r_e * sign[..., :, None]
+    return chol_qr_r(aug)
+
+
+# ------------------------------------------------------------------
 # The KL pencil solve
 # ------------------------------------------------------------------
 
@@ -414,11 +494,7 @@ def pencil_solve_qr(
     in_dtype = a_signal.re.dtype
     n = a_signal.shape[-2]
 
-    aug = za.interleave(noise_rows)
-    r_e = jnp.linalg.qr(aug, mode="r")
-    d = jnp.diagonal(r_e, axis1=-2, axis2=-1)
-    sign = jnp.where(d < 0, -1.0, 1.0).astype(in_dtype)
-    r_e = r_e * sign[..., :, None]
+    r_e = _noise_r_factor(noise_rows)
 
     y = _solve_tri_interleaved(r_e, a_signal, adjoint=True)  # R^-H A_s
 

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from driftscan_tpu.ops import fpencil, zarray as za
 
@@ -370,3 +371,73 @@ class TestKLSolveQR:
         top = e > e[0] * 1e-2
         kt = int(top.sum())
         assert np.abs(c[:kt] / e[:kt] - 1).max() < 1.5e-3
+
+
+class TestCholQR:
+    """The matmul-only shifted-CholeskyQR R factor (the TPU QR replacement).
+
+    Measured on the chip at stress scale (ndof 1088): 5.6x faster than
+    XLA Householder QR for the full spectrum batch, with top-20 KL evals
+    matching the dense f64 anchor to ~4e-6 (scratch/cholqr_ab.py).
+    """
+
+    def _tall_illcond(self, rows, n, decades, seed=0):
+        rng = np.random.default_rng(seed)
+        u, _ = np.linalg.qr(rng.standard_normal((rows, n)))
+        v, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        s = np.logspace(0, -decades, n)
+        return (u * s) @ v.T
+
+    @pytest.mark.parametrize("decades", [2, 6, 10])
+    def test_r_matches_householder(self, decades):
+        a = self._tall_illcond(300, 64, decades)
+        r_c = np.asarray(fpencil.chol_qr_r(jnp.asarray(a)))
+        r_h = np.linalg.qr(a, mode="r")
+        r_h = r_h * np.where(np.diag(r_h) < 0, -1.0, 1.0)[:, None]
+        # R is unique for full-rank A with positive diagonal
+        np.testing.assert_allclose(r_c, r_h, rtol=1e-8, atol=1e-10 * np.abs(r_h).max())
+
+    def test_r_at_extreme_conditioning(self):
+        """R still matches Householder at 12 decades (f64 working range).
+
+        (Note: a one-shot Q = A R^-1 re-solve amplifies by cond(A) and is
+        NOT a valid orthogonality check for either implementation — the
+        pencil only ever applies R through backward-stable triangular
+        solves, which the dense-anchor pencil tests above validate.)
+        """
+        a = self._tall_illcond(500, 80, 12, seed=3)
+        r_c = np.asarray(fpencil.chol_qr_r(jnp.asarray(a)))
+        r_h = np.linalg.qr(a, mode="r")
+        r_h = r_h * np.where(np.diag(r_h) < 0, -1.0, 1.0)[:, None]
+        np.testing.assert_allclose(
+            r_c, r_h, rtol=1e-6, atol=1e-9 * np.abs(r_h).max()
+        )
+
+    def test_batched(self):
+        a = np.stack([self._tall_illcond(200, 32, 8, seed=s) for s in range(3)])
+        r_b = np.asarray(fpencil.chol_qr_r(jnp.asarray(a)))
+        for i in range(3):
+            r_i = np.asarray(fpencil.chol_qr_r(jnp.asarray(a[i])))
+            np.testing.assert_allclose(r_b[i], r_i, rtol=1e-10)
+
+    def test_pencil_impl_ab(self):
+        """kl_solve_qr spectra match between cholqr and householder."""
+        rng = np.random.default_rng(11)
+        n, ks, kf = 48, 32, 96
+        a_s = za.of(
+            rng.standard_normal((n, ks)) + 1j * rng.standard_normal((n, ks))
+        )
+        a_f = za.of(
+            (rng.standard_normal((n, kf)) + 1j * rng.standard_normal((n, kf)))
+            * np.logspace(0, 5, kf)[None, :]
+        )
+        prev = fpencil._QR_IMPL
+        try:
+            fpencil._QR_IMPL = "cholqr"
+            ev_c = np.asarray(fpencil.kl_solve_qr(a_s, a_f).evals)
+            fpencil._QR_IMPL = "householder"
+            ev_h = np.asarray(fpencil.kl_solve_qr(a_s, a_f).evals)
+        finally:
+            fpencil._QR_IMPL = prev
+        top = ev_h[-16:]
+        np.testing.assert_allclose(ev_c[-16:], top, rtol=1e-6, atol=1e-9 * top.max())
