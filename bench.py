@@ -294,7 +294,117 @@ def resident_phases(tel, max_m=None, mbatch=None, max_units=None):
 
     if not np.isfinite(evals).all():
         raise RuntimeError("non-finite KL eigenvalues in bench product phase")
-    return t_btm, t_prod
+    return t_btm, t_prod, (pos, neg, ls, lf, noisew)
+
+
+def _fisher_bands(tel, nbands=4):
+    """Real polar-annulus band angular power spectra (host, once).
+
+    The same construction as PSEstimation.genbands/make_clzz (reference
+    psestimation.py:291-347), shrunk to ``nbands`` uniform k-bands.
+    """
+    from driftscan_tpu.core import psestimation as psmod
+    from driftscan_tpu.core import skymodel
+
+    edges = np.linspace(0.02, 0.25, nbands + 1)
+    cr = skymodel.Corr21cm()
+    cl = []
+    for ks, ke in zip(edges[:-1], edges[1:]):
+        ind = psmod.bandfunc_2d_polar(ks, ke, 0.0, np.pi / 2.0)
+        crt = skymodel.Corr21cm(
+            ps=(lambda f: (lambda k, mu: cr.ps_vv(k) * f(k, mu)))(ind),
+            redshift=1.5,
+        )
+        crt.ps_2d = True
+        cl.append(
+            skymodel.im21cm_model(
+                tel.lmax, tel.frequencies, 1, cr=crt, temponly=True
+            )
+        )
+    return np.asarray(cl, dtype=np.float32)  # (nbands, L, F, F)
+
+
+def fisher_phase(tel, pos, neg, ls, lf, noisew, nbands=4, nm_fisher=None):
+    """Device Fisher leg: KL products + band projection + trace per m.
+
+    Runs the full per-m chain (SVD+KL -> KL modes to sky -> band
+    covariance projection -> weighted pair traces) on device for a subset
+    of m-modes; returns (seconds, m-count).  Mirrors the PSExact phase
+    (reference psestimation.py:701-815) on the resident path.
+    """
+    import jax.numpy as jnp
+    from driftscan_tpu.ops import zarray as za
+    from driftscan_tpu.parallel import resident
+
+    nl = tel.lmax + 1
+    nm = tel.mmax + 1
+    mbatch = min(4, resident._auto_mbatch(tel))
+    if nm_fisher is None:
+        nm_fisher = min(nm, 4 * mbatch)
+
+    clb = jnp.asarray(_fisher_bands(tel, nbands))  # (B, L, F, F)
+    dt = pos.re.dtype
+    nw = jnp.asarray(noisew, dtype=dt)
+    lsj = jnp.asarray(ls, dtype=dt)
+    lfj = jnp.asarray(lf, dtype=dt)
+
+    @jax.jit
+    def fisher_batch(pr, pi, nr, ni, mv):
+        res = resident._resident_batch.__wrapped__(
+            pr, pi, nr, ni, nw, lsj, lfj, mv,
+            npairs=tel.npairs, nfreq=tel.nfreq, nl=nl, npol=tel.num_pol_sky,
+        )
+        F = tel.nfreq
+        S = res.beam_re.shape[2]
+
+        def one_m(evals, ev_re, ev_im, b_re, b_im):
+            # G[k, f, l] = sum_a evecs[k, (f, a)] beam[f, a, l] (Stokes I)
+            ev = za.Z(
+                ev_re.reshape(-1, F, S), ev_im.reshape(-1, F, S)
+            )
+            bt = za.Z(b_re[..., :nl], b_im[..., :nl])
+            g = za.einsum("kfa,fal->kfl", ev, bt)
+            # proj[b, k, q] = G C_b G^H
+            t = za.Z(
+                jnp.einsum("kfl,blfh->bklh", g.re, clb),
+                jnp.einsum("kfl,blfh->bklh", g.im, clb),
+            )
+            proj = za.einsum("bklh,qhl->bkq", t, g.conj())
+            w = 1.0 / (evals + 1.0)
+            d = za.Z(
+                proj.re * w[None, :, None] * w[None, None, :],
+                proj.im * w[None, :, None] * w[None, None, :],
+            )
+            af = za.Z(
+                d.re.reshape(nbands, -1), d.im.reshape(nbands, -1)
+            )
+            bf = proj.transpose(0, 2, 1).reshape(nbands, -1)
+            return za.einsum("ax,bx->ab", af, bf).re
+
+        return jax.vmap(one_m)(
+            res.evals, res.evecs_re, res.evecs_im, res.beam_re, res.beam_im
+        )
+
+    def run(ms):
+        mv = np.full(mbatch, -1, np.int32)
+        mv[: len(ms)] = ms
+        out = fisher_batch(pos.re, pos.im, neg.re, neg.im, jnp.asarray(mv))
+        return float(np.asarray(out).sum())
+
+    _log(f"fisher warm-up compile (nbands={nbands})...")
+    wt = time.time()
+    run(np.arange(min(mbatch, nm)))
+    _PHASES.setdefault("t_fisher_warmup_s", round(time.time() - wt, 2))
+
+    _log("fisher steady pass...")
+    st = time.time()
+    acc = 0.0
+    for s in range(0, nm_fisher, mbatch):
+        acc += run(np.arange(s, min(s + mbatch, nm_fisher)))
+    t_f = time.time() - st
+    if not np.isfinite(acc):
+        raise RuntimeError("non-finite Fisher accumulation in bench")
+    return t_f, nm_fisher
 
 
 def _product_flops(tel, nm):
@@ -325,10 +435,21 @@ def main():
     nfb_total = tel.npairs * tel.nfreq
     _log(f"telescope ready: nm={nm} nfb={nfb_total} platform={platform}")
 
-    t_btm, t_prod = resident_phases(tel)
+    t_btm, t_prod, state = resident_phases(tel)
     _log(f"BTM phase: {t_btm:.1f}s; product phase: {t_prod:.1f}s")
     total = t_btm + t_prod
     mm_per_sec = nm / total
+
+    # Fisher leg (device band projection + pair traces on a subset of m)
+    fisher_m_per_s = None
+    try:
+        pos, neg, ls, lf, noisew = state
+        t_f, nm_f = fisher_phase(tel, pos, neg, ls, lf, noisew)
+        fisher_m_per_s = nm_f / t_f
+        _log(f"fisher phase: {t_f:.1f}s for {nm_f} m -> {fisher_m_per_s:.2f} m/s")
+    except Exception as exc:  # diagnostic leg, never fails the bench
+        _log(f"fisher leg failed: {exc!r}")
+    del state
 
     # CPU comparison on a subset of the same work, extrapolated.  The
     # backend override is always restored (try/finally) so a failing CPU
@@ -352,17 +473,25 @@ def main():
                 n_units = max(16, nfb_total // 6)
                 stride = int(np.ceil(nfb_total / n_units))
                 n_done = len(range(0, nfb_total, stride))
-                t_btm_sub, t_prod_sub = resident_phases(
-                    tel_c, max_m=nsub, max_units=n_units
-                )
-                t_btm_cpu = t_btm_sub * nfb_total / n_done
-                t_prod_cpu = t_prod_sub * nm / nsub
+                # Medianize: the host-load swing on this leg was measured
+                # at 0.7-1.6 mm/s across runs; 3 repeats pin it down.
+                reps = int(os.environ.get("BENCH_CPU_REPEATS", "3"))
+                btms, prods = [], []
+                for _ in range(reps):
+                    t_btm_sub, t_prod_sub, _st = resident_phases(
+                        tel_c, max_m=nsub, max_units=n_units
+                    )
+                    del _st
+                    btms.append(t_btm_sub)
+                    prods.append(t_prod_sub)
+                t_btm_cpu = float(np.median(btms)) * nfb_total / n_done
+                t_prod_cpu = float(np.median(prods)) * nm / nsub
 
                 cpu_rate = nm / (t_btm_cpu + t_prod_cpu)
                 vs_baseline = mm_per_sec / cpu_rate
                 _log(
-                    f"CPU leg: btm {t_btm_cpu:.1f}s, product "
-                    f"{t_prod_cpu:.1f}s (extrap) -> {cpu_rate:.3f} mm/s"
+                    f"CPU leg (median of {reps}): btm {t_btm_cpu:.1f}s, "
+                    f"product {t_prod_cpu:.1f}s (extrap) -> {cpu_rate:.3f} mm/s"
                 )
         except Exception as exc:  # CPU leg is best-effort
             _log(f"CPU baseline leg failed: {exc!r}")
@@ -374,6 +503,13 @@ def main():
                 os.environ["DRIFTSCAN_TPU_SPLIT_COMPLEX"] = prev_env
             _reset_backend_caches()
 
+    product_tflops = _product_flops(tel, nm) / t_prod / 1e12
+    # MFU denominator: nominal chip peak in the matmul dtype.  The hot
+    # path runs f32 with matmul precision "highest" (3-pass bf16), so the
+    # honest ceiling is bf16-peak / 3; override with BENCH_PEAK_TFLOPS.
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "0")) or (
+        197.0 / 3.0 if platform not in ("cpu",) else None
+    )
     out = {
         "metric": "m-modes/sec/chip (BTM+SVD+KL, unpolarised cylinder, "
         f"nm={nm}, nfb={nfb_total})",
@@ -386,8 +522,19 @@ def main():
             "t_btm_s": round(t_btm, 2),
             "t_product_s": round(t_prod, 2),
             # analytic product-phase flop rate (eigh-dominated: QDWH-eig
-            # runs far below matmul peak on any platform)
-            "product_tflops": round(_product_flops(tel, nm) / t_prod / 1e12, 3),
+            # runs far below matmul peak on any platform), plus its MFU
+            # against the nominal f32-equivalent chip peak
+            "product_tflops": round(product_tflops, 3),
+            **(
+                {"product_mfu_pct": round(100.0 * product_tflops / peak, 2)}
+                if peak
+                else {}
+            ),
+            **(
+                {"fisher_m_per_s": round(fisher_m_per_s, 2)}
+                if fisher_m_per_s
+                else {}
+            ),
             # compile/warm-up split (cold unless the persistent
             # compilation cache in .jax_cache is populated)
             **_PHASES,
