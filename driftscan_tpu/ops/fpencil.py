@@ -377,13 +377,22 @@ def _solve_tri_interleaved(r_e: jnp.ndarray, b: za.Z, adjoint: bool) -> za.Z:
 # Relative shift per round, in units of the current lambda_max estimate.
 # Must sit above the f32 Gram's roundoff (~sqrt(rows)*eps*lambda_max)
 # so the shifted Cholesky always succeeds; each round then reduces
-# cond^2 by ~1/shift_rel, so 3 shifted rounds + 1 unshifted cover
-# cond(N) up to ~(1/shift_rel)^3 (>= 1e11 at the f32 setting).
+# cond^2 by ~1/shift_rel (~3.4 decades at the f32 setting, ~12 at f64).
 _CHOLQR_SHIFT_EPS_MULT = 3000.0
-_CHOLQR_ROUNDS = 4
 
 
-def chol_qr_r(aug_e: jnp.ndarray, rounds: int = _CHOLQR_ROUNDS) -> jnp.ndarray:
+def _cholqr_rounds(dtype) -> int:
+    """Shifted-round count covering any representable pencil conditioning.
+
+    Physical noise pencils here reach cond(N) ~ 1e18 (low-frequency
+    foreground amplitudes); with ~3.4 decades of cond^2 reduction per
+    f32 round that needs 6 shifted rounds (f64: 12 decades/round, 2
+    suffice), plus the two finishing rounds.
+    """
+    return 8 if jnp.finfo(dtype).eps > 1e-10 else 4
+
+
+def chol_qr_r(aug_e: jnp.ndarray, rounds: int | None = None) -> jnp.ndarray:
     """Upper-triangular R with ``aug_e ~= Q R`` for a tall real matrix.
 
     XLA's Householder QR is panel-sequential and runs ~60 GFLOP/s on the
@@ -403,11 +412,19 @@ def chol_qr_r(aug_e: jnp.ndarray, rounds: int = _CHOLQR_ROUNDS) -> jnp.ndarray:
 
     The diagonal is positive (Cholesky convention), matching the sign
     fix the Householder path applies.  Batched over leading axes.
+
+    Round schedule: ``rounds - 2`` fully-shifted rounds (each cuts cond²
+    by ~1/shift_rel), then one small-shift round (10 n eps — just above
+    the Gram's own roundoff, bringing cond to ~1), then one unshifted
+    polish that leaves the implicit Q orthonormal to ~eps.
     """
     dt = aug_e.dtype
     n = aug_e.shape[-1]
     eps = float(jnp.finfo(dt).eps)
+    if rounds is None:
+        rounds = _cholqr_rounds(dt)
     shift_rel = _CHOLQR_SHIFT_EPS_MULT * eps
+    small_rel = 10.0 * n * eps
     eye = jnp.eye(n, dtype=dt)
 
     g = aug_e
@@ -415,17 +432,22 @@ def chol_qr_r(aug_e: jnp.ndarray, rounds: int = _CHOLQR_ROUNDS) -> jnp.ndarray:
     for k in range(rounds):
         gram = jnp.einsum("...ji,...jk->...ik", g, g)
         gram = 0.5 * (gram + jnp.swapaxes(gram, -1, -2))
-        last = k == rounds - 1
-        if not last:
+        if k < rounds - 2:
+            rel = shift_rel
+        elif k == rounds - 2:
+            rel = small_rel
+        else:
+            rel = 0.0
+        if rel:
             # inf-norm upper bound on lambda_max, per batch element
             lam = jnp.max(
                 jnp.sum(jnp.abs(gram), axis=-1), axis=-1, keepdims=True
             )[..., None]
-            gram = gram + (shift_rel * lam + 1e-30) * eye
+            gram = gram + (rel * lam + 1e-30) * eye
         L = jnp.linalg.cholesky(gram)
         r_k = jnp.swapaxes(L, -1, -2)
         r_total = r_k if r_total is None else r_k @ r_total
-        if not last:
+        if k < rounds - 1:
             # G <- G R_k^{-1}  (solve R_k^T X^T = G^T, R_k^T lower)
             gt = jax.scipy.linalg.solve_triangular(
                 jnp.swapaxes(r_k, -1, -2), jnp.swapaxes(g, -1, -2), lower=True

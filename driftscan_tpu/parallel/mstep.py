@@ -87,6 +87,7 @@ def kl_product_step_split(
     fg_k_cap: int = 0,
     sig_k_cap: int = 0,
     method: str = "qr",
+    s_cap: int = 0,
 ) -> ProductStepResultSplit:
     """SVD-compress and KL-filter a batch of m-modes in one jitted program.
 
@@ -107,6 +108,14 @@ def kl_product_step_split(
         produce zero outputs.
     with_thermal
         False solves the foreground-only pencil (DoubleKL stage 1).
+    s_cap
+        If > 0, keep only the top ``s_cap`` SVD modes per frequency in
+        the KL stage (the caller guarantees every m in the batch has at
+        most that many non-zero modes — see resident.product m-bucketing).
+        The KL pencil then has dimension F * s_cap instead of
+        F * svd_len; since its cost is cubic, this is where the high-m
+        tail's shrinking rank pays off.  The SVD outputs (ut, beam, sig)
+        stay full-size.
     """
     dt_r = beam_re.dtype
     noisew = noisew.astype(dt_r)
@@ -136,7 +145,15 @@ def kl_product_step_split(
         bsvd = za.Z(bs_re * svmask[:, :, None], bs_im * svmask[:, :, None])
 
         # --- factored covariance projection + KL pencil ---
-        b4 = bsvd.reshape(F, S, npol, nl)
+        if s_cap and s_cap < S:
+            # modes are sorted by singular value per frequency, so the
+            # top-s_cap slice keeps every non-zero mode (caller contract)
+            bkl = za.Z(bsvd.re[:, :s_cap], bsvd.im[:, :s_cap])
+            S_kl = s_cap
+        else:
+            bkl = bsvd
+            S_kl = S
+        b4 = bkl.reshape(F, S_kl, npol, nl)
         a_s = fpencil.beam_factor(b4, ls)
         a_f = fpencil.beam_factor(b4, lf)
         kl = fpencil.kl_solve(

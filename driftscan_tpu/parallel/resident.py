@@ -112,11 +112,86 @@ def btm_resident(tel, bl_indices, f_indices):
     return za.Z(pos_re, pos_im), za.Z(neg_re, neg_im)
 
 
+def _build_beam_batch(
+    pos_re, pos_im, neg_re, neg_im, mv, npairs, nfreq_full, npol, nl,
+    f_idx=None, fmask=None,
+):
+    """(M, F, T, npol*nl) beam planes from the resident (l, m) tables.
+
+    pos/neg planes are (nu, npol, nl, nm*) with units ordered
+    baseline-major (u = bl * nfreq_full + f).  With ``f_idx`` the
+    frequency axis is compacted to the given indices (``fmask`` zeroes
+    padding slots) — the gather happens *after* the per-m slice so no
+    full-band copy of the tables is ever made.
+    """
+
+    def build_one(m):
+        p_re = jnp.take(pos_re, m, axis=-1)  # (nu, npol, nl)
+        p_im = jnp.take(pos_im, m, axis=-1)
+        midx = jnp.maximum(m - 1, 0)
+        n_re = jnp.take(neg_re, midx, axis=-1)
+        n_im = jnp.take(neg_im, midx, axis=-1)
+        sign = jnp.where(m % 2 == 0, 1.0, -1.0).astype(p_re.dtype)
+        use_neg = (m > 0).astype(p_re.dtype)
+        n_re = sign * use_neg * n_re
+        n_im = -sign * use_neg * n_im  # conjugate
+
+        def organise(x):
+            # (nu, npol, nl) -> (F, npairs, npol*nl)
+            x = x.reshape(npairs, nfreq_full, npol * nl)
+            if f_idx is not None:
+                x = jnp.take(x, f_idx, axis=1) * fmask[None, :, None]
+            return x.transpose(1, 0, 2)
+
+        top_re, top_im = organise(p_re), organise(p_im)
+        bot_re, bot_im = organise(n_re), organise(n_im)
+        # telescope axis: positive-m pair block, then the conjugate block
+        return (
+            jnp.concatenate([top_re, bot_re], axis=1),
+            jnp.concatenate([top_im, bot_im], axis=1),
+        )
+
+    return jax.vmap(build_one)(mv)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("npairs", "nfreq", "nl", "npol", "polsvcut"),
+)
+def _svdcount_batch(
+    pos_re, pos_im, neg_re, neg_im, noisew, mv,
+    npairs: int, nfreq: int, nl: int, npol: int = 1, polsvcut: float = 1e-4,
+):
+    """Per-(m, freq) retained SVD mode counts — the cheap sizing pass.
+
+    Runs only the beam build + triple SVD (~1% of the product step) so
+    the bucketed product dispatcher can compact each m-chunk's pencil to
+    its true dimension before paying the cubic KL cost.
+    """
+    from ..ops import linalg
+
+    beams_re, beams_im = _build_beam_batch(
+        pos_re, pos_im, neg_re, neg_im, mv, npairs, nfreq, npol, nl
+    )
+
+    def one_m(bm_re, bm_im, mval):
+        lmask = (jnp.arange(nl) >= mval).astype(bm_re.dtype)
+        tile = jnp.tile(lmask, npol)[None, None, :]
+        w = noisew[:, :, None]
+        out = linalg.triple_svd_split_batched(
+            bm_re * tile * w, bm_im * tile * w, npol=npol, nl=nl,
+            polsvcut=polsvcut,
+        )
+        return (out[5] * (mval >= 0)).astype(jnp.int32)
+
+    return jax.vmap(one_m)(beams_re, beams_im, mv)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels",
-        "fg_k_cap", "sig_k_cap", "band_rel", "method",
+        "fg_k_cap", "sig_k_cap", "band_rel", "method", "s_cap", "nfreq_full",
     ),
 )
 def _resident_batch(
@@ -138,37 +213,21 @@ def _resident_batch(
     sig_k_cap: int = 0,
     band_rel: float = 3e-2,
     method: str = "qr",
+    s_cap: int = 0,
+    nfreq_full: int = 0,
+    f_idx=None,
+    fmask=None,
 ):
     """Build the m-batch beam matrices on device and run the product step.
 
-    pos/neg planes are (nu, npol, nl, nm*) with units ordered
-    baseline-major (u = bl * nfreq + f).
+    With ``f_idx``/``fmask``/``nfreq_full`` the frequency axis is
+    compacted (``nfreq`` is then the compact length); ``noisew``/``ls``/
+    ``lf`` must already be gathered to the same indices.
     """
-
-    def build_one(m):
-        p_re = jnp.take(pos_re, m, axis=-1)  # (nu, npol, nl)
-        p_im = jnp.take(pos_im, m, axis=-1)
-        midx = jnp.maximum(m - 1, 0)
-        n_re = jnp.take(neg_re, midx, axis=-1)
-        n_im = jnp.take(neg_im, midx, axis=-1)
-        sign = jnp.where(m % 2 == 0, 1.0, -1.0).astype(p_re.dtype)
-        use_neg = (m > 0).astype(p_re.dtype)
-        n_re = sign * use_neg * n_re
-        n_im = -sign * use_neg * n_im  # conjugate
-
-        def organise(x):
-            # (nu, npol, nl) -> (nfreq, npairs, npol*nl)
-            return x.reshape(npairs, nfreq, npol * nl).transpose(1, 0, 2)
-
-        top_re, top_im = organise(p_re), organise(p_im)
-        bot_re, bot_im = organise(n_re), organise(n_im)
-        # telescope axis: positive-m pair block, then the conjugate block
-        return (
-            jnp.concatenate([top_re, bot_re], axis=1),
-            jnp.concatenate([top_im, bot_im], axis=1),
-        )
-
-    beams_re, beams_im = jax.vmap(build_one)(mv)
+    beams_re, beams_im = _build_beam_batch(
+        pos_re, pos_im, neg_re, neg_im, mv, npairs,
+        nfreq_full or nfreq, npol, nl, f_idx=f_idx, fmask=fmask,
+    )
 
     return mstep.kl_product_step_split(
         beams_re,
@@ -185,6 +244,7 @@ def _resident_batch(
         sig_k_cap=sig_k_cap,
         band_rel=band_rel,
         method=method,
+        s_cap=s_cap,
     )
 
 
@@ -192,7 +252,7 @@ def _resident_batch(
     jax.jit,
     static_argnames=(
         "npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels",
-        "fg_k_cap", "sig_k_cap", "band_rel", "method",
+        "fg_k_cap", "sig_k_cap", "band_rel", "method", "s_cap", "nfreq_full",
     ),
 )
 def _spectrum_batch(
@@ -214,6 +274,10 @@ def _spectrum_batch(
     sig_k_cap: int = 0,
     band_rel: float = 3e-2,
     method: str = "qr",
+    s_cap: int = 0,
+    nfreq_full: int = 0,
+    f_idx=None,
+    fmask=None,
 ):
     """Spectrum-only product batch: returns just (evals, nmodes), so XLA
     dead-code-eliminates the eigenvector/beam outputs a spectrum pass
@@ -242,6 +306,10 @@ def _spectrum_batch(
         sig_k_cap=sig_k_cap,
         band_rel=band_rel,
         method=method,
+        s_cap=s_cap,
+        nfreq_full=nfreq_full,
+        f_idx=f_idx,
+        fmask=fmask,
     )
     return res.evals, res.nmodes
 
@@ -276,9 +344,72 @@ def _auto_mbatch(tel, hbm_budget_gb=4.0):
     return 1 << (mb.bit_length() - 1)  # power of two
 
 
+# Minimum dimension-reduction factor for a compacted chunk shape to be
+# worth its own compiled variant (remote compiles cost minutes).
+_BUCKET_MIN_SAVING = 2
+
+
+def _round_up(x: int, q: int) -> int:
+    return ((max(int(x), 1) + q - 1) // q) * q
+
+
+def _quant_frac(x: int, full: int) -> int:
+    """Smallest power-of-two *fraction* of ``full`` that is >= x.
+
+    Remote-AOT compiles cost minutes per distinct shape, so bucket sizes
+    are quantised to {full, ~full/2, ~full/4, ...} — at most log2(full)
+    compiled variants per axis, not full/gran.
+    """
+    x = max(int(x), 1)
+    q = full
+    while (q + 1) // 2 >= x:
+        q = (q + 1) // 2
+    return q
+
+
+def _analytic_dof_bound(tel, nm):
+    """Host-side upper-profile of the per-m pencil dimension.
+
+    Uses the per-(baseline, freq) band limits (teles.max_lm) to bound
+    active rows; only used to decide whether the measured bucketing pass
+    is worth its compile cost, never as a correctness cap.
+    """
+    nl = tel.lmax + 1
+    S = min(nl, 2 * tel.npairs)
+    bl = np.arange(tel.npairs)
+    fi = np.arange(tel.nfreq)
+    blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+    lmax_a, mmax_a = teles.max_lm(
+        tel.baselines[blg], tel.wavelengths[fig], tel.u_width, tel.v_width
+    )
+    lmax_a = np.ceil(np.asarray(lmax_a) * tel.l_boost).reshape(
+        tel.npairs, tel.nfreq
+    )
+    mmax_a = np.ceil(np.asarray(mmax_a) * tel.l_boost).reshape(
+        tel.npairs, tel.nfreq
+    )
+    ms = np.arange(nm)[:, None, None]  # (nm, 1, 1)
+    # rows with support at (m, f): pairs whose band reaches m (plus the
+    # conjugate block), capped by the l-range and the padded mode count
+    pair_rows = 2 * (mmax_a[None] >= ms).sum(axis=1)  # (nm, F)
+    lrows = tel.num_pol_sky * np.maximum(
+        lmax_a.max(axis=0)[None] + 1 - ms[:, :, 0], 0
+    )
+    return np.minimum(np.minimum(pair_rows, lrows), S).sum(axis=1)  # (nm,)
+
+
+def _auto_mbatch_n(n: int, K: int, hbm_budget_gb=4.0, cap: int = 16):
+    """m-batch size for a pencil of dimension ``n`` (see _auto_mbatch)."""
+    n2, k2 = 2 * n, 2 * K
+    per_m = ((k2 + n2) * n2 + n2 * k2 + 6 * n2 * n2) * 4.0 * 3.0
+    budget = hbm_budget_gb * 2**30
+    mb = int(max(1, min(cap, budget // max(per_m, 1.0))))
+    return 1 << (mb.bit_length() - 1)  # power of two
+
+
 def product_all_resident(
     tel, pos, neg, ls, lf, noisew, mbatch=None, max_m=None, mesh=None,
-    sig_k_cap=0, sig_levels=None,
+    sig_k_cap=0, sig_levels=None, bucket=None,
 ):
     """Run the SVD+KL product step over every m from resident BTMs.
 
@@ -301,20 +432,51 @@ def product_all_resident(
     iteration): measured exact to ~2e-3 — within the f32 engine's own
     noise band — because the whitened signal spectrum is concentrated.
     (Capping the foreground side is NOT safe; see fpencil.gram_bands_topk.)
+
+    ``bucket`` (default on for single-device runs) first measures every
+    m's true per-frequency mode counts with a cheap SVD-only pass, then
+    dispatches each m-chunk with its frequency axis compacted to the
+    *active* frequencies and the mode axis capped at the chunk's true
+    maximum (shapes quantised to bound compile count).  At wide
+    fractional bandwidth the per-freq band limit scales with frequency,
+    so the high-m pencils are a fraction of ndofmax — and the KL cost is
+    cubic in that dimension.  The reference gets the same effect from
+    its per-m ragged arrays (drift/core/beamtransfer.py:760-818); this
+    is the static-shape equivalent.
     """
     nm = tel.mmax + 1 if max_m is None else max_m
     nl = tel.lmax + 1
     dt = pos.re.dtype
+    F = tel.nfreq
+    S = min(nl, 2 * tel.npairs)
+    npol = tel.num_pol_sky
+    K_cov = nl * npol * F
+
+    multi = mesh is not None and mesh.devices.size > 1
+    if bucket is None:
+        # Auto: only pay the sizing pass (and its compiles) when the
+        # analytic per-m dof profile promises a real cubic-cost win —
+        # e.g. wide fractional bandwidth, where high-m pencils hold a
+        # fraction of the frequencies.
+        if multi:
+            bucket = False
+        else:
+            prof = _analytic_dof_bound(tel, nm).astype(np.float64)
+            n_full = float(F * S)
+            bucket = float((prof**3).sum()) < 0.5 * nm * n_full**3
+
+    noisew_h = np.asarray(noisew)
+    ls_h = np.asarray(ls)
+    lf_h = np.asarray(lf)
+    noisew = jnp.asarray(noisew_h, dtype=dt)
+    ls = jnp.asarray(ls_h, dtype=dt)
+    lf = jnp.asarray(lf_h, dtype=dt)
 
     if mbatch is None:
         mbatch = _auto_mbatch(tel)
 
-    noisew = jnp.asarray(np.asarray(noisew), dtype=dt)
-    ls = jnp.asarray(np.asarray(ls), dtype=dt)
-    lf = jnp.asarray(np.asarray(lf), dtype=dt)
-
     place_mv = jnp.asarray
-    if mesh is not None and mesh.devices.size > 1:
+    if multi:
         import jax.sharding as jsh
 
         if mbatch % mesh.devices.size:
@@ -326,35 +488,118 @@ def product_all_resident(
 
     adaptive = sig_levels is None
 
-    def run(mv, levels):
+    def run(mv, levels, extra=None, nw=noisew, lsd=ls, lfd=lf):
         kwargs = {} if levels is None else {"sig_levels": levels}
+        if extra:
+            kwargs.update(extra)
         return _spectrum_batch(
             pos.re,
             pos.im,
             neg.re,
             neg.im,
-            noisew,
-            ls,
-            lf,
+            nw,
+            lsd,
+            lfd,
             place_mv(mv),
             npairs=tel.npairs,
-            nfreq=tel.nfreq,
+            nfreq=kwargs.pop("nfreq", F),
             nl=nl,
-            npol=tel.num_pol_sky,
+            npol=npol,
             sig_k_cap=sig_k_cap,
             **kwargs,
         )
 
+    # ---- sizing pass: true per-(m, freq) mode counts ----
+    counts = None
+    if bucket:
+        cb = max(mbatch, 16)
+        rows = []
+        for s in range(0, nm, cb):
+            ms = np.arange(s, min(s + cb, nm))
+            mv = np.full(cb, -1, np.int32)
+            mv[: len(ms)] = ms
+            c = _svdcount_batch(
+                pos.re, pos.im, neg.re, neg.im, noisew, jnp.asarray(mv),
+                npairs=tel.npairs, nfreq=F, nl=nl, npol=npol,
+            )
+            rows.append(np.asarray(c)[: len(ms)])
+        counts = np.concatenate(rows)  # (nm, F) int
+
     evals, nmodes = [], []
-    for s in range(0, nm, mbatch):
-        ms = np.arange(s, min(s + mbatch, nm))
-        mv = np.full(mbatch, -1, np.int32)
+    s = 0
+    while s < nm:
+        if counts is not None:
+            # chunk size from the chunk-head dimension (recomputed below)
+            cap0 = int(counts[s].max())
+            act0 = int((counts[s] > 0).sum())
+            sq = _quant_frac(cap0, S)
+            fq = _quant_frac(act0, F)
+            mb = _auto_mbatch_n(fq * sq, K_cov)
+            ms = np.arange(s, min(s + mb, nm))
+            # the chunk's true requirements (head m has the largest
+            # support, but quantisation can still be exceeded mid-chunk)
+            cc = counts[ms]
+            sq = _quant_frac(int(cc.max()), S)
+            act = np.nonzero(cc.max(axis=0) > 0)[0]
+            fq = _quant_frac(max(len(act), 1), F)
+            # compaction below ~_BUCKET_MIN_SAVING x dimension saves less
+            # than the extra compiled-variant costs: run full-size
+            if fq * sq * _BUCKET_MIN_SAVING > F * S:
+                fq, sq = F, S
+            if fq >= F and sq >= S:
+                fq, sq = F, S
+                mb = mbatch  # reuse the standard full-size program
+                ms = np.arange(s, min(s + mb, nm))
+                extra = None
+                nw, lsd, lfd = noisew, ls, lf
+            else:
+                # never grow the chunk past what the caps were measured
+                # on; shrink if the final dimension needs a smaller batch
+                mb2 = min(mb, _auto_mbatch_n(fq * sq, K_cov))
+                if mb2 < mb:
+                    mb = mb2
+                    ms = ms[:mb]
+                f_idx = np.full(fq, act[-1] if len(act) else 0, np.int32)
+                f_idx[: len(act)] = act
+                fmask = np.zeros(fq, dtype=np.asarray(noisew_h).dtype)
+                fmask[: len(act)] = 1.0
+                extra = {
+                    "nfreq": fq,
+                    "s_cap": int(sq),
+                    "nfreq_full": F,
+                    "f_idx": jnp.asarray(f_idx),
+                    "fmask": jnp.asarray(fmask, dtype=dt),
+                }
+                nw = jnp.asarray(noisew_h[f_idx], dtype=dt)
+                lsd = jnp.asarray(ls_h[:, :, f_idx], dtype=dt)
+                lfd = jnp.asarray(lf_h[:, :, f_idx], dtype=dt)
+        else:
+            mb = mbatch
+            ms = np.arange(s, min(s + mb, nm))
+            extra = None
+            nw, lsd, lfd = noisew, ls, lf
+            fq, sq = F, S
+
+        mv = np.full(mb, -1, np.int32)
         mv[: len(ms)] = ms
-        ev, nmo = run(mv, 1 if adaptive else sig_levels)
+        ev, nmo = run(mv, 1 if adaptive else sig_levels, extra, nw, lsd, lfd)
         ev = np.asarray(ev)
         if adaptive and ev.max() > _SIG1_TOP_BOUND:
-            ev, nmo = run(mv, None)  # deepen: default levels
+            ev, nmo = run(mv, None, extra, nw, lsd, lfd)  # deepen
             ev = np.asarray(ev)
-        evals.append(ev[: len(ms)])
-        nmodes.append(np.asarray(nmo)[: len(ms)])
+        ev = ev[: len(ms)]
+        nmo = np.asarray(nmo)[: len(ms)]
+
+        if counts is not None and (fq < F or sq < S):
+            # pad the compacted spectra back to the global layout: the
+            # full-size program emits the same eigenvalues plus extra
+            # exact zeros, which sort to the front (ascending, >= 0)
+            ev = np.pad(ev, ((0, 0), (F * S - ev.shape[1], 0)))
+            nm_full = np.zeros((len(ms), F), dtype=nmo.dtype)
+            nm_full[:, f_idx[: len(act)]] = nmo[:, : len(act)]
+            nmo = nm_full
+
+        evals.append(ev)
+        nmodes.append(nmo)
+        s += mb
     return np.concatenate(evals), np.concatenate(nmodes)

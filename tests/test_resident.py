@@ -226,3 +226,59 @@ def test_adaptive_sig_depth_matches_fixed():
         np.testing.assert_allclose(
             ev_a[big], ev_f[big], rtol=1e-6, err_msg=tag
         )
+
+
+def test_bucketed_product_matches_full():
+    """Freq-compacted + mode-capped dispatch == the full-size program.
+
+    Wide fractional band (100-200 MHz) so the per-freq band limit
+    actually thins with m and the bucketed path compacts; quantisation
+    floors forced down so compaction kicks in at this tiny scale.
+    """
+    tel = cylinder.UnpolarisedCylinderTelescope.from_config(
+        dict(
+            num_freq=4, freq_start=100.0, freq_end=200.0, freq_mode="edge",
+            num_cylinders=2, cylinder_width=2.0, num_feeds=3,
+            feed_spacing=1.5,
+        )
+    )
+    bl = np.arange(tel.npairs)
+    fi = np.arange(tel.nfreq)
+    blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+    pos, neg = resident.btm_resident(tel, blg, fig)
+
+    import bench
+
+    cl_s, cl_n, noisew, _ = bench._covariances(tel)
+    ls, lf = mstep.prepare_cl_factors(
+        cl_s, cl_n, out_dtype=np.asarray(pos.re).dtype
+    )
+
+    ev_full, nm_full = resident.product_all_resident(
+        tel, pos, neg, ls, lf, noisew, bucket=False, sig_levels=2
+    )
+
+    import driftscan_tpu.parallel.resident as rmod
+
+    orig_q, orig_t = rmod._quant_frac, rmod._BUCKET_MIN_SAVING
+    try:
+        # quantise exactly and accept any saving, so this small case
+        # genuinely dispatches compacted shapes
+        rmod._quant_frac = lambda x, full: min(max(int(x), 1), full)
+        rmod._BUCKET_MIN_SAVING = 1
+        ev_b, nm_b = resident.product_all_resident(
+            tel, pos, neg, ls, lf, noisew, bucket=True, sig_levels=2
+        )
+    finally:
+        rmod._quant_frac, rmod._BUCKET_MIN_SAVING = orig_q, orig_t
+
+    np.testing.assert_array_equal(nm_b, nm_full)
+    # both spectra ascending with zero padding in front; the retained
+    # (top) eigenvalues must agree to solver tolerance
+    scale = max(ev_full.max(), 1e-30)
+    np.testing.assert_allclose(ev_b, ev_full, rtol=2e-4, atol=1e-6 * scale)
+    # the bucketing must actually have engaged (some m with thin support)
+    counts_last = nm_full[-1]
+    assert (counts_last == 0).any() or nm_full.max() < min(
+        tel.lmax + 1, 2 * tel.npairs
+    )
