@@ -59,6 +59,16 @@ class BeamTransfer(config.Reader):
 
     truncate = config.Property(proptype=bool, default=True)
 
+    # Product-file codec: "bitshuffle" (native bitshuffle+LZ4 plugin,
+    # the reference's primary codec — drift/core/beamtransfer.py:549-555)
+    # with automatic LZF+shuffle fallback, or "lzf" / "none" explicitly.
+    compression = config.Property(proptype=str, default="bitshuffle")
+
+    def _comp_kwargs(self, dtype):
+        from ..ops import bitshuffle as _bs
+
+        return _bs.compression_kwargs(dtype, self.compression)
+
     # The batched (mesh-sharded) KL path assumes this beamtransfer's
     # stored beams are noise-prewhitened and laid out (F, svd_len, npol,
     # nl); variants with other conventions fall back to the per-m KL.
@@ -277,8 +287,7 @@ class BeamTransfer(config.Reader):
                     dsize,
                     chunks=csize,
                     dtype=np.complex128,
-                    compression="lzf",
-                    shuffle=True,
+                    **self._comp_kwargs(np.complex128),
                 )
                 f.attrs["m"] = mi
                 f.attrs["frequencies"] = tel.frequencies
@@ -466,8 +475,7 @@ class BeamTransfer(config.Reader):
             "beam_svd",
             (nfreq, self.svd_len, npol, nl),
             chunks=(1, min(10, self.svd_len), npol, nl),
-            compression="lzf",
-            shuffle=True,
+            **self._comp_kwargs(np.complex128),
             dtype=np.complex128,
         )
         dset_ibsvd = None
@@ -476,16 +484,14 @@ class BeamTransfer(config.Reader):
                 "invbeam_svd",
                 (nfreq, npol, nl, self.svd_len),
                 chunks=(1, npol, nl, min(10, self.svd_len)),
-                compression="lzf",
-                shuffle=True,
+                **self._comp_kwargs(np.complex128),
                 dtype=np.complex128,
             )
         dset_ut = fs.create_dataset(
             "beam_ut",
             (nfreq, self.svd_len, self.ntel),
             chunks=(1, min(10, self.svd_len), self.ntel),
-            compression="lzf",
-            shuffle=True,
+            **self._comp_kwargs(np.complex128),
             dtype=np.complex128,
         )
         dset_sig = fs.create_dataset(

@@ -111,8 +111,15 @@ telescope:
 
         with h5py.File(m.beamtransfer._mfile(0), "r") as f:
             dset = f["beam_m"]
-            assert dset.compression == "lzf"
-            assert dset.shuffle
+            # default codec: native bitshuffle+LZ4 (filter 32008) when the
+            # plugin built, else the LZF+shuffle fallback
+            from driftscan_tpu.ops import bitshuffle as bs
+
+            filters = dset._filters
+            if bs.available():
+                assert str(bs.BSHUF_FILTER) in filters
+            else:
+                assert dset.compression == "lzf" and dset.shuffle
             vals = dset[:]
 
         # truncated mantissas: values must round-trip through the
@@ -122,3 +129,61 @@ telescope:
         flat = vals.reshape(-1, vals.shape[-1]).copy()
         tr.bit_truncate_max_complex(flat, 1e-7, 1e-8)
         np.testing.assert_array_equal(flat, vals.reshape(-1, vals.shape[-1]))
+
+
+class TestBitshuffleCodec:
+    """The native bitshuffle+LZ4 HDF5 filter (ops.bitshuffle)."""
+
+    def test_roundtrip_and_ratio(self, tmp_path):
+        import h5py
+
+        from driftscan_tpu.ops import bitshuffle as bs
+        from driftscan_tpu.ops import truncate as tr
+
+        if not bs.available():
+            import pytest
+
+            pytest.skip("bitshuffle plugin unavailable")
+
+        rng = np.random.default_rng(0)
+        x = (
+            rng.standard_normal((32, 3000)) + 1j * rng.standard_normal((32, 3000))
+        ).astype(np.complex128)
+        tr.bit_truncate_max_complex(x, 1e-7, 1e-8)
+
+        sizes = {}
+        for name, kw in (
+            ("bshuf", bs.compression_kwargs(x.dtype, "bitshuffle")),
+            ("lzf", bs.compression_kwargs(x.dtype, "lzf")),
+        ):
+            fn = str(tmp_path / f"{name}.h5")
+            with h5py.File(fn, "w") as f:
+                f.create_dataset("x", data=x, chunks=(4, 750), **kw)
+            with h5py.File(fn, "r") as f:
+                np.testing.assert_array_equal(f["x"][:], x)
+            import os
+
+            sizes[name] = os.path.getsize(fn)
+        # bitshuffle must beat byte-shuffle+LZF on truncated mantissas
+        assert sizes["bshuf"] < sizes["lzf"]
+
+    def test_odd_shapes_roundtrip(self, tmp_path):
+        """Partial blocks and non-multiple-of-8 tails must round-trip."""
+        import h5py
+
+        from driftscan_tpu.ops import bitshuffle as bs
+
+        if not bs.available():
+            import pytest
+
+            pytest.skip("bitshuffle plugin unavailable")
+
+        rng = np.random.default_rng(1)
+        for shape, dt in (((13,), np.float32), ((7, 9), np.float64),
+                          ((4097,), np.complex64), ((3, 5, 11), np.int32)):
+            x = (rng.standard_normal(np.prod(shape)) * 100).astype(dt).reshape(shape)
+            fn = str(tmp_path / f"odd_{dt.__name__}_{len(shape)}.h5")
+            with h5py.File(fn, "w") as f:
+                f.create_dataset("x", data=x, chunks=shape, **bs.dataset_kwargs(dt))
+            with h5py.File(fn, "r") as f:
+                np.testing.assert_array_equal(f["x"][:], x)
