@@ -55,6 +55,29 @@ class ForegroundModel:
         # No monopole power
         return np.where(l > 0, cl, 0.0)
 
+    def angular_powerspectrum_grid(self, ls, f1, f2):
+        """Dense (nl, nf1, nf2) grid exploiting the separable form.
+
+        C_l(nu1, nu2) = [A (l/l0)^-alpha] x [(nu1/nu0)^-beta] x
+        [(nu2/nu0)^-beta] x [exp(-log^2(nu1/nu2)/2 zeta^2)]: one small
+        power-law vector per axis plus an (nf1, nf2) decorrelation
+        matrix, assembled by broadcasting — ~6 transcendental ops per
+        *axis* element instead of per grid element (the dense evaluation
+        took minutes at 256 freqs x lmax 1000 on a single-core host).
+        """
+        ls = np.asarray(ls, dtype=np.float64)
+        f1 = np.asarray(f1, dtype=np.float64)
+        f2 = np.asarray(f2, dtype=np.float64)
+        lpart = np.where(
+            ls > 0, self.A * (np.maximum(ls, 1.0) / self.l_0) ** (-self.alpha), 0.0
+        )
+        p1 = (f1 / self.nu_0) ** (-self.beta)
+        p2 = (f2 / self.nu_0) ** (-self.beta)
+        dec = np.exp(
+            -np.subtract.outer(np.log(f1), np.log(f2)) ** 2 / (2 * self.zeta**2)
+        )
+        return lpart[:, None, None] * (np.outer(p1, p2) * dec)[None]
+
 
 class FullSkySynchrotron(ForegroundModel):
     """Galactic synchrotron (amplitude for the full, unmasked sky)."""
@@ -89,6 +112,9 @@ class PointSources(ForegroundModel):
 def clarray(aps: Callable, lmax: int, frequencies) -> np.ndarray:
     """Evaluate an angular power spectrum over (l, nu1, nu2)."""
     freq = np.asarray(frequencies, dtype=np.float64)
+    grid = getattr(getattr(aps, "__self__", None), "angular_powerspectrum_grid", None)
+    if grid is not None and aps.__name__ == "angular_powerspectrum":
+        return grid(np.arange(lmax + 1, dtype=np.float64), freq, freq)
     ls = np.arange(lmax + 1, dtype=np.float64)[:, None, None]
     n1 = freq[None, :, None]
     n2 = freq[None, None, :]
@@ -225,19 +251,45 @@ class Corr21cm:
             A4 = P * mu**4
             use_kaiser = True
 
-        dchi = x1[:, None] - x2[None, :]  # (nf1, nf2)
-        cosmat = np.cos(np.einsum("k,ij->kij", kpar, dchi)).reshape(
-            self.NKPAR, -1
-        )  # (nk, nf1*nf2)
+        dchi = (x1[:, None] - x2[None, :]).ravel()  # (nf1*nf2,)
+        # cos(k_j * dchi) for the *linear* kpar grid via the three-term
+        # recurrence cos((j+1)d) = 2 cos(d) cos(jd) - cos((j-1)d): two
+        # cos evaluations + fused multiply-adds replace nk * nf^2
+        # transcendentals (this single-core host took ~30 s on the
+        # direct np.cos at 256 freqs; error ~ nk^2 * eps ~ 1e-9).
+        cosmat = np.empty((self.NKPAR, dchi.size))
+        cosmat[0] = 1.0
+        if self.NKPAR > 1:
+            step = np.cos(dk * dchi)
+            cosmat[1] = step
+            two_step = 2.0 * step
+            for j in range(2, self.NKPAR):
+                np.multiply(two_step, cosmat[j - 1], out=cosmat[j])
+                cosmat[j] -= cosmat[j - 2]
         # Trapezoid end-point correction
         w = np.ones(self.NKPAR)
         w[0] = w[-1] = 0.5
-        cosmat = cosmat * (w * dk)[:, None]
+        cosmat *= (w * dk)[:, None]
 
-        I0 = jnp.asarray(A0) @ jnp.asarray(cosmat)  # (nl, nf1*nf2)
-        if use_kaiser:
-            I2 = jnp.asarray(A2) @ jnp.asarray(cosmat)
-            I4 = jnp.asarray(A4) @ jnp.asarray(cosmat)
+        from .. import backend
+
+        if backend.device_f32_only():
+            # Remote-attached f32-pair accelerators: the f64 quadrature
+            # matmul would ship ~(nk x nf^2) * 8 bytes each way over the
+            # slow host link and run as emulated dd-f64; host BLAS dgemm
+            # finishes this one-off build orders of magnitude sooner
+            # (measured: 256 freqs x lmax 1006 took >20 min via the
+            # device, ~10 s on host).
+            I0 = A0 @ cosmat
+            if use_kaiser:
+                I2 = A2 @ cosmat
+                I4 = A4 @ cosmat
+        else:
+            cosj = jnp.asarray(cosmat)
+            I0 = jnp.asarray(A0) @ cosj  # (nl, nf1*nf2)
+            if use_kaiser:
+                I2 = jnp.asarray(A2) @ cosj
+                I4 = jnp.asarray(A4) @ cosj
 
         nf1, nf2 = x1.size, x2.size
         pref = (T1[:, None] * T2[None, :]) * (D1[:, None] * D2[None, :]) / (
