@@ -473,7 +473,8 @@ def _synthesis_complex(alm_pos, alm_neg, nside: int, lmax: int, mmax: int, lam_t
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nside", "lmax", "mmax", "neg_m", "real_field")
+    jax.jit,
+    static_argnames=("nside", "lmax", "mmax", "neg_m", "real_field", "m_lo"),
 )
 def _analysis_split(
     maps_re,
@@ -484,6 +485,7 @@ def _analysis_split(
     neg_m: bool,
     lam_table=None,
     real_field: bool = False,
+    m_lo: int = 0,
 ):
     """Split-complex forward SHT (for complex-free TPU backends).
 
@@ -492,6 +494,13 @@ def _analysis_split(
     FLOP count, all MXU-eligible.  With ``real_field`` the imaginary
     plane is ignored (may be None) and its einsums are skipped — half the
     phase-stage work.
+
+    ``m_lo`` restricts the computation to the m-window [m_lo, mmax]: the
+    m-chunk scan simply starts there, so a window costs only its share
+    of the full transform — the memory-streaming axis for band limits
+    whose full (l, m) coefficient tables exceed HBM.  With a window the
+    negative block uses the *uniform* layout (column j <-> m = m_lo + j,
+    same width as pos; the m = 0 column, if present, is zero).
 
     Returns (pos_re, pos_im, neg_re, neg_im); the negative blocks are
     zeros when ``neg_m`` is False.
@@ -508,11 +517,11 @@ def _analysis_split(
     sin_t = jnp.asarray(geom.sin_theta)
     logpref = jnp.asarray(_log_lambda_mm_prefactor(lmax))
 
-    nm = mmax + 1
+    nm = mmax + 1 - m_lo
     mc = _chunk_size(geom.nring, geom.maxlen, nm)
     nchunks = (nm + mc - 1) // mc
     m_chunks = jnp.asarray(
-        np.arange(nchunks * mc, dtype=np.int64).reshape(nchunks, mc)
+        (m_lo + np.arange(nchunks * mc, dtype=np.int64)).reshape(nchunks, mc)
     )
 
     pixarea = jnp.asarray(geom.pixarea, dtype=rdtype)
@@ -568,9 +577,14 @@ def _analysis_split(
 
     pos_re = _stitch(a_re, nm)
     pos_im = _stitch(a_im, nm)
-    if neg_m:
+    if neg_m and m_lo == 0:
+        # legacy layout: columns m = 1 .. mmax
         neg_re = _stitch(n_re, nm)[..., 1 : mmax + 1]
         neg_im = _stitch(n_im, nm)[..., 1 : mmax + 1]
+    elif neg_m:
+        # uniform window layout: column j <-> m = m_lo + j
+        neg_re = _stitch(n_re, nm)
+        neg_im = _stitch(n_im, nm)
     else:
         neg_re = jnp.zeros((B, lmax + 1, 0), dtype=rdtype)
         neg_im = jnp.zeros((B, lmax + 1, 0), dtype=rdtype)
@@ -714,11 +728,24 @@ def _synthesis_complex_split(
     )
 
 
-def analysis_split(maps_z, lmax: int, mmax: Optional[int] = None, neg_m: bool = False):
+def analysis_split(
+    maps_z,
+    lmax: int,
+    mmax: Optional[int] = None,
+    neg_m: bool = False,
+    m_window: Optional[tuple] = None,
+):
     """Forward SHT of split-complex maps (ops.zarray.Z in, Z out).
 
     maps_z : Z with arrays (..., npix).
     Returns (pos Z (..., lmax+1, mmax+1), neg Z (..., lmax+1, mmax) or None).
+
+    ``m_window=(m0, m1)`` computes only the m in [m0, m1): the m-chunk
+    scan starts at m0, so a window costs its share of the full
+    transform.  Both outputs then have width m1 - m0 in the *uniform*
+    layout (column j <-> m = m0 + j; the m = 0 negative column is
+    zeroed) — the streaming axis for band limits whose full coefficient
+    tables exceed device memory.
     """
     from . import zarray as za
 
@@ -731,6 +758,34 @@ def analysis_split(maps_z, lmax: int, mmax: Optional[int] = None, neg_m: bool = 
     lead = maps_z.re.shape[:-1]
     fr = maps_z.re.reshape((-1, npix))
     fi = maps_z.im.reshape((-1, npix))
+
+    if m_window is not None:
+        m0, m1 = int(m_window[0]), int(m_window[1])
+        if not (0 <= m0 < m1 <= mmax + 1):
+            raise ValueError(f"invalid m_window {m_window} for mmax {mmax}")
+        width = m1 - m0
+        # no cached Legendre table for windows (keys are 0-based); the
+        # in-scan recurrence handles arbitrary m values
+        pr, pi, nr, ni = _analysis_split(
+            fr, fi, nside, lmax, m1 - 1, neg_m, None, m_lo=m0
+        )
+        if m0 == 0 and neg_m:
+            # legacy neg (width m1-1, col j <-> m=j+1) -> uniform
+            z = jnp.zeros(nr.shape[:-1] + (1,), nr.dtype)
+            nr = jnp.concatenate([z, nr], axis=-1)
+            ni = jnp.concatenate([z, ni], axis=-1)
+        pos = za.Z(
+            pr.reshape(lead + (lmax + 1, width)),
+            pi.reshape(lead + (lmax + 1, width)),
+        )
+        if not neg_m:
+            return pos, None
+        neg = za.Z(
+            nr.reshape(lead + (lmax + 1, width)),
+            ni.reshape(lead + (lmax + 1, width)),
+        )
+        return pos, neg
+
     lam = _legendre_table(ring_geometry(nside), lmax, mmax, fr.dtype)
     pr, pi, nr, ni = _analysis_split(fr, fi, nside, lmax, mmax, neg_m, lam)
     pos = za.Z(pr.reshape(lead + (lmax + 1, mmax + 1)), pi.reshape(lead + (lmax + 1, mmax + 1)))

@@ -31,15 +31,24 @@ from ..ops import sht, zarray as za
 from . import mstep
 
 
-def btm_resident(tel, bl_indices, f_indices):
+def btm_resident(tel, bl_indices, f_indices, m_range=None):
     """Compute BTMs for the given units, leaving them on device.
 
     Returns (pos, neg): Z pytrees with planes
     ``pos (nu, npol, lside+1, lside+1)`` (coefficients for m >= 0) and
-    ``neg (nu, npol, lside+1, lside)`` (m = -1 ... -lside), already
-    masked to each unit's own band limit.  For unpolarised telescopes
-    npol == 1; polarised ones carry their transformed Stokes components
-    (the skipped ones stay zero, matching ``transfer_matrices``).
+    ``neg (nu, npol, lside+1, lside)`` (m = -1 ... -lside, column
+    j <-> m = j + 1), already masked to each unit's own band limit.  For
+    unpolarised telescopes npol == 1; polarised ones carry their
+    transformed Stokes components (the skipped ones stay zero, matching
+    ``transfer_matrices``).
+
+    ``m_range=(m0, m1)`` computes and stores only that m-window, in the
+    *uniform* layout: both planes get width m1 - m0 with column
+    j <-> m = m0 + j (the m = 0 negative column is zero).  This is the
+    HBM streaming axis: the full (l, m) tables scale as nu * npol *
+    nl * nm and exceed device memory at production band limits (66 GB
+    at 256 freqs x lmax 1006 polarised), while each window's share of
+    the SHT costs only its fraction of the full transform.
     """
     bl_indices = np.asarray(bl_indices)
     f_indices = np.asarray(f_indices)
@@ -57,9 +66,14 @@ def btm_resident(tel, bl_indices, f_indices):
 
     nu = len(bl_indices)
     dt = jnp.float32 if tel.single_precision else jnp.float64
-    pos_re = jnp.zeros((nu, npol, lside + 1, lside + 1), dtype=dt)
+    if m_range is None:
+        pw, nw_ = lside + 1, lside
+    else:
+        m0, m1 = int(m_range[0]), int(m_range[1])
+        pw = nw_ = m1 - m0
+    pos_re = jnp.zeros((nu, npol, lside + 1, pw), dtype=dt)
     pos_im = jnp.zeros_like(pos_re)
-    neg_re = jnp.zeros((nu, npol, lside + 1, lside), dtype=dt)
+    neg_re = jnp.zeros((nu, npol, lside + 1, nw_), dtype=dt)
     neg_im = jnp.zeros_like(neg_re)
 
     for ns in np.unique(nsides):
@@ -85,8 +99,17 @@ def btm_resident(tel, bl_indices, f_indices):
             if tel.single_precision:
                 cvis = za.Z(cvis.re.astype(jnp.float32), cvis.im.astype(jnp.float32))
 
+            sub_win = None
+            if m_range is not None:
+                # this chunk only carries m <= sub_lmax
+                if m0 > sub_lmax:
+                    continue
+                sub_win = (m0, min(m1, sub_lmax + 1))
+
             # btrans = conj(SHT(conj(map))) (reference telescope.py:1188-1191)
-            p, n = sht.analysis_split(cvis.conj(), lmax=sub_lmax, neg_m=True)
+            p, n = sht.analysis_split(
+                cvis.conj(), lmax=sub_lmax, neg_m=True, m_window=sub_win
+            )
             p, n = p.conj(), n.conj()
 
             # normalise to a pol axis: (nu, npol_t, l, m)
@@ -104,17 +127,28 @@ def btm_resident(tel, bl_indices, f_indices):
 
             pm = lmask[:, None, :, None]  # masks l; broadcasts (pol, m)
             pols = np.s_[:npol_t]
-            pos_re = pos_re.at[sel, pols, sub, : sub_lmax + 1].set(p.re[:nsel] * pm)
-            pos_im = pos_im.at[sel, pols, sub, : sub_lmax + 1].set(p.im[:nsel] * pm)
-            neg_re = neg_re.at[sel, pols, sub, :sub_lmax].set(n.re[:nsel] * pm)
-            neg_im = neg_im.at[sel, pols, sub, :sub_lmax].set(n.im[:nsel] * pm)
+            if m_range is None:
+                pos_re = pos_re.at[sel, pols, sub, : sub_lmax + 1].set(
+                    p.re[:nsel] * pm
+                )
+                pos_im = pos_im.at[sel, pols, sub, : sub_lmax + 1].set(
+                    p.im[:nsel] * pm
+                )
+                neg_re = neg_re.at[sel, pols, sub, :sub_lmax].set(n.re[:nsel] * pm)
+                neg_im = neg_im.at[sel, pols, sub, :sub_lmax].set(n.im[:nsel] * pm)
+            else:
+                w = sub_win[1] - sub_win[0]
+                pos_re = pos_re.at[sel, pols, sub, :w].set(p.re[:nsel] * pm)
+                pos_im = pos_im.at[sel, pols, sub, :w].set(p.im[:nsel] * pm)
+                neg_re = neg_re.at[sel, pols, sub, :w].set(n.re[:nsel] * pm)
+                neg_im = neg_im.at[sel, pols, sub, :w].set(n.im[:nsel] * pm)
 
     return za.Z(pos_re, pos_im), za.Z(neg_re, neg_im)
 
 
 def _build_beam_batch(
     pos_re, pos_im, neg_re, neg_im, mv, npairs, nfreq_full, npol, nl,
-    f_idx=None, fmask=None,
+    f_idx=None, fmask=None, m_lo: int = -1,
 ):
     """(M, F, T, npol*nl) beam planes from the resident (l, m) tables.
 
@@ -122,15 +156,25 @@ def _build_beam_batch(
     baseline-major (u = bl * nfreq_full + f).  With ``f_idx`` the
     frequency axis is compacted to the given indices (``fmask`` zeroes
     padding slots) — the gather happens *after* the per-m slice so no
-    full-band copy of the tables is ever made.
+    full-band copy of the tables is ever made.  ``m_lo >= 0`` selects
+    the uniform m-window layout (column j <-> m = m_lo + j in *both*
+    planes); the default -1 is the legacy full-range layout (neg column
+    j <-> m = j + 1).
     """
 
     def build_one(m):
-        p_re = jnp.take(pos_re, m, axis=-1)  # (nu, npol, nl)
-        p_im = jnp.take(pos_im, m, axis=-1)
-        midx = jnp.maximum(m - 1, 0)
-        n_re = jnp.take(neg_re, midx, axis=-1)
-        n_im = jnp.take(neg_im, midx, axis=-1)
+        if m_lo >= 0:
+            col = jnp.maximum(m - m_lo, 0)
+            p_re = jnp.take(pos_re, col, axis=-1)  # (nu, npol, nl)
+            p_im = jnp.take(pos_im, col, axis=-1)
+            n_re = jnp.take(neg_re, col, axis=-1)
+            n_im = jnp.take(neg_im, col, axis=-1)
+        else:
+            p_re = jnp.take(pos_re, m, axis=-1)  # (nu, npol, nl)
+            p_im = jnp.take(pos_im, m, axis=-1)
+            midx = jnp.maximum(m - 1, 0)
+            n_re = jnp.take(neg_re, midx, axis=-1)
+            n_im = jnp.take(neg_im, midx, axis=-1)
         sign = jnp.where(m % 2 == 0, 1.0, -1.0).astype(p_re.dtype)
         use_neg = (m > 0).astype(p_re.dtype)
         n_re = sign * use_neg * n_re
@@ -156,11 +200,12 @@ def _build_beam_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("npairs", "nfreq", "nl", "npol", "polsvcut"),
+    static_argnames=("npairs", "nfreq", "nl", "npol", "polsvcut", "m_lo"),
 )
 def _svdcount_batch(
     pos_re, pos_im, neg_re, neg_im, noisew, mv,
     npairs: int, nfreq: int, nl: int, npol: int = 1, polsvcut: float = 1e-4,
+    m_lo: int = -1,
 ):
     """Per-(m, freq) retained SVD mode counts — the cheap sizing pass.
 
@@ -171,7 +216,7 @@ def _svdcount_batch(
     from ..ops import linalg
 
     beams_re, beams_im = _build_beam_batch(
-        pos_re, pos_im, neg_re, neg_im, mv, npairs, nfreq, npol, nl
+        pos_re, pos_im, neg_re, neg_im, mv, npairs, nfreq, npol, nl, m_lo=m_lo
     )
 
     def one_m(bm_re, bm_im, mval):
@@ -192,6 +237,7 @@ def _svdcount_batch(
     static_argnames=(
         "npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels",
         "fg_k_cap", "sig_k_cap", "band_rel", "method", "s_cap", "nfreq_full",
+        "m_lo",
     ),
 )
 def _resident_batch(
@@ -217,6 +263,7 @@ def _resident_batch(
     nfreq_full: int = 0,
     f_idx=None,
     fmask=None,
+    m_lo: int = -1,
 ):
     """Build the m-batch beam matrices on device and run the product step.
 
@@ -226,7 +273,7 @@ def _resident_batch(
     """
     beams_re, beams_im = _build_beam_batch(
         pos_re, pos_im, neg_re, neg_im, mv, npairs,
-        nfreq_full or nfreq, npol, nl, f_idx=f_idx, fmask=fmask,
+        nfreq_full or nfreq, npol, nl, f_idx=f_idx, fmask=fmask, m_lo=m_lo,
     )
 
     return mstep.kl_product_step_split(
@@ -253,6 +300,7 @@ def _resident_batch(
     static_argnames=(
         "npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels",
         "fg_k_cap", "sig_k_cap", "band_rel", "method", "s_cap", "nfreq_full",
+        "m_lo",
     ),
 )
 def _spectrum_batch(
@@ -278,6 +326,7 @@ def _spectrum_batch(
     nfreq_full: int = 0,
     f_idx=None,
     fmask=None,
+    m_lo: int = -1,
 ):
     """Spectrum-only product batch: returns just (evals, nmodes), so XLA
     dead-code-eliminates the eigenvector/beam outputs a spectrum pass
@@ -310,6 +359,7 @@ def _spectrum_batch(
         nfreq_full=nfreq_full,
         f_idx=f_idx,
         fmask=fmask,
+        m_lo=m_lo,
     )
     return res.evals, res.nmodes
 
@@ -409,7 +459,7 @@ def _auto_mbatch_n(n: int, K: int, hbm_budget_gb=4.0, cap: int = 16):
 
 def product_all_resident(
     tel, pos, neg, ls, lf, noisew, mbatch=None, max_m=None, mesh=None,
-    sig_k_cap=0, sig_levels=None, bucket=None,
+    sig_k_cap=0, sig_levels=None, bucket=None, m_range=None,
 ):
     """Run the SVD+KL product step over every m from resident BTMs.
 
@@ -443,8 +493,20 @@ def product_all_resident(
     cubic in that dimension.  The reference gets the same effect from
     its per-m ragged arrays (drift/core/beamtransfer.py:760-818); this
     is the static-shape equivalent.
+
+    ``m_range=(m0, m1)`` processes only that m-window from tables built
+    with ``btm_resident(..., m_range=...)`` (uniform layout) — the HBM
+    streaming axis for band limits whose full tables exceed device
+    memory.  Returns spectra for m in [m0, m1).
     """
-    nm = tel.mmax + 1 if max_m is None else max_m
+    if m_range is not None:
+        m_lo, m_hi = int(m_range[0]), int(m_range[1])
+    else:
+        m_lo, m_hi = 0, tel.mmax + 1
+    if max_m is not None:
+        m_hi = min(m_hi, m_lo + max_m)
+    nm = m_hi - m_lo
+    m_static = m_lo if m_range is not None else -1
     nl = tel.lmax + 1
     dt = pos.re.dtype
     F = tel.nfreq
@@ -506,6 +568,7 @@ def product_all_resident(
             nl=nl,
             npol=npol,
             sig_k_cap=sig_k_cap,
+            m_lo=m_static,
             **kwargs,
         )
 
@@ -515,15 +578,15 @@ def product_all_resident(
         cb = max(mbatch, 16)
         rows = []
         for s in range(0, nm, cb):
-            ms = np.arange(s, min(s + cb, nm))
+            ms = m_lo + np.arange(s, min(s + cb, nm))
             mv = np.full(cb, -1, np.int32)
             mv[: len(ms)] = ms
             c = _svdcount_batch(
                 pos.re, pos.im, neg.re, neg.im, noisew, jnp.asarray(mv),
-                npairs=tel.npairs, nfreq=F, nl=nl, npol=npol,
+                npairs=tel.npairs, nfreq=F, nl=nl, npol=npol, m_lo=m_static,
             )
             rows.append(np.asarray(c)[: len(ms)])
-        counts = np.concatenate(rows)  # (nm, F) int
+        counts = np.concatenate(rows)  # (nm, F) int, row i <-> m_lo + i
 
     evals, nmodes = [], []
     s = 0
@@ -535,10 +598,10 @@ def product_all_resident(
             sq = _quant_frac(cap0, S)
             fq = _quant_frac(act0, F)
             mb = _auto_mbatch_n(fq * sq, K_cov)
-            ms = np.arange(s, min(s + mb, nm))
+            ms = m_lo + np.arange(s, min(s + mb, nm))
             # the chunk's true requirements (head m has the largest
             # support, but quantisation can still be exceeded mid-chunk)
-            cc = counts[ms]
+            cc = counts[ms - m_lo]
             sq = _quant_frac(int(cc.max()), S)
             act = np.nonzero(cc.max(axis=0) > 0)[0]
             fq = _quant_frac(max(len(act), 1), F)
@@ -549,7 +612,7 @@ def product_all_resident(
             if fq >= F and sq >= S:
                 fq, sq = F, S
                 mb = mbatch  # reuse the standard full-size program
-                ms = np.arange(s, min(s + mb, nm))
+                ms = m_lo + np.arange(s, min(s + mb, nm))
                 extra = None
                 nw, lsd, lfd = noisew, ls, lf
             else:
@@ -575,7 +638,7 @@ def product_all_resident(
                 lfd = jnp.asarray(lf_h[:, :, f_idx], dtype=dt)
         else:
             mb = mbatch
-            ms = np.arange(s, min(s + mb, nm))
+            ms = m_lo + np.arange(s, min(s + mb, nm))
             extra = None
             nw, lsd, lfd = noisew, ls, lf
             fq, sq = F, S

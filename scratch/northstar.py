@@ -1,0 +1,84 @@
+"""North-star run: 256 freqs x mmax ~1000, polarised cylinder (BASELINE.md).
+
+Full BTM + SVD + KL product generation on one chip, device-resident,
+with the bucketed dispatcher compacting the high-m pencils (the 400-800
+MHz band thins linearly in frequency above m ~ 503).  Logs per-phase
+wall-clock and writes a JSON record for the design doc.
+"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import bench
+from driftscan_tpu.telescope import cylinder
+from driftscan_tpu.parallel import mstep, resident
+
+T0 = time.time()
+def log(msg):
+    print(f"[ns +{time.time()-T0:7.1f}s] {msg}", flush=True)
+
+tel = cylinder.PolarisedCylinderTelescope.from_config(dict(
+    num_freq=256, freq_start=400.0, freq_end=800.0, freq_mode="edge",
+    num_cylinders=2, cylinder_width=30.0, num_feeds=1,
+    feed_spacing=6.0, tsys=50.0, single_precision=True,
+))
+nm = tel.mmax + 1
+S = min(tel.lmax + 1, 2 * tel.npairs)
+rec = dict(nfreq=tel.nfreq, mmax=tel.mmax, lmax=tel.lmax,
+           npairs=tel.npairs, npol=tel.num_pol_sky, ndofmax=tel.nfreq * S,
+           nfb=tel.npairs * tel.nfreq)
+log(f"north-star telescope: {rec}")
+
+log("covariances...")
+st = time.time()
+cl_s, cl_n, noisew, _ = bench._covariances(tel)
+ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)
+rec["t_cov_s"] = round(time.time() - st, 1)
+log(f"covariances {rec['t_cov_s']}s")
+
+bl = np.arange(tel.npairs); fi = np.arange(tel.nfreq)
+blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+
+# The full (l, m) tables are 66 GB here (nu*npol*nl*nm, 4 f32 planes) —
+# over the 15.75 GB HBM — so the run streams m-windows: each window's
+# BTM costs its share of the SHT (the m-chunk scan just starts at m0)
+# plus a re-run of the pixel-space beam products.
+W = 8
+edges = np.linspace(0, nm, W + 1).astype(int)
+rec["m_windows"] = W
+t_btm = t_prod = 0.0
+evs, nmods = [], []
+for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
+    st = time.time()
+    pos, neg = resident.btm_resident(tel, blg, fig, m_range=(int(m0), int(m1)))
+    _ = float(np.asarray(pos.re.sum()))
+    tb = time.time() - st
+    t_btm += tb
+    st = time.time()
+    ev, nmo = resident.product_all_resident(
+        tel, pos, neg, ls, lf, noisew, bucket=True, m_range=(int(m0), int(m1))
+    )
+    tp = time.time() - st
+    t_prod += tp
+    del pos, neg
+    evs.append(ev)
+    nmods.append(nmo)
+    log(f"window {wi+1}/{W} m=[{m0},{m1}): btm {tb:.1f}s product {tp:.1f}s")
+evals = np.concatenate(evs)
+nmodes = np.concatenate(nmods)
+rec["t_btm_s"] = round(t_btm, 1)
+rec["t_product_s"] = round(t_prod, 1)
+rec["finite"] = bool(np.isfinite(evals).all())
+rec["max_eval"] = float(evals.max())
+rec["retained_modes"] = int((evals > 0.1).sum())
+rec["rate_m_per_s"] = round(nm / (t_btm + t_prod), 3)
+log(f"TOTAL: btm {t_btm:.1f}s product {t_prod:.1f}s; rate "
+    f"{rec['rate_m_per_s']} m/s; finite={rec['finite']} "
+    f"max_eval={rec['max_eval']:.3g} retained={rec['retained_modes']}")
+
+with open("/root/repo/doc/northstar_run.json", "w") as f:
+    json.dump(rec, f, indent=1)
+log("record written to doc/northstar_run.json")

@@ -282,3 +282,53 @@ def test_bucketed_product_matches_full():
     assert (counts_last == 0).any() or nm_full.max() < min(
         tel.lmax + 1, 2 * tel.npairs
     )
+
+
+def test_m_window_streaming_matches_full():
+    """BTM + product per m-window == the full-range resident run.
+
+    The HBM streaming axis: at production band limits the full (l, m)
+    tables exceed device memory (66 GB at the north-star scale), so the
+    pipeline runs per m-window; each window's spectra must match the
+    monolithic run exactly.
+    """
+    import bench
+
+    tel = cylinder.UnpolarisedCylinderTelescope.from_config(
+        dict(
+            num_freq=2, freq_start=100.0, freq_end=110.0, freq_mode="edge",
+            num_cylinders=2, cylinder_width=2.0, num_feeds=3,
+            feed_spacing=1.5,
+        )
+    )
+    bl = np.arange(tel.npairs)
+    fi = np.arange(tel.nfreq)
+    blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+
+    cl_s, cl_n, noisew, _ = bench._covariances(tel)
+    ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)
+
+    pos, neg = resident.btm_resident(tel, blg, fig)
+    ev_full, nm_full = resident.product_all_resident(
+        tel, pos, neg, ls, lf, noisew, bucket=False, sig_levels=2
+    )
+
+    nm = tel.mmax + 1
+    cut = nm // 2
+    evs, nms = [], []
+    for m0, m1 in ((0, cut), (cut, nm)):
+        pw, nw = resident.btm_resident(tel, blg, fig, m_range=(m0, m1))
+        assert pw.re.shape[-1] == m1 - m0
+        ev, nmo = resident.product_all_resident(
+            tel, pw, nw, ls, lf, noisew, bucket=False, sig_levels=2,
+            m_range=(m0, m1),
+        )
+        assert ev.shape[0] == m1 - m0
+        evs.append(ev)
+        nms.append(nmo)
+    ev_win = np.concatenate(evs)
+    nm_win = np.concatenate(nms)
+
+    np.testing.assert_array_equal(nm_win, nm_full)
+    scale = max(ev_full.max(), 1e-30)
+    np.testing.assert_allclose(ev_win, ev_full, rtol=2e-5, atol=1e-8 * scale)
