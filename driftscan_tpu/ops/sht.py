@@ -26,7 +26,7 @@ optional Jacobi iterations refine it like healpy's ``iter`` parameter.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -151,7 +151,45 @@ def _legendre_chunk(mvals, cos_t, sin_t, lmax: int, logpref):
 
 
 
-def _phase_angle(mv, geom, rdtype):
+class GeomArrays(NamedTuple):
+    """Device-resident healpix ring geometry, passed to the jitted SHT
+    kernels as *arguments* — embedded as HLO constants they serialize to
+    ~60+ MB at nside 512 and overflow the remote AOT compiler's request
+    limit (HTTP 413)."""
+
+    pix_index: jnp.ndarray  # (nring, maxlen) int32 gather map
+    mask: jnp.ndarray       # (nring, maxlen) f32 validity
+    twoj_h: jnp.ndarray     # (nring, maxlen) int32 azimuth numerators
+    n2: jnp.ndarray         # (nring,) int32 azimuth denominators
+    cos_theta: jnp.ndarray  # (nring,) f64
+    sin_theta: jnp.ndarray  # (nring,) f64
+    valid: jnp.ndarray      # (npix,) int32 scatter-back indices
+
+
+_GEOM_DEV_CACHE = {}
+
+
+def geom_arrays(nside: int) -> GeomArrays:
+    """Cached device copies of the ring geometry tables for ``nside``."""
+    g = _GEOM_DEV_CACHE.get(nside)
+    if g is None:
+        geom = ring_geometry(nside)
+        g = GeomArrays(
+            pix_index=jnp.asarray(np.asarray(geom.pix_index, np.int32)),
+            mask=jnp.asarray(np.asarray(geom.mask, np.float32)),
+            twoj_h=jnp.asarray(np.asarray(geom.twoj_h, np.int32)),
+            n2=jnp.asarray(np.asarray(geom.n2, np.int32)),
+            cos_theta=jnp.asarray(np.asarray(geom.cos_theta, np.float64)),
+            sin_theta=jnp.asarray(np.asarray(geom.sin_theta, np.float64)),
+            valid=jnp.asarray(
+                np.nonzero(np.asarray(geom.mask).ravel())[0].astype(np.int32)
+            ),
+        )
+        _GEOM_DEV_CACHE[nside] = g
+    return g
+
+
+def _phase_angle(mv, g: GeomArrays, nside: int, rdtype):
     """m*phi reduced mod 2*pi in integer arithmetic, returned as rdtype.
 
     phi[r, j] = 2*pi * twoj_h[r, j] / n2[r] exactly (healpix azimuths are
@@ -163,10 +201,10 @@ def _phase_angle(mv, geom, rdtype):
     unreduced f64 product (the previous implementation) needed an f64
     phase tensor twice the size and twice the bandwidth.
     """
-    tj = jnp.asarray(geom.twoj_h)  # (nring, maxlen) int32
-    n2 = jnp.asarray(geom.n2)[None, :, None]  # (1, nring, 1) int32
+    tj = g.twoj_h  # (nring, maxlen) int32
+    n2 = g.n2[None, :, None]  # (1, nring, 1) int32
     mmod = (mv[:, None, None].astype(jnp.int32) % n2 + n2) % n2
-    if (8 * geom.nside - 1) ** 2 > np.iinfo(np.int32).max:
+    if (8 * nside - 1) ** 2 > np.iinfo(np.int32).max:
         r = ((mmod.astype(jnp.int64) * tj[None]) % n2.astype(jnp.int64)).astype(
             jnp.int32
         )
@@ -278,7 +316,7 @@ def _legendre_table(geom, lmax: int, mmax: int, rdtype):
 @functools.partial(
     jax.jit, static_argnames=("nside", "lmax", "mmax", "neg_m", "real_field")
 )
-def _analysis(maps, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: bool, lam_table=None):
+def _analysis(maps, g, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: bool, lam_table=None):
     """Core forward SHT.
 
     Parameters
@@ -298,10 +336,10 @@ def _analysis(maps, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: b
     cdtype = jnp.complex128 if double else jnp.complex64
     rdtype = jnp.float64 if double else jnp.float32
 
-    padded = _pad_rings(maps, geom).astype(cdtype)  # (B, nring, maxlen)
-    mask = jnp.asarray(geom.mask)
-    cos_t = jnp.asarray(geom.cos_theta)
-    sin_t = jnp.asarray(geom.sin_theta)
+    padded = (jnp.take(maps, g.pix_index, axis=-1) * g.mask.astype(rdtype)).astype(cdtype)
+    mask = g.mask
+    cos_t = g.cos_theta
+    sin_t = g.sin_theta
     logpref = jnp.asarray(_log_lambda_mm_prefactor(lmax))
 
     nm = mmax + 1
@@ -318,7 +356,7 @@ def _analysis(maps, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: b
         # The angle is integer-range-reduced so the whole stage (including
         # cos/sin) runs in the compute dtype with full accuracy, and no
         # complex128 intermediate appears (TPUs do not support C128).
-        phase = _phase_angle(mv, geom, rdtype)
+        phase = _phase_angle(mv, g, nside, rdtype)
         mr = mask[None].astype(rdtype)
         e_neg = jax.lax.complex(
             jnp.cos(phase) * mr, -jnp.sin(phase) * mr
@@ -353,7 +391,7 @@ def _analysis(maps, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: b
 
 
 @functools.partial(jax.jit, static_argnames=("nside", "lmax", "mmax"))
-def _synthesis_real(alm, nside: int, lmax: int, mmax: int, lam_table=None):
+def _synthesis_real(alm, g, nside: int, lmax: int, mmax: int, lam_table=None):
     """Inverse SHT onto a real field.
 
     Parameters
@@ -368,9 +406,9 @@ def _synthesis_real(alm, nside: int, lmax: int, mmax: int, lam_table=None):
     cdtype = alm.dtype
     rdtype = jnp.float64 if alm.dtype.itemsize >= 16 else jnp.float32
 
-    mask = jnp.asarray(geom.mask)
-    cos_t = jnp.asarray(geom.cos_theta)
-    sin_t = jnp.asarray(geom.sin_theta)
+    mask = g.mask
+    cos_t = g.cos_theta
+    sin_t = g.sin_theta
     logpref = jnp.asarray(_log_lambda_mm_prefactor(lmax))
 
     nm = mmax + 1
@@ -393,7 +431,7 @@ def _synthesis_real(alm, nside: int, lmax: int, mmax: int, lam_table=None):
             lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
         # T[b, i, r] = sum_l lam[l, i, r] a[b, l, i]
         T = jnp.einsum("lmr,blm->bmr", lam, a_chunk)
-        phase = _phase_angle(mv, geom, rdtype)
+        phase = _phase_angle(mv, g, nside, rdtype)
         mr = mask[None].astype(rdtype)
         e_pos = jax.lax.complex(jnp.cos(phase) * mr, jnp.sin(phase) * mr)
         weight = jnp.where(mv == 0, 1.0, 2.0).astype(rdtype)  # m>0 counted twice
@@ -410,12 +448,11 @@ def _synthesis_real(alm, nside: int, lmax: int, mmax: int, lam_table=None):
 
     # Scatter the padded ring layout back to RING pixel order.
     flat = acc.reshape(B, -1)
-    valid = np.nonzero(geom.mask.ravel())[0]
-    return flat[:, jnp.asarray(valid)]
+    return flat[:, g.valid]
 
 
 @functools.partial(jax.jit, static_argnames=("nside", "lmax", "mmax"))
-def _synthesis_complex(alm_pos, alm_neg, nside: int, lmax: int, mmax: int, lam_table=None):
+def _synthesis_complex(alm_pos, alm_neg, g, nside: int, lmax: int, mmax: int, lam_table=None):
     """Inverse SHT of a general complex field.
 
     f(p) = sum_{m>=0} T+_m(r) e^{i m phi} + sum_{m>0} T-_m(r) e^{-i m phi}
@@ -425,9 +462,9 @@ def _synthesis_complex(alm_pos, alm_neg, nside: int, lmax: int, mmax: int, lam_t
     cdtype = alm_pos.dtype
     rdtype = jnp.float64 if alm_pos.dtype.itemsize >= 16 else jnp.float32
 
-    mask = jnp.asarray(geom.mask)
-    cos_t = jnp.asarray(geom.cos_theta)
-    sin_t = jnp.asarray(geom.sin_theta)
+    mask = g.mask
+    cos_t = g.cos_theta
+    sin_t = g.sin_theta
     logpref = jnp.asarray(_log_lambda_mm_prefactor(lmax))
 
     nm = mmax + 1
@@ -453,7 +490,7 @@ def _synthesis_complex(alm_pos, alm_neg, nside: int, lmax: int, mmax: int, lam_t
         t_neg = jnp.einsum("lmr,blm->bmr", lam, a_n)
         signm = jnp.where(mv % 2 == 0, 1.0, -1.0).astype(rdtype)
         t_neg = t_neg * signm[None, :, None]
-        phase = _phase_angle(mv, geom, rdtype)
+        phase = _phase_angle(mv, g, nside, rdtype)
         mr = mask[None].astype(rdtype)
         e_pos = jax.lax.complex(jnp.cos(phase) * mr, jnp.sin(phase) * mr)
         contrib = jnp.einsum("bmr,mrj->brj", t_pos, e_pos)
@@ -468,8 +505,7 @@ def _synthesis_complex(alm_pos, alm_neg, nside: int, lmax: int, mmax: int, lam_t
     )
     acc, _ = jax.lax.scan(chunk_fn, acc0, xs)
     flat = acc.reshape(B, -1)
-    valid = np.nonzero(geom.mask.ravel())[0]
-    return flat[:, jnp.asarray(valid)]
+    return flat[:, g.valid]
 
 
 @functools.partial(
@@ -479,6 +515,7 @@ def _synthesis_complex(alm_pos, alm_neg, nside: int, lmax: int, mmax: int, lam_t
 def _analysis_split(
     maps_re,
     maps_im,
+    g,
     nside: int,
     lmax: int,
     mmax: int,
@@ -508,13 +545,13 @@ def _analysis_split(
     geom = ring_geometry(nside)
     rdtype = maps_re.dtype
 
-    idx = jnp.asarray(geom.pix_index)
-    maskr = jnp.asarray(geom.mask).astype(rdtype)
+    idx = g.pix_index
+    maskr = g.mask.astype(rdtype)
     p_re = jnp.take(maps_re, idx, axis=-1) * maskr
     p_im = None if real_field else jnp.take(maps_im, idx, axis=-1) * maskr
 
-    cos_t = jnp.asarray(geom.cos_theta)
-    sin_t = jnp.asarray(geom.sin_theta)
+    cos_t = g.cos_theta
+    sin_t = g.sin_theta
     logpref = jnp.asarray(_log_lambda_mm_prefactor(lmax))
 
     nm = mmax + 1 - m_lo
@@ -528,7 +565,7 @@ def _analysis_split(
 
     def chunk_fn(_, xs):
         mv, lam_xs = _split_xs(xs)
-        phase = _phase_angle(mv, geom, rdtype)
+        phase = _phase_angle(mv, g, nside, rdtype)
         c = jnp.cos(phase) * maskr[None]
         s = jnp.sin(phase) * maskr[None]
 
@@ -592,7 +629,7 @@ def _analysis_split(
 
 
 @functools.partial(jax.jit, static_argnames=("nside", "lmax", "mmax"))
-def _synthesis_real_split(a_re, a_im, nside: int, lmax: int, mmax: int, lam_table=None):
+def _synthesis_real_split(a_re, a_im, g, nside: int, lmax: int, mmax: int, lam_table=None):
     """Split-complex inverse SHT onto a real field (complex-free backends).
 
     Same math as :func:`_synthesis_real` on (re, im) planes of the m >= 0
@@ -602,9 +639,9 @@ def _synthesis_real_split(a_re, a_im, nside: int, lmax: int, mmax: int, lam_tabl
     geom = ring_geometry(nside)
     rdtype = a_re.dtype
 
-    mask = jnp.asarray(geom.mask)
-    cos_t = jnp.asarray(geom.cos_theta)
-    sin_t = jnp.asarray(geom.sin_theta)
+    mask = g.mask
+    cos_t = g.cos_theta
+    sin_t = g.sin_theta
     logpref = jnp.asarray(_log_lambda_mm_prefactor(lmax))
 
     nm = mmax + 1
@@ -630,7 +667,7 @@ def _synthesis_real_split(a_re, a_im, nside: int, lmax: int, mmax: int, lam_tabl
             lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
         t_re = jnp.einsum("lmr,blm->bmr", lam, ar)
         t_im = jnp.einsum("lmr,blm->bmr", lam, ai)
-        phase = _phase_angle(mv, geom, rdtype)
+        phase = _phase_angle(mv, g, nside, rdtype)
         mr = mask[None].astype(rdtype)
         c = jnp.cos(phase) * mr
         s = jnp.sin(phase) * mr
@@ -648,13 +685,12 @@ def _synthesis_real_split(a_re, a_im, nside: int, lmax: int, mmax: int, lam_tabl
     )
     acc, _ = jax.lax.scan(chunk_fn, acc0, xs)
     flat = acc.reshape(B, -1)
-    valid = np.nonzero(geom.mask.ravel())[0]
-    return flat[:, jnp.asarray(valid)]
+    return flat[:, g.valid]
 
 
 @functools.partial(jax.jit, static_argnames=("nside", "lmax", "mmax"))
 def _synthesis_complex_split(
-    p_re, p_im, n_re, n_im, nside: int, lmax: int, mmax: int, lam_table=None
+    p_re, p_im, n_re, n_im, g, nside: int, lmax: int, mmax: int, lam_table=None
 ):
     """Split-complex inverse SHT of a general complex field.
 
@@ -665,9 +701,9 @@ def _synthesis_complex_split(
     geom = ring_geometry(nside)
     rdtype = p_re.dtype
 
-    mask = jnp.asarray(geom.mask)
-    cos_t = jnp.asarray(geom.cos_theta)
-    sin_t = jnp.asarray(geom.sin_theta)
+    mask = g.mask
+    cos_t = g.cos_theta
+    sin_t = g.sin_theta
     logpref = jnp.asarray(_log_lambda_mm_prefactor(lmax))
 
     nm = mmax + 1
@@ -703,7 +739,7 @@ def _synthesis_complex_split(
         signm = jnp.where(mv % 2 == 0, 1.0, -1.0).astype(rdtype)[None, :, None]
         tn_re = jnp.einsum("lmr,blm->bmr", lam, nr) * signm
         tn_im = jnp.einsum("lmr,blm->bmr", lam, ni) * signm
-        phase = _phase_angle(mv, geom, rdtype)
+        phase = _phase_angle(mv, g, nside, rdtype)
         mr = mask[None].astype(rdtype)
         c = jnp.cos(phase) * mr
         s = jnp.sin(phase) * mr
@@ -721,10 +757,9 @@ def _synthesis_complex_split(
     )
     xs = chunks if lam_table is None else chunks + (lam_table,)
     (acc_re, acc_im), _ = jax.lax.scan(chunk_fn, acc0, (m_chunks,) + xs)
-    valid = jnp.asarray(np.nonzero(geom.mask.ravel())[0])
     return (
-        acc_re.reshape(B, -1)[:, valid],
-        acc_im.reshape(B, -1)[:, valid],
+        acc_re.reshape(B, -1)[:, g.valid],
+        acc_im.reshape(B, -1)[:, g.valid],
     )
 
 
@@ -767,7 +802,8 @@ def analysis_split(
         # no cached Legendre table for windows (keys are 0-based); the
         # in-scan recurrence handles arbitrary m values
         pr, pi, nr, ni = _analysis_split(
-            fr, fi, nside, lmax, m1 - 1, neg_m, None, m_lo=m0
+            fr, fi, geom_arrays(nside), nside, lmax, m1 - 1, neg_m, None,
+            m_lo=m0,
         )
         if m0 == 0 and neg_m:
             # legacy neg (width m1-1, col j <-> m=j+1) -> uniform
@@ -787,7 +823,7 @@ def analysis_split(
         return pos, neg
 
     lam = _legendre_table(ring_geometry(nside), lmax, mmax, fr.dtype)
-    pr, pi, nr, ni = _analysis_split(fr, fi, nside, lmax, mmax, neg_m, lam)
+    pr, pi, nr, ni = _analysis_split(fr, fi, geom_arrays(nside), nside, lmax, mmax, neg_m, lam)
     pos = za.Z(pr.reshape(lead + (lmax + 1, mmax + 1)), pi.reshape(lead + (lmax + 1, mmax + 1)))
     if not neg_m:
         return pos, None
@@ -812,13 +848,13 @@ def synthesis_split(pos_z, neg_z, nside: int):
     pi = pos_z.im.reshape((-1, lmax + 1, mmax + 1))
     lam = _legendre_table(ring_geometry(nside), lmax, mmax, pr.dtype)
     if neg_z is None:
-        maps = _synthesis_real_split(pr, pi, nside, lmax, mmax, lam)
+        maps = _synthesis_real_split(pr, pi, geom_arrays(nside), nside, lmax, mmax, lam)
         return za.Z(
             maps.reshape(lead + (maps.shape[-1],)), jnp.zeros(lead + (maps.shape[-1],), maps.dtype)
         )
     nr = neg_z.re.reshape((-1, lmax + 1, mmax))
     ni = neg_z.im.reshape((-1, lmax + 1, mmax))
-    mr, mi = _synthesis_complex_split(pr, pi, nr, ni, nside, lmax, mmax, lam)
+    mr, mi = _synthesis_complex_split(pr, pi, nr, ni, geom_arrays(nside), nside, lmax, mmax, lam)
     return za.Z(
         mr.reshape(lead + (mr.shape[-1],)), mi.reshape(lead + (mi.shape[-1],))
     )
@@ -861,19 +897,20 @@ def analysis(
     lam = _legendre_table(
         ring_geometry(nside), lmax, mmax, jnp.float64 if double else jnp.float32
     )
-    pos, neg = _analysis(flat, nside, lmax, mmax, neg_m, real_field, lam)
+    g = geom_arrays(nside)
+    pos, neg = _analysis(flat, g, nside, lmax, mmax, neg_m, real_field, lam)
 
     for _ in range(iters):
         if neg_m:
-            resid = flat - _synthesis_complex(pos, neg, nside, lmax, mmax, lam)
-            dpos, dneg = _analysis(resid, nside, lmax, mmax, True, real_field, lam)
+            resid = flat - _synthesis_complex(pos, neg, g, nside, lmax, mmax, lam)
+            dpos, dneg = _analysis(resid, g, nside, lmax, mmax, True, real_field, lam)
             pos = pos + dpos
             neg = neg + dneg
         else:
-            resid = flat - _synthesis_real(pos, nside, lmax, mmax, lam).astype(
+            resid = flat - _synthesis_real(pos, g, nside, lmax, mmax, lam).astype(
                 flat.dtype
             )
-            dpos, _ = _analysis(resid, nside, lmax, mmax, False, real_field, lam)
+            dpos, _ = _analysis(resid, g, nside, lmax, mmax, False, real_field, lam)
             pos = pos + dpos
 
     pos = pos.reshape(lead + (lmax + 1, mmax + 1))
@@ -895,7 +932,7 @@ def synthesis_real(alm, nside: int):
         mmax,
         jnp.float64 if alm.dtype.itemsize >= 16 else jnp.float32,
     )
-    maps = _synthesis_real(flat, nside, lmax, mmax, lam)
+    maps = _synthesis_real(flat, geom_arrays(nside), nside, lmax, mmax, lam)
     return maps.reshape(lead + (maps.shape[-1],))
 
 
@@ -914,7 +951,7 @@ def synthesis_complex(alm_pos, alm_neg, nside: int):
         mmax,
         jnp.float64 if alm_pos.dtype.itemsize >= 16 else jnp.float32,
     )
-    maps = _synthesis_complex(fp, fn, nside, lmax, mmax, lam)
+    maps = _synthesis_complex(fp, fn, geom_arrays(nside), nside, lmax, mmax, lam)
     return maps.reshape(lead + (maps.shape[-1],))
 
 
@@ -1005,7 +1042,8 @@ def sphtrans_sky(skymap, lmax: Optional[int] = None) -> np.ndarray:
         flat = _dev_plane(skymap.reshape(-1, skymap.shape[-1]))
         lam = _legendre_table(ring_geometry(nside), lmax, lmax, flat.dtype)
         pr, pi, _, _ = _analysis_split(
-            flat, None, nside, lmax, lmax, False, lam, real_field=True
+            flat, None, geom_arrays(nside), nside, lmax, lmax, False, lam,
+            real_field=True,
         )
         pos = np.asarray(pr, np.float64) + 1j * np.asarray(pi, np.float64)
         return pos.reshape(lead + pos.shape[-2:])
@@ -1026,7 +1064,7 @@ def sphtrans_inv_sky(alm, nside: int) -> np.ndarray:
         ar = _dev_plane(alm.real.reshape((-1,) + alm.shape[-2:]))
         ai = _dev_plane(alm.imag.reshape((-1,) + alm.shape[-2:]))
         lam = _legendre_table(ring_geometry(nside), lmax, mmax, ar.dtype)
-        maps = _synthesis_real_split(ar, ai, nside, lmax, mmax, lam)
+        maps = _synthesis_real_split(ar, ai, geom_arrays(nside), nside, lmax, mmax, lam)
         out = np.asarray(maps, np.float64)
         return out.reshape(lead + (out.shape[-1],))
     return np.asarray(synthesis_real(alm, nside))

@@ -220,8 +220,8 @@ class TestSplitSynthesis:
         npix = 12 * self.nside**2
         maps = rng.standard_normal((3, npix))
         pr, pi, _, _ = sht._analysis_split(
-            jnp.asarray(maps), None, self.nside, self.lmax, self.lmax, False,
-            None, real_field=True,
+            jnp.asarray(maps), None, sht.geom_arrays(self.nside), self.nside,
+            self.lmax, self.lmax, False, None, real_field=True,
         )
         ref_pos, _ = sht.analysis(maps, self.lmax)
         got = np.asarray(pr) + 1j * np.asarray(pi)
