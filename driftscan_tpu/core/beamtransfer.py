@@ -32,6 +32,12 @@ from ..util import util
 
 logger = logging.getLogger(__name__)
 
+# Register the native bitshuffle HDF5 plugin for this process: products
+# written with it must be readable by every consumer, not just writers.
+from ..ops import bitshuffle as _bitshuffle
+
+_bitshuffle.register()
+
 
 svd_gen = linalg.svd_gen
 matrix_image = linalg.matrix_image

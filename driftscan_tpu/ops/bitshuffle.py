@@ -21,6 +21,29 @@ BSHUF_FILTER = 32008
 _BLOCK_ELEMS = 4096
 
 _available = None
+_registered = False
+
+
+def register() -> bool:
+    """Idempotently add the native dir to HDF5's plugin search path.
+
+    Needed by any process that *reads* bitshuffle-compressed products,
+    not only writers — call at import of the HDF5-consuming modules.
+    """
+    global _registered
+    if _registered:
+        return True
+    so = os.path.join(_native_dir(), "libdriftbshuf.so")
+    if not os.path.exists(so):
+        return False
+    try:
+        import h5py
+
+        h5py.h5pl.append(_native_dir().encode())
+        _registered = True
+    except Exception:
+        return False
+    return True
 
 
 def _native_dir() -> str:
@@ -55,9 +78,9 @@ def available() -> bool:
     try:
         if not _ensure_built():
             return False
+        if not register():
+            return False
         import h5py
-
-        h5py.h5pl.append(_native_dir().encode())
 
         import tempfile
 

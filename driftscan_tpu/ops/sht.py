@@ -510,7 +510,9 @@ def _synthesis_complex(alm_pos, alm_neg, g, nside: int, lmax: int, mmax: int, la
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nside", "lmax", "mmax", "neg_m", "real_field", "m_lo"),
+    static_argnames=(
+        "nside", "lmax", "mmax", "neg_m", "real_field", "uniform_neg"
+    ),
 )
 def _analysis_split(
     maps_re,
@@ -522,7 +524,8 @@ def _analysis_split(
     neg_m: bool,
     lam_table=None,
     real_field: bool = False,
-    m_lo: int = 0,
+    uniform_neg: bool = False,
+    m_lo=None,
 ):
     """Split-complex forward SHT (for complex-free TPU backends).
 
@@ -532,12 +535,15 @@ def _analysis_split(
     plane is ignored (may be None) and its einsums are skipped — half the
     phase-stage work.
 
-    ``m_lo`` restricts the computation to the m-window [m_lo, mmax]: the
-    m-chunk scan simply starts there, so a window costs only its share
-    of the full transform — the memory-streaming axis for band limits
-    whose full (l, m) coefficient tables exceed HBM.  With a window the
-    negative block uses the *uniform* layout (column j <-> m = m_lo + j,
-    same width as pos; the m = 0 column, if present, is zero).
+    ``m_lo`` (a *traced* scalar, so every same-width window shares one
+    compiled program) shifts the computation to the m-window
+    [m_lo, m_lo + mmax]: the m-chunk scan simply starts there, so a
+    window costs its share of the full transform — the memory-streaming
+    axis for band limits whose full (l, m) coefficient tables exceed
+    HBM.  ``uniform_neg`` selects the window layout for the negative
+    block (column j <-> m = m_lo + j, same width as pos; any m = 0
+    column is zeroed by the caller); otherwise the legacy layout
+    (column j <-> m = j + 1, requires m_lo = 0).
 
     Returns (pos_re, pos_im, neg_re, neg_im); the negative blocks are
     zeros when ``neg_m`` is False.
@@ -554,12 +560,14 @@ def _analysis_split(
     sin_t = g.sin_theta
     logpref = jnp.asarray(_log_lambda_mm_prefactor(lmax))
 
-    nm = mmax + 1 - m_lo
+    nm = mmax + 1
     mc = _chunk_size(geom.nring, geom.maxlen, nm)
     nchunks = (nm + mc - 1) // mc
     m_chunks = jnp.asarray(
-        (m_lo + np.arange(nchunks * mc, dtype=np.int64)).reshape(nchunks, mc)
+        np.arange(nchunks * mc, dtype=np.int64).reshape(nchunks, mc)
     )
+    if m_lo is not None:
+        m_chunks = m_chunks + jnp.asarray(m_lo, jnp.int64)
 
     pixarea = jnp.asarray(geom.pixarea, dtype=rdtype)
 
@@ -614,7 +622,7 @@ def _analysis_split(
 
     pos_re = _stitch(a_re, nm)
     pos_im = _stitch(a_im, nm)
-    if neg_m and m_lo == 0:
+    if neg_m and not uniform_neg:
         # legacy layout: columns m = 1 .. mmax
         neg_re = _stitch(n_re, nm)[..., 1 : mmax + 1]
         neg_im = _stitch(n_im, nm)[..., 1 : mmax + 1]
@@ -796,20 +804,24 @@ def analysis_split(
 
     if m_window is not None:
         m0, m1 = int(m_window[0]), int(m_window[1])
-        if not (0 <= m0 < m1 <= mmax + 1):
-            raise ValueError(f"invalid m_window {m_window} for mmax {mmax}")
+        if not (0 <= m0 < m1):
+            raise ValueError(f"invalid m_window {m_window}")
+        # m1 may exceed mmax + 1: coefficients at m > lmax are exactly
+        # zero (the Legendre recurrence has no l >= m rows there), so a
+        # constant window width can be shared across band limits.
         width = m1 - m0
         # no cached Legendre table for windows (keys are 0-based); the
-        # in-scan recurrence handles arbitrary m values
+        # in-scan recurrence handles arbitrary m values.  m_lo is traced:
+        # every same-width window reuses one compiled program.
         pr, pi, nr, ni = _analysis_split(
-            fr, fi, geom_arrays(nside), nside, lmax, m1 - 1, neg_m, None,
-            m_lo=m0,
+            fr, fi, geom_arrays(nside), nside, lmax, width - 1, neg_m, None,
+            uniform_neg=True, m_lo=np.int64(m0),
         )
         if m0 == 0 and neg_m:
-            # legacy neg (width m1-1, col j <-> m=j+1) -> uniform
-            z = jnp.zeros(nr.shape[:-1] + (1,), nr.dtype)
-            nr = jnp.concatenate([z, nr], axis=-1)
-            ni = jnp.concatenate([z, ni], axis=-1)
+            # the uniform m = 0 column is the (meaningless) conjugate
+            # duplicate: zero it
+            nr = nr.at[..., 0].set(0.0)
+            ni = ni.at[..., 0].set(0.0)
         pos = za.Z(
             pr.reshape(lead + (lmax + 1, width)),
             pi.reshape(lead + (lmax + 1, width)),

@@ -104,7 +104,11 @@ def btm_resident(tel, bl_indices, f_indices, m_range=None):
                 # this chunk only carries m <= sub_lmax
                 if m0 > sub_lmax:
                     continue
-                sub_win = (m0, min(m1, sub_lmax + 1))
+                # full window width (not clamped to sub_lmax): m > l
+                # coefficients are exactly zero by the Legendre
+                # recurrence, and a constant width shares one compiled
+                # program across chunks and windows
+                sub_win = (m0, m1)
 
             # btrans = conj(SHT(conj(map))) (reference telescope.py:1188-1191)
             p, n = sht.analysis_split(
@@ -148,7 +152,7 @@ def btm_resident(tel, bl_indices, f_indices, m_range=None):
 
 def _build_beam_batch(
     pos_re, pos_im, neg_re, neg_im, mv, npairs, nfreq_full, npol, nl,
-    f_idx=None, fmask=None, m_lo: int = -1,
+    f_idx=None, fmask=None, m_lo=None,
 ):
     """(M, F, T, npol*nl) beam planes from the resident (l, m) tables.
 
@@ -158,12 +162,13 @@ def _build_beam_batch(
     padding slots) — the gather happens *after* the per-m slice so no
     full-band copy of the tables is ever made.  ``m_lo >= 0`` selects
     the uniform m-window layout (column j <-> m = m_lo + j in *both*
-    planes); the default -1 is the legacy full-range layout (neg column
-    j <-> m = j + 1).
+    planes; ``m_lo`` is a traced scalar so all same-width windows share
+    one compiled program); the default None is the legacy full-range
+    layout (neg column j <-> m = j + 1).
     """
 
     def build_one(m):
-        if m_lo >= 0:
+        if m_lo is not None:
             col = jnp.maximum(m - m_lo, 0)
             p_re = jnp.take(pos_re, col, axis=-1)  # (nu, npol, nl)
             p_im = jnp.take(pos_im, col, axis=-1)
@@ -200,12 +205,12 @@ def _build_beam_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("npairs", "nfreq", "nl", "npol", "polsvcut", "m_lo"),
+    static_argnames=("npairs", "nfreq", "nl", "npol", "polsvcut"),
 )
 def _svdcount_batch(
     pos_re, pos_im, neg_re, neg_im, noisew, mv,
     npairs: int, nfreq: int, nl: int, npol: int = 1, polsvcut: float = 1e-4,
-    m_lo: int = -1,
+    m_lo=None,
 ):
     """Per-(m, freq) retained SVD mode counts — the cheap sizing pass.
 
@@ -237,7 +242,6 @@ def _svdcount_batch(
     static_argnames=(
         "npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels",
         "fg_k_cap", "sig_k_cap", "band_rel", "method", "s_cap", "nfreq_full",
-        "m_lo",
     ),
 )
 def _resident_batch(
@@ -263,7 +267,7 @@ def _resident_batch(
     nfreq_full: int = 0,
     f_idx=None,
     fmask=None,
-    m_lo: int = -1,
+    m_lo=None,
 ):
     """Build the m-batch beam matrices on device and run the product step.
 
@@ -300,7 +304,6 @@ def _resident_batch(
     static_argnames=(
         "npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels",
         "fg_k_cap", "sig_k_cap", "band_rel", "method", "s_cap", "nfreq_full",
-        "m_lo",
     ),
 )
 def _spectrum_batch(
@@ -326,7 +329,7 @@ def _spectrum_batch(
     nfreq_full: int = 0,
     f_idx=None,
     fmask=None,
-    m_lo: int = -1,
+    m_lo=None,
 ):
     """Spectrum-only product batch: returns just (evals, nmodes), so XLA
     dead-code-eliminates the eigenvector/beam outputs a spectrum pass
@@ -506,7 +509,7 @@ def product_all_resident(
     if max_m is not None:
         m_hi = min(m_hi, m_lo + max_m)
     nm = m_hi - m_lo
-    m_static = m_lo if m_range is not None else -1
+    m_static = np.int32(m_lo) if m_range is not None else None
     nl = tel.lmax + 1
     dt = pos.re.dtype
     F = tel.nfreq
