@@ -257,18 +257,20 @@ def _split_xs(xs):
 _LEGENDRE_DEV_CACHE = {}
 
 
-def _legendre_table(geom, lmax: int, mmax: int, rdtype):
-    """Device-cached full Legendre table, chunked to match the m scan.
+def _legendre_table(geom, lmax: int, mmax: int, rdtype, m_start: int = 0):
+    """Device-cached Legendre table, chunked to match the m scan.
 
     The recurrence depends only on (nside, lmax, m) — recomputing it
     inside every analysis/synthesis call made the scan's 300+ tiny
     sequential steps the dominant cost of large-nside SHTs (measured
     ~0.4 s/unit at nside 256 vs 8 ms at nside 128).  The table is built
-    once per (nside, lmax, mmax, dtype) and reused as a scan input;
-    shape (nchunks, lmax+1, mc, nring).  ``DRIFTSCAN_TPU_LEGENDRE_CACHE_GB``
-    (default 1.0) bounds the *total* bytes cached across all keys: older
-    tables are LRU-evicted to make room, and a single table larger than
-    the whole budget returns None (callers fall back to the in-scan
+    once per (nside, lmax, mmax, m_start, dtype) and reused as a scan
+    input; shape (nchunks, lmax+1, mc, nring), covering the mmax+1 m
+    values starting at ``m_start`` (an m-window: columns at m > lmax
+    are exactly zero).  ``DRIFTSCAN_TPU_LEGENDRE_CACHE_GB`` (default
+    1.0) bounds the *total* bytes cached across all keys: older tables
+    are LRU-evicted to make room, and a single table larger than the
+    whole budget returns None (callers fall back to the in-scan
     recurrence).
     """
     import os
@@ -281,7 +283,7 @@ def _legendre_table(geom, lmax: int, mmax: int, rdtype):
     if nbytes > budget:
         return None
 
-    key = (geom.nside, lmax, mmax, np.dtype(rdtype).name)
+    key = (geom.nside, lmax, mmax, int(m_start), np.dtype(rdtype).name)
     tab = _LEGENDRE_DEV_CACHE.get(key)
     if tab is not None:
         # LRU: refresh position on hit so reused tables survive eviction.
@@ -294,13 +296,17 @@ def _legendre_table(geom, lmax: int, mmax: int, rdtype):
             old = _LEGENDRE_DEV_CACHE.pop(next(iter(_LEGENDRE_DEV_CACHE)))
             total -= int(old.nbytes)
             del old
-        logpref = jnp.asarray(_log_lambda_mm_prefactor(max(lmax, mmax)))
+        # logpref must cover the largest m in the window; rows at
+        # m > lmax stay identically zero (the recurrence never seeds).
+        logpref = jnp.asarray(
+            _log_lambda_mm_prefactor(max(lmax, m_start + mmax))
+        )
         cos_t = jnp.asarray(geom.cos_theta)
         sin_t = jnp.asarray(geom.sin_theta)
         fn = jax.jit(_legendre_chunk, static_argnames=("lmax",))
         chunks = [
             fn(
-                jnp.arange(c * mc, (c + 1) * mc, dtype=jnp.int64),
+                m_start + jnp.arange(c * mc, (c + 1) * mc, dtype=jnp.int64),
                 cos_t,
                 sin_t,
                 lmax,
@@ -810,11 +816,18 @@ def analysis_split(
         # zero (the Legendre recurrence has no l >= m rows there), so a
         # constant window width can be shared across band limits.
         width = m1 - m0
-        # no cached Legendre table for windows (keys are 0-based); the
-        # in-scan recurrence handles arbitrary m values.  m_lo is traced:
-        # every same-width window reuses one compiled program.
+        # Window tables are cached per (nside, lmax, width, m0): in the
+        # m-streaming runs every unit chunk of a (nside, lmax) bucket
+        # re-enters the same window, and the in-scan recurrence's ~lmax
+        # sequential tiny steps dominate the chunk cost at large nside
+        # (the phase/Legendre matmuls are milliseconds).  m_lo is traced
+        # and the table is a scan input: every same-shaped window reuses
+        # one compiled program.
+        lam = _legendre_table(
+            ring_geometry(nside), lmax, width - 1, fr.dtype, m_start=m0
+        )
         pr, pi, nr, ni = _analysis_split(
-            fr, fi, geom_arrays(nside), nside, lmax, width - 1, neg_m, None,
+            fr, fi, geom_arrays(nside), nside, lmax, width - 1, neg_m, lam,
             uniform_neg=True, m_lo=np.int64(m0),
         )
         if m0 == 0 and neg_m:

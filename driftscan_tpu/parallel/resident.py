@@ -82,7 +82,13 @@ def btm_resident(tel, bl_indices, f_indices, m_range=None):
         for take in teles.sht_unit_chunks(len(bucket), 12 * int(ns) ** 2, npol):
             sel = bucket[boff : boff + take]
             boff += take
-            sub_lmax = int(lmax_arr[sel].max())
+            # Quantise the chunk band limit to a power-of-two fraction of
+            # the telescope lmax: every distinct sub_lmax is a separate
+            # remote-AOT compile (minutes each) *and*, in windowed runs,
+            # a separate ~GB device Legendre table — quantisation caps
+            # both at log2(lside) variants.  The extra l rows are exact
+            # zeros past each unit's own band-limit mask below.
+            sub_lmax = min(lside, _quant_frac(int(lmax_arr[sel].max()), lside))
 
             # pad the unit batch to a power of two for shape-stable compiles
             nsel = len(sel)
