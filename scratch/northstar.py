@@ -5,8 +5,11 @@ with the bucketed dispatcher compacting the high-m pencils (the 400-800
 MHz band thins linearly in frequency above m ~ 503).  Logs per-phase
 wall-clock and writes a JSON record for the design doc.
 """
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, "/root/repo")
+# windowed Legendre tables at nside 512 / lmax 1006 / width ~126 are
+# ~1.05 GB each; allow two (the 512 and 256 buckets) plus slack
+os.environ.setdefault("DRIFTSCAN_TPU_LEGENDRE_CACHE_GB", "3.0")
 import numpy as np, jax, jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
