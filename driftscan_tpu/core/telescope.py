@@ -792,9 +792,11 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
                     np.complex64 if np.iscomplexobj(beam) else np.float32
                 )
             limit = self.beam_cache_size << 20
-            if self._beam_cache_bytes + beam.nbytes > limit:
-                self._beam_cache.clear()
-                self._beam_cache_bytes = 0
+            while (
+                self._beam_cache_bytes + beam.nbytes > limit and self._beam_cache
+            ):
+                old = self._beam_cache.pop(next(iter(self._beam_cache)))
+                self._beam_cache_bytes -= old.nbytes
             self._beam_cache[key] = beam
             self._beam_cache_bytes += beam.nbytes
         return self._beam_cache[key]
@@ -819,9 +821,15 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
             self._beam_dev_cache.pop(key)
             self._beam_dev_cache[key] = beam
         if beam is None:
-            host = self._beam(feed, fi)
-            beam = jnp.asarray(host)
-            nbytes = host.nbytes
+            # Telescopes whose beam math is jax-traceable evaluate it
+            # directly on the accelerator (only interpolation tables
+            # cross the link); arbitrary subclass Python falls back to
+            # host evaluation plus a map-sized transfer.
+            dev_eval = getattr(self, "_beam_device_eval", None)
+            beam = dev_eval(feed, fi) if dev_eval is not None else None
+            if beam is None:
+                beam = jnp.asarray(self._beam(feed, fi))
+            nbytes = int(beam.nbytes)
             while (
                 self._beam_dev_bytes + nbytes > self._beam_dev_budget
                 and self._beam_dev_cache

@@ -78,6 +78,11 @@ def btm_resident(tel, bl_indices, f_indices, m_range=None):
 
     for ns in np.unique(nsides):
         bucket = np.nonzero(nsides == ns)[0]
+        # Frequency-major order within the bucket: the unique beams are
+        # per-(freq, beamclass), so consecutive chunks then share them
+        # across baselines and the device beam cache serves each beam
+        # once per window instead of once per baseline.
+        bucket = bucket[np.argsort(f_indices[bucket], kind="stable")]
         boff = 0
         for take in teles.sht_unit_chunks(len(bucket), 12 * int(ns) ** 2, npol):
             sel = bucket[boff : boff + take]

@@ -131,6 +131,19 @@ class CylinderTelescope(telescope.TransitTelescope):
             fwhm_ns,
         )
 
+    def _feed_beam_device(self, freq, fwhm_ew, fwhm_ns, pol):
+        """Accelerator-evaluated cylbeam at the current grid (see
+        cylbeam.beam_device); only valid after ``_init_trans``."""
+        return cylbeam.beam_device(
+            self._angpos_cart,
+            self._horizon,
+            self.zenith,
+            self.cylinder_width / self.wavelengths[freq],
+            fwhm_ew,
+            fwhm_ns,
+            pol=pol,
+        )
+
 
 class UnpolarisedCylinderTelescope(
     CylinderTelescope, telescope.SimpleUnpolarisedTelescope
@@ -139,6 +152,22 @@ class UnpolarisedCylinderTelescope(
 
     def beam(self, feed, freq):
         return self._feed_beam(cylbeam.beam_amp, freq, self.fwhm_h, self.fwhm_h)
+
+    def _beam_device_eval(self, feed, freq):
+        """On-device beam (None -> host fallback).
+
+        Gated on the beam methods being this class's own: a subclass
+        that overrides the beam physics must fall back to evaluating its
+        Python on the host.
+        """
+        cls = type(self)
+        if (
+            cls.beam is not UnpolarisedCylinderTelescope.beam
+            or cls._feed_beam is not CylinderTelescope._feed_beam
+            or not self.single_precision
+        ):
+            return None
+        return self._feed_beam_device(freq, self.fwhm_h, self.fwhm_h, None)
 
 
 class PolarisedCylinderTelescope(
@@ -151,3 +180,21 @@ class PolarisedCylinderTelescope(
 
     def beamy(self, feed, freq):
         return self._feed_beam(cylbeam.beam_y, freq, self.fwhm_e, self.fwhm_h)
+
+    def _beam_device_eval(self, feed, freq):
+        """On-device X/Y dipole beam (None -> host fallback; see the
+        unpolarised variant for the override gate)."""
+        cls = type(self)
+        if (
+            cls.beamx is not PolarisedCylinderTelescope.beamx
+            or cls.beamy is not PolarisedCylinderTelescope.beamy
+            or cls.beam is not telescope.SimplePolarisedTelescope.beam
+            or cls._feed_beam is not CylinderTelescope._feed_beam
+            or not self.single_precision
+        ):
+            return None
+        # beam_y swaps the fwhm order (H-plane east-west, E-plane
+        # north-south) — mirror beamx/beamy above.
+        if self.beamclass[feed] % 2 == 0:
+            return self._feed_beam_device(freq, self.fwhm_e, self.fwhm_h, "x")
+        return self._feed_beam_device(freq, self.fwhm_h, self.fwhm_e, "y")
