@@ -49,7 +49,7 @@ from . import zarray as za
 # ------------------------------------------------------------------
 
 
-def factor_cl(cl, out_dtype=np.float32):
+def factor_cl(cl, out_dtype=np.float32, compact_rank=True, rank_rtol=1e-15):
     """Factor per-l sky covariance blocks: C_l = L_l L_l^H (host, f64).
 
     Parameters
@@ -60,14 +60,36 @@ def factor_cl(cl, out_dtype=np.float32):
     out_dtype
         dtype of the returned factor (factor entries span only half the
         decades of the covariance, so f32 is adequate for f32 pipelines).
+    compact_rank
+        Spectrally smooth covariances (foregrounds: the whole premise of
+        KL foreground removal) have tiny per-(l, pol) numerical
+        frequency rank r even at hundreds of frequencies.  When the
+        worst block's rank is below F/2, factor by per-block f64 eigh
+        truncated at ``rank_rtol * w_max(l, pol)`` instead of Cholesky:
+        the downstream pencil width — and with it the memory and the
+        per-round CholeskyQR cost of the noise whitening, both linear in
+        the factor width — shrinks by F/r (measured 768 -> 24 columns
+        for the standard foreground model at 256 frequencies).
+        Full-rank covariances (the 21 cm signal, which decorrelates
+        rapidly in frequency) fall back to the Cholesky path
+        automatically.
+    rank_rtol
+        Relative eigenvalue cut (vs the per-block maximum) for
+        ``compact_rank``.  The default sits at f64 eigh resolution:
+        KL pencil eigenvalues are sensitive to *absolute* covariance
+        perturbations at the thermal floor — many decades below the
+        foreground maximum — so the cut must discard only what the f64
+        input rounding already corrupts (a per-l-max-relative 1e-12 cut
+        measurably biases near-floor KL eigenvalues by ~1%).
 
     Returns
     -------
     L : (nl, npol, F, K) array such that
         C_l[p,q,f,g] = sum_k L[l,p,f,k] L[l,q,g,k].
         For pol-block-diagonal covariances (every standard sky model) the
-        zero columns are compacted away: K = n_active_pols * F, which
-        directly shrinks the pencil's factor width downstream.
+        zero columns are compacted away: K = n_active_pols * F (or
+        n_active_pols * r_max when rank compaction wins), which directly
+        shrinks the pencil's factor width downstream.
     """
     cl = np.asarray(cl, dtype=np.float64)
     npol, _, nl, F, _ = cl.shape
@@ -105,6 +127,33 @@ def factor_cl(cl, out_dtype=np.float32):
     )
     if not cross:
         active_pols = [p for p in range(npol) if np.any(cl[p, p])]
+
+        if compact_rank and active_pols:
+            # Measure the numerical frequency rank per (l, pol) block.
+            facs, ranks = [], []
+            for p in active_pols:
+                b = 0.5 * (cl[p, p] + cl[p, p].transpose(0, 2, 1))
+                w, q = np.linalg.eigh(b)  # ascending
+                wmax = np.maximum(w[:, -1:], 0.0)
+                keep = w > rank_rtol * wmax + 1e-300
+                ranks.append(int(keep.sum(axis=1).max()))
+                facs.append((w, q, keep))
+            r_max = max(ranks)
+            if r_max <= F // 2:
+                # quantise to a power of two: the factor width is a
+                # compiled-shape axis downstream
+                r_q = 1 << (max(r_max, 1) - 1).bit_length()
+                K = len(active_pols) * r_q
+                L = np.zeros((nl, npol, F, K))
+                for i, (p, (w, q, keep)) in enumerate(zip(active_pols, facs)):
+                    # top-r_q eigenpairs are the last r_q columns (w asc)
+                    wt = np.where(keep, np.maximum(w, 0.0), 0.0)[:, -r_q:]
+                    qt = q[:, :, -r_q:]
+                    L[:, p, :, i * r_q : (i + 1) * r_q] = qt * np.sqrt(wt)[
+                        :, None, :
+                    ]
+                return np.ascontiguousarray(L.astype(out_dtype))
+
         K = max(len(active_pols), 1) * F
         L = np.zeros((nl, npol, F, K))
         for i, p in enumerate(active_pols):

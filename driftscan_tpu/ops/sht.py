@@ -257,6 +257,17 @@ def _split_xs(xs):
 _LEGENDRE_DEV_CACHE = {}
 
 
+def clear_legendre_cache():
+    """Drop all device-cached Legendre tables (frees their HBM).
+
+    m-windowed runs build per-window tables that are never reused once
+    the window completes; callers interleaving windowed SHTs with other
+    HBM-hungry phases (the resident product pipeline) clear between
+    phases instead of waiting for LRU eviction at the next build.
+    """
+    _LEGENDRE_DEV_CACHE.clear()
+
+
 def _legendre_table(geom, lmax: int, mmax: int, rdtype, m_start: int = 0):
     """Device-cached Legendre table, chunked to match the m scan.
 

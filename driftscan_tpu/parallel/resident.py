@@ -462,10 +462,17 @@ def _analytic_dof_bound(tel, nm):
     return np.minimum(np.minimum(pair_rows, lrows), S).sum(axis=1)  # (nm,)
 
 
-def _auto_mbatch_n(n: int, K: int, hbm_budget_gb=4.0, cap: int = 16):
-    """m-batch size for a pencil of dimension ``n`` (see _auto_mbatch)."""
+def _auto_mbatch_n(n: int, K: int, hbm_budget_gb=4.0, cap: int = 16, K_aug=None):
+    """m-batch size for a pencil of dimension ``n`` (see _auto_mbatch).
+
+    ``K`` sizes the whitened signal factor; ``K_aug`` (default ``K``)
+    sizes the noise-side QR augmentation — with rank-compacted
+    foreground factors (fpencil.factor_cl) the two differ by an order
+    of magnitude.
+    """
     n2, k2 = 2 * n, 2 * K
-    per_m = ((k2 + n2) * n2 + n2 * k2 + 6 * n2 * n2) * 4.0 * 3.0
+    k2a = 2 * (K if K_aug is None else K_aug)
+    per_m = ((k2a + n2) * n2 + n2 * k2 + 6 * n2 * n2) * 4.0 * 3.0
     budget = hbm_budget_gb * 2**30
     mb = int(max(1, min(cap, budget // max(per_m, 1.0))))
     return 1 << (mb.bit_length() - 1)  # power of two
@@ -526,7 +533,9 @@ def product_all_resident(
     F = tel.nfreq
     S = min(nl, 2 * tel.npairs)
     npol = tel.num_pol_sky
-    K_cov = nl * npol * F
+    # true pencil factor widths (rank-compacted factors shrink these)
+    K_cov = nl * int(np.asarray(ls).shape[-1])
+    K_aug = nl * int(np.asarray(lf).shape[-1])
 
     multi = mesh is not None and mesh.devices.size > 1
     if bucket is None:
@@ -611,7 +620,7 @@ def product_all_resident(
             act0 = int((counts[s] > 0).sum())
             sq = _quant_frac(cap0, S)
             fq = _quant_frac(act0, F)
-            mb = _auto_mbatch_n(fq * sq, K_cov)
+            mb = _auto_mbatch_n(fq * sq, K_cov, K_aug=K_aug)
             ms = m_lo + np.arange(s, min(s + mb, nm))
             # the chunk's true requirements (head m has the largest
             # support, but quantisation can still be exceeded mid-chunk)
@@ -632,7 +641,7 @@ def product_all_resident(
             else:
                 # never grow the chunk past what the caps were measured
                 # on; shrink if the final dimension needs a smaller batch
-                mb2 = min(mb, _auto_mbatch_n(fq * sq, K_cov))
+                mb2 = min(mb, _auto_mbatch_n(fq * sq, K_cov, K_aug=K_aug))
                 if mb2 < mb:
                     mb = mb2
                     ms = ms[:mb]

@@ -9,7 +9,7 @@ import json, os, sys, time
 sys.path.insert(0, "/root/repo")
 # windowed Legendre tables at nside 512 / lmax 1006 / width ~126 are
 # ~1.05 GB each; allow two (the 512 and 256 buckets) plus slack
-os.environ.setdefault("DRIFTSCAN_TPU_LEGENDRE_CACHE_GB", "3.0")
+os.environ.setdefault("DRIFTSCAN_TPU_LEGENDRE_CACHE_GB", "2.0")
 import numpy as np, jax, jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -17,6 +17,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import bench
 from driftscan_tpu.telescope import cylinder
+from driftscan_tpu.ops import sht
 from driftscan_tpu.parallel import mstep, resident
 
 T0 = time.time()
@@ -40,7 +41,8 @@ st = time.time()
 cl_s, cl_n, noisew, _ = bench._covariances(tel)
 ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)
 rec["t_cov_s"] = round(time.time() - st, 1)
-log(f"covariances {rec['t_cov_s']}s")
+rec["K_signal"], rec["K_fg"] = int(ls.shape[-1]), int(lf.shape[-1])
+log(f"covariances {rec['t_cov_s']}s (factor widths: signal {ls.shape[-1]}, fg {lf.shape[-1]})")
 
 bl = np.arange(tel.npairs); fi = np.arange(tel.nfreq)
 blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
@@ -49,7 +51,7 @@ blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
 # over the 15.75 GB HBM — so the run streams m-windows: each window's
 # BTM costs its share of the SHT (the m-chunk scan just starts at m0)
 # plus a re-run of the pixel-space beam products.
-W = 8
+W = 16
 edges = np.linspace(0, nm, W + 1).astype(int)
 rec["m_windows"] = W
 t_btm = t_prod = 0.0
@@ -59,6 +61,9 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
     pos, neg = resident.btm_resident(tel, blg, fig, m_range=(int(m0), int(m1)))
     _ = float(np.asarray(pos.re.sum()))
     tb = time.time() - st
+    # per-window Legendre tables are never reused once the window's SHT
+    # is done: free their HBM before the product phase allocates
+    sht.clear_legendre_cache()
     t_btm += tb
     st = time.time()
     ev, nmo = resident.product_all_resident(

@@ -208,6 +208,75 @@ class TestFactorCl:
         assert np.allclose(got, want, rtol=1e-6, atol=1e-6 * np.abs(want).max())
 
 
+class TestFactorClRankCompaction:
+    def _smooth_cl(self, nl, F, corr=0.5):
+        """Pol-diagonal, spectrally smooth (low-rank) covariance."""
+        nu = np.linspace(1.0, 2.0, F)
+        lognu = np.log(nu)
+        c = np.exp(-((lognu[:, None] - lognu[None, :]) ** 2) / (2 * corr**2))
+        cl = np.zeros((2, 2, nl, F, F))
+        amp = np.logspace(6, 0, nl)
+        cl[0, 0] = amp[:, None, None] * c
+        cl[1, 1] = 0.5 * amp[:, None, None] * c
+        return cl
+
+    def test_compacted_width_and_roundtrip(self):
+        nl, F = 6, 64
+        cl = self._smooth_cl(nl, F)
+        L = fpencil.factor_cl(cl, out_dtype=np.float64)
+        # smooth covariance must compact well below the full 2F width
+        assert L.shape[-1] < F
+        m2 = np.einsum("lpfk,lqgk->lpfqg", L, L).reshape(nl, 2 * F, 2 * F)
+        m = cl.transpose(2, 0, 3, 1, 4).reshape(nl, 2 * F, 2 * F)
+        assert np.allclose(m2, m, rtol=1e-9, atol=1e-9 * np.abs(m).max())
+
+    def test_full_rank_falls_back_to_cholesky_width(self):
+        rng = np.random.default_rng(11)
+        nl, F = 4, 16
+        a = rng.standard_normal((nl, F, F))
+        cl = np.zeros((1, 1, nl, F, F))
+        cl[0, 0] = np.einsum("lij,lkj->lik", a, a)
+        L = fpencil.factor_cl(cl, out_dtype=np.float64)
+        assert L.shape[-1] == F
+        m2 = np.einsum("lpfk,lqgk->lpfqg", L, L).reshape(nl, F, F)
+        assert np.allclose(m2, cl[0, 0], rtol=1e-8,
+                           atol=1e-8 * np.abs(cl).max())
+
+    def test_compaction_preserves_kl_spectrum(self):
+        # the real foreground model (the production use of compaction):
+        # per-(l, pol) rank ~7 at any frequency count
+        from driftscan_tpu.core import skymodel
+
+        rng = np.random.default_rng(3)
+        nl, F, S, npol = 9, 48, 2, 1
+        freqs = np.linspace(400.0, 800.0, F)
+        cl_f = skymodel.foreground_model(nl - 1, freqs, npol=1)
+        a = rng.standard_normal((nl, F, F)) * 0.05
+        cl_s = np.zeros((1, 1, nl, F, F))
+        cl_s[0, 0] = np.einsum("lij,lkj->lik", a, a)
+
+        lf_c = fpencil.factor_cl(cl_f, out_dtype=np.float64)
+        lf_full = fpencil.factor_cl(cl_f, out_dtype=np.float64,
+                                    compact_rank=False)
+        assert lf_c.shape[-1] <= F // 2 < lf_full.shape[-1]
+        ls = fpencil.factor_cl(cl_s, out_dtype=np.float64)
+
+        b = rng.standard_normal((F, S, npol, nl)) + 1j * rng.standard_normal(
+            (F, S, npol, nl)
+        )
+        def bf(L):
+            return np.einsum("fapl,lpfk->falk", b, L, optimize=True).reshape(
+                F * S, nl * L.shape[-1]
+            )
+
+        evs = []
+        for lf in (lf_c, lf_full):
+            ev, _ = fpencil.kl_solve_dense_ref(bf(ls), bf(lf))
+            evs.append(ev)
+        sel = evs[1] > 1e-2
+        assert np.allclose(evs[0][sel], evs[1][sel], rtol=1e-5)
+
+
 class TestRankCappedBands:
     def test_topk_matches_exact_spectrum_top(self):
         rng = np.random.default_rng(21)
