@@ -124,9 +124,11 @@ def _covariances(tel):
             )
         ]
     )
-    return cl_s.astype(np.float32), cl_n.astype(np.float32), noisew.astype(
-        np.float32
-    ), npower.astype(np.float32)
+    # covariances stay f64: factor_cl's rank compaction measures the
+    # numerical rank at f64 resolution (an early f32 cast raises the
+    # noise floor above the cut and silently disables compaction); the
+    # factors themselves are cast to f32 downstream.
+    return cl_s, cl_n, noisew.astype(np.float32), npower.astype(np.float32)
 
 
 def _beam_batch(tarray, ms, tel, mbatch):

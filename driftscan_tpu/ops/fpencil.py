@@ -91,6 +91,13 @@ def factor_cl(cl, out_dtype=np.float32, compact_rank=True, rank_rtol=1e-15):
         n_active_pols * r_max when rank compaction wins), which directly
         shrinks the pencil's factor width downstream.
     """
+    in_eps = np.finfo(np.asarray(cl).dtype).eps
+    # The rank floor can't sit below the input's own rounding noise: an
+    # f32-cast covariance has eigenvalue noise ~sqrt(F)*eps32*w_max, so
+    # a 1e-15 cut correctly measures full rank there and compaction
+    # falls back to Cholesky (callers wanting compaction must supply
+    # f64 covariances — see bench._covariances).
+    rank_rtol = max(rank_rtol, 8.0 * float(in_eps))
     cl = np.asarray(cl, dtype=np.float64)
     npol, _, nl, F, _ = cl.shape
 

@@ -31,6 +31,29 @@ from ..ops import sht, zarray as za
 from . import mstep
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _tables_set(pr, pi, nr, ni, sel, p_re, p_im, n_re, n_im, pm):
+    """Scatter a chunk into the resident BTM tables, in place.
+
+    The tables are donated: the eager ``tab.at[...].set`` this replaces
+    allocated a full second copy of each multi-GB (l, m) table per
+    chunk, which at production band limits transiently doubled the
+    tables' HBM footprint and OOMed the windowed north-star runs.
+
+    ``sel`` is padded to the chunk's power-of-two batch with the
+    out-of-bounds index ``nu`` — scatter drops those rows, so the padded
+    duplicate units in the beam batch never land in the tables.
+    """
+    npol_t, subl = p_re.shape[1], p_re.shape[2]
+    wp, wn = p_re.shape[3], n_re.shape[3]
+    pols, sub = np.s_[:npol_t], np.s_[:subl]
+    pr = pr.at[sel, pols, sub, :wp].set(p_re * pm)
+    pi = pi.at[sel, pols, sub, :wp].set(p_im * pm)
+    nr = nr.at[sel, pols, sub, :wn].set(n_re * pm)
+    ni = ni.at[sel, pols, sub, :wn].set(n_im * pm)
+    return pr, pi, nr, ni
+
+
 def btm_resident(tel, bl_indices, f_indices, m_range=None):
     """Compute BTMs for the given units, leaving them on device.
 
@@ -95,6 +118,18 @@ def btm_resident(tel, bl_indices, f_indices, m_range=None):
             # zeros past each unit's own band-limit mask below.
             sub_lmax = min(lside, _quant_frac(int(lmax_arr[sel].max()), lside))
 
+            sub_win = None
+            if m_range is not None:
+                # this chunk only carries m <= sub_lmax: skip before the
+                # (expensive) beam evaluation, not after
+                if m0 > sub_lmax:
+                    continue
+                # full window width (not clamped to sub_lmax): m > l
+                # coefficients are exactly zero by the Legendre
+                # recurrence, and a constant width shares one compiled
+                # program across chunks and windows
+                sub_win = (m0, m1)
+
             # pad the unit batch to a power of two for shape-stable compiles
             nsel = len(sel)
             npad = 1 << max(nsel - 1, 0).bit_length()
@@ -110,17 +145,6 @@ def btm_resident(tel, bl_indices, f_indices, m_range=None):
             if tel.single_precision:
                 cvis = za.Z(cvis.re.astype(jnp.float32), cvis.im.astype(jnp.float32))
 
-            sub_win = None
-            if m_range is not None:
-                # this chunk only carries m <= sub_lmax
-                if m0 > sub_lmax:
-                    continue
-                # full window width (not clamped to sub_lmax): m > l
-                # coefficients are exactly zero by the Legendre
-                # recurrence, and a constant width shares one compiled
-                # program across chunks and windows
-                sub_win = (m0, m1)
-
             # btrans = conj(SHT(conj(map))) (reference telescope.py:1188-1191)
             p, n = sht.analysis_split(
                 cvis.conj(), lmax=sub_lmax, neg_m=True, m_window=sub_win
@@ -133,30 +157,24 @@ def btm_resident(tel, bl_indices, f_indices, m_range=None):
                 n = za.Z(n.re[:, None], n.im[:, None])
             npol_t = p.re.shape[1]
 
-            # per-unit band-limit mask
+            # per-unit band-limit mask; padded batch rows get lmax -1
+            # (fully masked) and the out-of-bounds scatter index nu, so
+            # the duplicate units are dropped by the scatter itself
             ls = np.arange(sub_lmax + 1)
-            lmask = jnp.asarray(
-                (ls[None, :] <= lmax_arr[sel, None]).astype(np.float32), dtype=dt
+            lmax_pad = np.concatenate(
+                [lmax_arr[sel], np.full(npad - nsel, -1, dtype=lmax_arr.dtype)]
             )
-            sub = np.s_[: sub_lmax + 1]
+            lmask = jnp.asarray(
+                (ls[None, :] <= lmax_pad[:, None]).astype(np.float32), dtype=dt
+            )
+            sel_pad = jnp.asarray(
+                np.concatenate([sel, np.full(npad - nsel, nu)]).astype(np.int32)
+            )
 
             pm = lmask[:, None, :, None]  # masks l; broadcasts (pol, m)
-            pols = np.s_[:npol_t]
-            if m_range is None:
-                pos_re = pos_re.at[sel, pols, sub, : sub_lmax + 1].set(
-                    p.re[:nsel] * pm
-                )
-                pos_im = pos_im.at[sel, pols, sub, : sub_lmax + 1].set(
-                    p.im[:nsel] * pm
-                )
-                neg_re = neg_re.at[sel, pols, sub, :sub_lmax].set(n.re[:nsel] * pm)
-                neg_im = neg_im.at[sel, pols, sub, :sub_lmax].set(n.im[:nsel] * pm)
-            else:
-                w = sub_win[1] - sub_win[0]
-                pos_re = pos_re.at[sel, pols, sub, :w].set(p.re[:nsel] * pm)
-                pos_im = pos_im.at[sel, pols, sub, :w].set(p.im[:nsel] * pm)
-                neg_re = neg_re.at[sel, pols, sub, :w].set(n.re[:nsel] * pm)
-                neg_im = neg_im.at[sel, pols, sub, :w].set(n.im[:nsel] * pm)
+            pos_re, pos_im, neg_re, neg_im = _tables_set(
+                pos_re, pos_im, neg_re, neg_im, sel_pad, p.re, p.im, n.re, n.im, pm
+            )
 
     return za.Z(pos_re, pos_im), za.Z(neg_re, neg_im)
 
