@@ -134,7 +134,10 @@ def sht_unit_chunks(n_units: int, npix: int, npol: int = 1):
 
     budget = float(os.environ.get("DRIFTSCAN_TPU_SHT_BUDGET_GB", "2.0")) * 2**30
     per_unit = npix * 4.0 * 8.0 * max(npol, 1)  # ~8 f32 pixel temporaries
-    cap = max(8, int(budget / max(per_unit, 1.0)))
+    # No lower floor above 1: at nside 1024 a polarised unit's pixel
+    # temporaries are ~1.6 GB, and a forced 8-unit chunk (the old floor)
+    # alone exceeded the device memory of a 16 GB chip.
+    cap = max(1, int(budget / max(per_unit, 1.0)))
     cap = 1 << (cap.bit_length() - 1)  # round down to a power of two
 
     chunks = []

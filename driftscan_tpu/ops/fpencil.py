@@ -196,6 +196,83 @@ def beam_factor(bsvd: za.Z, L) -> za.Z:
     return za.Z(a_re.reshape(F * S, nl * K), a_im.reshape(F * S, nl * K))
 
 
+def beam_factor_compact(bsvd: za.Z, L, l_chunk: int = 64) -> za.Z:
+    """Width-compacted projected covariance factor: an (n, n) Cholesky
+    re-factorisation of S = (B L)(B L)^H.
+
+    :func:`beam_factor` returns a factor of width nl * K — at production
+    band limits (nl ~ 1000, K ~ 256) that is a multi-GB (n, 258k) array,
+    and every downstream pencil stage (triangular solve, Gram levels,
+    deflation) pays O(n^2 * width) for it.  But rank(S) <= n always, so
+    an (n, n) factor reproduces the pencil *exactly* up to formation
+    rounding.  This computes S by accumulating per-l-chunk Grams over a
+    ``lax.scan`` (the wide factor is never materialised), then takes a
+    shifted f64 complex Cholesky (the interleaved embedding preserves
+    triangularity — :func:`zarray.cholesky`), selecting the smallest
+    shift from a relative {1e-10, 1e-7, 1e-4, 1e-2} ladder that yields a
+    finite factor (all rungs cost ~n^3/3, trivial next to the Gram).
+
+    Accuracy envelope: the f32 Gram formation perturbs S by
+    ~sqrt(width) * eps32 * ||S||, so eigenvalues of the downstream
+    pencil are reliable down to ~1e-5 relative to the top — ample for
+    the *signal* side, whose whitened spectrum is the S/N spectrum (a
+    few decades above the retention threshold).  Do NOT use it for the
+    foreground side: the foreground spans ~14 decades and must stay in
+    true factored form for the QR whitening (see kl_solve_qr).
+    """
+    F, S = bsvd.re.shape[0], bsvd.re.shape[1]
+    nl, npol, _, K = L.shape
+    n = F * S
+    dt = bsvd.re.dtype
+
+    # pad the l axis to a chunk multiple (zero rows contribute nothing)
+    nlp = -(-nl // l_chunk) * l_chunk
+    pad = nlp - nl
+    b_re = jnp.pad(bsvd.re, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    b_im = jnp.pad(bsvd.im, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    Lp = jnp.pad(jnp.asarray(L, dtype=dt), ((0, pad), (0, 0), (0, 0), (0, 0)))
+
+    nc = nlp // l_chunk
+    # (F, S, npol, nc, lc) -> (nc, F, S, npol, lc); (nc, lc, npol, F, K)
+    b_re = jnp.moveaxis(b_re.reshape(F, S, npol, nc, l_chunk), 3, 0)
+    b_im = jnp.moveaxis(b_im.reshape(F, S, npol, nc, l_chunk), 3, 0)
+    Lc = Lp.reshape(nc, l_chunk, npol, F, K)
+
+    def body(acc, xs):
+        br, bi, lc = xs
+        ar = jnp.einsum("fapl,lpfk->falk", br, lc, optimize=True).reshape(n, -1)
+        ai = jnp.einsum("fapl,lpfk->falk", bi, lc, optimize=True).reshape(n, -1)
+        s_re = acc[0] + ar @ ar.T + ai @ ai.T
+        s_im = acc[1] + ai @ ar.T - ar @ ai.T
+        return (s_re, s_im), None
+
+    init = (jnp.zeros((n, n), dtype=dt), jnp.zeros((n, n), dtype=dt))
+    (s_re, s_im), _ = jax.lax.scan(body, init, (b_re, b_im, Lc))
+
+    # exact Hermitian symmetrisation before factoring
+    s_re = 0.5 * (s_re + s_re.T)
+    s_im = 0.5 * (s_im - s_im.T)
+
+    # f64 interleaved Cholesky with a relative shift ladder: S is PSD and
+    # often genuinely rank-deficient (band-limit masks), and the f32 Gram
+    # formation can push small eigenvalues slightly negative.
+    s_e = za.interleave(za.Z(s_re, s_im)).astype(jnp.float64)
+    dmax = jnp.max(jnp.diagonal(s_e)) + jnp.asarray(1e-300, jnp.float64)
+    eye = jnp.eye(2 * n, dtype=jnp.float64)
+
+    def chol_at(rel):
+        return jnp.linalg.cholesky(s_e + (rel * dmax) * eye)
+
+    out = chol_at(1e-2)  # always-finite backstop
+    for rel in (1e-4, 1e-7, 1e-10):
+        cand = chol_at(rel)
+        good = jnp.isfinite(cand[-1, -1])
+        out = jnp.where(good, cand, out)
+
+    lz = za.deinterleave(out)
+    return za.Z(lz.re.astype(dt), lz.im.astype(dt))
+
+
 # ------------------------------------------------------------------
 # Multi-level Gram deflation
 # ------------------------------------------------------------------

@@ -228,14 +228,17 @@ def eigvalsh(h: Z):
 
 
 def cholesky(h: Z) -> Z:
-    """Cholesky factor L (lower, complex) of Hermitian PD H via embedding.
+    """Cholesky factor L (lower, complex) of Hermitian PD H.
 
-    chol([[A, -B], [B, A]]) = [[L_r, 0], [L_i', ...]] does *not* directly
-    give the complex factor, so instead run the (vectorisable) complex
-    Cholesky-Crout recursion on split planes using a scan over columns.
-    For our uses (whitening) we instead solve via eigh, see solve_psd.
+    The *block* embedding chol([[A, -B], [B, A]]) does not give the
+    complex factor, but the :func:`interleave` embedding does: it is a
+    ring homomorphism with interleave(M)^T = interleave(M^H), and the
+    interleaved image of a complex lower-triangular matrix with real
+    positive diagonal is a real lower-triangular matrix with positive
+    diagonal — so by uniqueness of the Cholesky factorisation,
+    chol(interleave(H)) = interleave(L) exactly.
     """
-    raise NotImplementedError("use eigh-based whitening (solve_psd)")
+    return deinterleave(jnp.linalg.cholesky(interleave(h)))
 
 
 def whiten_eigh(s: Z, n: Z, floor: float = 0.0):

@@ -88,6 +88,7 @@ def kl_product_step_split(
     sig_k_cap: int = 0,
     method: str = "qr",
     s_cap: int = 0,
+    compact_signal: bool | None = None,
 ) -> ProductStepResultSplit:
     """SVD-compress and KL-filter a batch of m-modes in one jitted program.
 
@@ -154,7 +155,19 @@ def kl_product_step_split(
             bkl = bsvd
             S_kl = S
         b4 = bkl.reshape(F, S_kl, npol, nl)
-        a_s = fpencil.beam_factor(b4, ls)
+        n_kl = F * S_kl
+        # Re-factor the signal side to width n when the factored form is
+        # wider (production scale: (n, nl*K) ~ (2048, 258k)): rank(S) <= n
+        # makes the (n, n) Cholesky factor exact up to formation rounding,
+        # and every pencil stage downstream is O(n^2 * width).  The
+        # foreground must stay truly factored (14-decade spectrum).
+        do_compact = compact_signal
+        if do_compact is None:
+            do_compact = method == "qr" and nl * ls.shape[-1] > 2 * n_kl
+        if do_compact:
+            a_s = fpencil.beam_factor_compact(b4, ls)
+        else:
+            a_s = fpencil.beam_factor(b4, ls)
         a_f = fpencil.beam_factor(b4, lf)
         kl = fpencil.kl_solve(
             a_s,

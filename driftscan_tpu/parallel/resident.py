@@ -21,6 +21,7 @@ keeps everything resident:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -140,6 +141,15 @@ def btm_resident(tel, bl_indices, f_indices, m_range=None):
                 [f_indices[sel], np.repeat(f_indices[sel][-1], npad - nsel)]
             )
 
+            if os.environ.get("DRIFTSCAN_TPU_DEBUG_CHUNKS"):
+                import time as _time
+
+                print(
+                    f"[btm_resident +{_time.time():.0f}] nside={ns} "
+                    f"take={take} npad={npad} sub_lmax={sub_lmax} "
+                    f"win={sub_win}",
+                    flush=True,
+                )
             tel._init_trans(int(ns))
             cvis = tel._beam_map_batch_split(bsel, fsel)
             if tel.single_precision:
@@ -175,6 +185,9 @@ def btm_resident(tel, bl_indices, f_indices, m_range=None):
             pos_re, pos_im, neg_re, neg_im = _tables_set(
                 pos_re, pos_im, neg_re, neg_im, sel_pad, p.re, p.im, n.re, n.im, pm
             )
+            if os.environ.get("DRIFTSCAN_TPU_DEBUG_CHUNKS"):
+                # synchronous in debug mode so an OOM localises to a chunk
+                pos_re.block_until_ready()
 
     return za.Z(pos_re, pos_im), za.Z(neg_re, neg_im)
 

@@ -129,6 +129,7 @@ def _basis_np(zenith, rot):
 
 
 @functools.partial(jax.jit, static_argnames=("polarised",))
+@functools.partial(jax.jit, static_argnames=("polarised",))
 def _beam_device_kernel(
     cart, horizon, fx, kx0, inv_step, xhat, yhat, dipole, fwhm_ns, *, polarised
 ):
@@ -139,6 +140,11 @@ def _beam_device_kernel(
     The Fraunhofer abscissae are a uniform grid by construction
     (fftfreq), so the E-W lookup is direct index arithmetic — one gather
     instead of a searchsorted chain.
+
+    jitted into ONE program: the eager op-by-op dispatch of this ~15-op
+    chain over a 12.6M-pixel grid cost seconds per (freq, beamclass) on
+    the remote-attached runtime and dominated windowed north-star BTM
+    phases (512 evals per window); fused it is a few memory passes.
     """
     x = cart @ xhat
     t = (x - kx0) * inv_step

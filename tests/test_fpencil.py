@@ -510,3 +510,74 @@ class TestCholQR:
             fpencil._QR_IMPL = prev
         top = ev_h[-16:]
         np.testing.assert_allclose(ev_c[-16:], top, rtol=1e-6, atol=1e-9 * top.max())
+
+
+class TestBeamFactorCompact:
+    """Width compaction of the projected signal factor (n x n Cholesky)."""
+
+    def _structured(self, rng, F=3, S=4, npol=1, nl=16, K=8):
+        b = rng.standard_normal((F, S, npol, nl)) + 1j * rng.standard_normal(
+            (F, S, npol, nl)
+        )
+        # per-l factor with a decaying C_l-like column scale
+        L = rng.standard_normal((nl, npol, F, K)) * (
+            np.logspace(0, -2, nl)[:, None, None, None]
+        )
+        return za.of(b.astype(np.complex128)), np.ascontiguousarray(L)
+
+    def test_reproduces_covariance(self):
+        rng = np.random.default_rng(21)
+        b, L = self._structured(rng)
+        wide = za.to_numpy(fpencil.beam_factor(b, L))
+        want = wide @ wide.conj().T
+
+        lt = za.to_numpy(
+            jax.jit(lambda bb: fpencil.beam_factor_compact(bb, L, l_chunk=4))(b)
+        )
+        got = lt @ lt.conj().T
+        assert lt.shape == want.shape  # (n, n)
+        np.testing.assert_allclose(
+            got, want, rtol=1e-5, atol=1e-5 * np.abs(want).max()
+        )
+        # lower triangular (a genuine Cholesky factor)
+        assert np.allclose(np.triu(lt, 1), 0.0, atol=1e-12 * np.abs(lt).max())
+
+    def test_kl_evals_match_wide_factor(self):
+        """Pencil evals through the compacted factor match the wide one."""
+        rng = np.random.default_rng(22)
+        b, Ls = self._structured(rng, F=3, S=6, npol=1, nl=24, K=6)
+        _, Lf = self._structured(rng, F=3, S=6, npol=1, nl=24, K=6)
+        Lf = Lf * 300.0  # foreground-scale
+
+        a_s_w = fpencil.beam_factor(b, Ls)
+        a_s_c = fpencil.beam_factor_compact(b, Ls, l_chunk=8)
+        a_f = fpencil.beam_factor(b, Lf)
+
+        ev_w = np.asarray(fpencil.kl_solve_qr(a_s_w, a_f).evals)
+        ev_c = np.asarray(fpencil.kl_solve_qr(a_s_c, a_f).evals)
+        top = ev_w[-8:]
+        np.testing.assert_allclose(ev_c[-8:], top, rtol=1e-4, atol=1e-6 * top.max())
+
+    def test_product_step_compact_matches(self):
+        """kl_product_step_split with compact_signal on/off agrees on the
+        retained spectrum (f32 end-to-end)."""
+        import __graft_entry__ as g
+        from driftscan_tpu.parallel import mstep
+
+        npol, nl = 1, 8
+        beam, noisew, ls, lf, m_values = g._example_args(
+            nm=4, nfreq=2, ntel=8, npol=npol, nl=nl
+        )
+        kw = dict(npol=npol, nl=nl)
+        off = mstep.kl_product_step_split(
+            beam.real.copy(), beam.imag.copy(), noisew, ls, lf, m_values,
+            compact_signal=False, **kw
+        )
+        on = mstep.kl_product_step_split(
+            beam.real.copy(), beam.imag.copy(), noisew, ls, lf, m_values,
+            compact_signal=True, **kw
+        )
+        ev_off = np.asarray(off.evals, dtype=np.float64)
+        ev_on = np.asarray(on.evals, dtype=np.float64)
+        sel = ev_off > 1e-2 * max(ev_off.max(), 1.0)
+        np.testing.assert_allclose(ev_on[sel], ev_off[sel], rtol=1e-3)

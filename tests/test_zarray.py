@@ -133,3 +133,19 @@ def test_jit_compatible():
 
     w = np.asarray(f(za.of(h)))
     np.testing.assert_allclose(w, np.linalg.eigvalsh(h), atol=1e-9)
+
+
+def test_cholesky_complex():
+    """za.cholesky via the interleaved embedding equals the complex factor."""
+    import jax
+
+    rng = np.random.default_rng(17)
+    a = _crand(rng, 12, 20)
+    h = a @ a.conj().T + 0.1 * np.eye(12)
+
+    L = za.to_numpy(jax.jit(za.cholesky)(za.of(h)))
+    Ln = np.linalg.cholesky(h)
+    np.testing.assert_allclose(L, Ln, rtol=1e-10, atol=1e-12)
+    # lower triangular with real diagonal
+    assert np.allclose(np.triu(L, 1), 0.0)
+    assert np.allclose(np.diag(L).imag, 0.0)
