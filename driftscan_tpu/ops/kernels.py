@@ -81,21 +81,24 @@ def beam_solid_angle(beam, horizon):
     return jnp.sum(power * horizon, axis=-1) * (4 * jnp.pi / npix)
 
 
-def unpolarised_visibility(beam_i, beam_j, fringe_map, horizon):
+def unpolarised_visibility(beam_i, beam_j, fringe_map, horizon, pxarea=None):
     """Normalised visibility transfer map for an unpolarised feed pair.
 
     Mirrors UnpolarisedTelescope._beam_map_single
     (/root/reference/drift/core/telescope.py:1156-1176).
+
+    ``pxarea`` must be passed explicitly for ring-padded inputs (the
+    padding slots inflate the trailing axis, so 4*pi/shape is wrong).
     """
-    npix = beam_i.shape[-1]
-    pxarea = 4 * jnp.pi / npix
+    if pxarea is None:
+        pxarea = 4 * jnp.pi / beam_i.shape[-1]
     om_i = jnp.sum(jnp.abs(beam_i) ** 2 * horizon, axis=-1) * pxarea
     om_j = jnp.sum(jnp.abs(beam_j) ** 2 * horizon, axis=-1) * pxarea
     omega_a = jnp.sqrt(om_i * om_j)
     return horizon * fringe_map * beam_i * jnp.conj(beam_j) / omega_a[..., None]
 
 
-def stokes_visibility(beam_i, beam_j, fringe_map, horizon):
+def stokes_visibility(beam_i, beam_j, fringe_map, horizon, pxarea=None):
     """Stokes I/Q/U/V visibility transfer maps for a polarised feed pair.
 
     Fused equivalent of ``_construct_pol_real`` / ``_construct_pol_complex``
@@ -104,7 +107,8 @@ def stokes_visibility(beam_i, beam_j, fringe_map, horizon):
     output is (..., 4, npix), normalised by the geometric mean beam solid
     angle.
     """
-    pxarea = 4 * jnp.pi / beam_i.shape[-2]
+    if pxarea is None:
+        pxarea = 4 * jnp.pi / beam_i.shape[-2]
     pw_i = jnp.sum(jnp.abs(beam_i) ** 2, axis=-1)
     pw_j = jnp.sum(jnp.abs(beam_j) ** 2, axis=-1)
     om_i = jnp.sum(pw_i * horizon, axis=-1) * pxarea
@@ -182,35 +186,39 @@ def rotate_ypr(rot, xhat, yhat, zhat):
 
 
 @jax.jit
-def unpol_visibility_map(beam_i, beam_j, uv, zenith, angpos_cart, horizon):
+def unpol_visibility_map(beam_i, beam_j, uv, zenith, angpos_cart, horizon, pxarea=None):
     """fringe + normalised unpolarised visibility, fused under one jit."""
     fr = fringe(angpos_cart, zenith, uv)
-    return unpolarised_visibility(beam_i, beam_j, fr, horizon)
+    return unpolarised_visibility(beam_i, beam_j, fr, horizon, pxarea=pxarea)
 
 
 @jax.jit
-def stokes_visibility_map(beam_i, beam_j, uv, zenith, angpos_cart, horizon):
+def stokes_visibility_map(beam_i, beam_j, uv, zenith, angpos_cart, horizon, pxarea=None):
     """fringe + Stokes products, fused under one jit."""
     fr = fringe(angpos_cart, zenith, uv)
-    return stokes_visibility(beam_i, beam_j, fr, horizon)
+    return stokes_visibility(beam_i, beam_j, fr, horizon, pxarea=pxarea)
 
 
 @jax.jit
-def unpol_visibility_map_split(beam_i, beam_j, uv, zenith, angpos_cart, horizon):
+def unpol_visibility_map_split(beam_i, beam_j, uv, zenith, angpos_cart, horizon, pxarea=None):
     """Split-complex fused unpolarised visibility map."""
     from . import zarray as za
 
     fr = fringe_split(angpos_cart, zenith, uv)
-    return unpolarised_visibility_split(za.of(beam_i), za.of(beam_j), fr, horizon)
+    return unpolarised_visibility_split(
+        za.of(beam_i), za.of(beam_j), fr, horizon, pxarea=pxarea
+    )
 
 
 @jax.jit
-def stokes_visibility_map_split(beam_i, beam_j, uv, zenith, angpos_cart, horizon):
+def stokes_visibility_map_split(beam_i, beam_j, uv, zenith, angpos_cart, horizon, pxarea=None):
     """Split-complex fused Stokes visibility maps."""
     from . import zarray as za
 
     fr = fringe_split(angpos_cart, zenith, uv)
-    return stokes_visibility_split(za.of(beam_i), za.of(beam_j), fr, horizon)
+    return stokes_visibility_split(
+        za.of(beam_i), za.of(beam_j), fr, horizon, pxarea=pxarea
+    )
 
 
 # ------------------------------------------------------------------
@@ -231,15 +239,15 @@ def fringe_split(angpos_cart, zenith, uv):
     return za.Z(jnp.cos(phase), jnp.sin(phase))
 
 
-def unpolarised_visibility_split(beam_i, beam_j, fr, horizon):
+def unpolarised_visibility_split(beam_i, beam_j, fr, horizon, pxarea=None):
     """Split-complex unpolarised visibility map.
 
     beam_i, beam_j : Z (..., npix); fr : Z fringe; horizon : real mask.
     """
     from . import zarray as za
 
-    npix = beam_i.shape[-1]
-    pxarea = 4 * jnp.pi / npix
+    if pxarea is None:
+        pxarea = 4 * jnp.pi / beam_i.shape[-1]
     om_i = jnp.sum(beam_i.abs2() * horizon, axis=-1) * pxarea
     om_j = jnp.sum(beam_j.abs2() * horizon, axis=-1) * pxarea
     inv_om = (1.0 / jnp.sqrt(om_i * om_j))[..., None]
@@ -248,14 +256,15 @@ def unpolarised_visibility_split(beam_i, beam_j, fr, horizon):
     return za.Z(out.re * horizon * inv_om, out.im * horizon * inv_om)
 
 
-def stokes_visibility_split(beam_i, beam_j, fr, horizon):
+def stokes_visibility_split(beam_i, beam_j, fr, horizon, pxarea=None):
     """Split-complex Stokes I/Q/U/V visibility maps.
 
     beam_i, beam_j : Z (..., npix, 2); output Z (..., 4, npix).
     """
     from . import zarray as za
 
-    pxarea = 4 * jnp.pi / beam_i.shape[-2]
+    if pxarea is None:
+        pxarea = 4 * jnp.pi / beam_i.shape[-2]
     pw_i = beam_i.abs2().sum(axis=-1)
     pw_j = beam_j.abs2().sum(axis=-1)
     om_i = jnp.sum(pw_i * horizon, axis=-1) * pxarea

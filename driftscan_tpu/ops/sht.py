@@ -268,6 +268,26 @@ def clear_legendre_cache():
     _LEGENDRE_DEV_CACHE.clear()
 
 
+def pad_map(maps, nside: int):
+    """Gather (..., npix) RING maps into the flat padded (ring, slot)
+    layout (..., nring*maxlen) — the layout the SHT kernels consume.
+
+    Host-side numpy in, numpy out (producers that live on device keep
+    their whole pipeline padded instead — see TransitTelescope._init_trans).
+    """
+    geom = ring_geometry(nside)
+    maps = np.asarray(maps)
+    out = maps[..., np.asarray(geom.pix_index).ravel()]
+    return out * np.asarray(geom.mask).ravel().astype(maps.real.dtype)
+
+
+def unpad_map(padded, nside: int):
+    """Inverse of :func:`pad_map`: flat padded layout -> (..., npix)."""
+    geom = ring_geometry(nside)
+    valid = np.nonzero(np.asarray(geom.mask).ravel())[0]
+    return np.asarray(padded)[..., valid]
+
+
 def _legendre_table(geom, lmax: int, mmax: int, rdtype, m_start: int = 0):
     """Device-cached Legendre table, chunked to match the m scan.
 
@@ -331,9 +351,10 @@ def _legendre_table(geom, lmax: int, mmax: int, rdtype, m_start: int = 0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nside", "lmax", "mmax", "neg_m", "real_field")
+    jax.jit,
+    static_argnames=("nside", "lmax", "mmax", "neg_m", "real_field", "ring_padded"),
 )
-def _analysis(maps, g, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: bool, lam_table=None):
+def _analysis(maps, g, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: bool, lam_table=None, ring_padded: bool = False):
     """Core forward SHT.
 
     Parameters
@@ -353,7 +374,13 @@ def _analysis(maps, g, nside: int, lmax: int, mmax: int, neg_m: bool, real_field
     cdtype = jnp.complex128 if double else jnp.complex64
     rdtype = jnp.float64 if double else jnp.float32
 
-    padded = (jnp.take(maps, g.pix_index, axis=-1) * g.mask.astype(rdtype)).astype(cdtype)
+    if ring_padded:
+        shp = maps.shape[:-1] + (geom.nring, geom.maxlen)
+        padded = (maps.reshape(shp) * g.mask.astype(rdtype)).astype(cdtype)
+    else:
+        padded = (
+            jnp.take(maps, g.pix_index, axis=-1) * g.mask.astype(rdtype)
+        ).astype(cdtype)
     mask = g.mask
     cos_t = g.cos_theta
     sin_t = g.sin_theta
@@ -528,7 +555,8 @@ def _synthesis_complex(alm_pos, alm_neg, g, nside: int, lmax: int, mmax: int, la
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nside", "lmax", "mmax", "neg_m", "real_field", "uniform_neg"
+        "nside", "lmax", "mmax", "neg_m", "real_field", "uniform_neg",
+        "ring_padded",
     ),
 )
 def _analysis_split(
@@ -543,6 +571,7 @@ def _analysis_split(
     real_field: bool = False,
     uniform_neg: bool = False,
     m_lo=None,
+    ring_padded: bool = False,
 ):
     """Split-complex forward SHT (for complex-free TPU backends).
 
@@ -568,10 +597,19 @@ def _analysis_split(
     geom = ring_geometry(nside)
     rdtype = maps_re.dtype
 
-    idx = g.pix_index
     maskr = g.mask.astype(rdtype)
-    p_re = jnp.take(maps_re, idx, axis=-1) * maskr
-    p_im = None if real_field else jnp.take(maps_im, idx, axis=-1) * maskr
+    if ring_padded:
+        # maps are already in the padded (ring, slot) layout — a pure
+        # reshape.  The per-call 200M-element pad *gather* ran at ~2 GB/s
+        # on the TPU (~600 ms at nside 1024) and dominated windowed
+        # m-streaming SHTs; producers keep the pixel grid padded instead.
+        shp = maps_re.shape[:-1] + (geom.nring, geom.maxlen)
+        p_re = maps_re.reshape(shp) * maskr
+        p_im = None if real_field else maps_im.reshape(shp) * maskr
+    else:
+        idx = g.pix_index
+        p_re = jnp.take(maps_re, idx, axis=-1) * maskr
+        p_im = None if real_field else jnp.take(maps_im, idx, axis=-1) * maskr
 
     cos_t = g.cos_theta
     sin_t = g.sin_theta
@@ -794,10 +832,15 @@ def analysis_split(
     mmax: Optional[int] = None,
     neg_m: bool = False,
     m_window: Optional[tuple] = None,
+    nside: Optional[int] = None,
+    ring_padded: bool = False,
 ):
     """Forward SHT of split-complex maps (ops.zarray.Z in, Z out).
 
-    maps_z : Z with arrays (..., npix).
+    maps_z : Z with arrays (..., npix) — or (..., nring*maxlen) with
+    ``ring_padded=True`` (requires ``nside``), where the maps are
+    already in the padded (ring, slot) layout (see :func:`pad_map`) and
+    the slow entry gather is skipped.
     Returns (pos Z (..., lmax+1, mmax+1), neg Z (..., lmax+1, mmax) or None).
 
     ``m_window=(m0, m1)`` computes only the m in [m0, m1): the m-chunk
@@ -811,9 +854,18 @@ def analysis_split(
 
     mmax = lmax if mmax is None else mmax
     npix = maps_z.re.shape[-1]
-    nside = int(np.sqrt(npix / 12))
-    if 12 * nside * nside != npix:
-        raise ValueError(f"npix {npix} is not a valid healpix size")
+    if ring_padded:
+        if nside is None:
+            raise ValueError("ring_padded input requires explicit nside")
+        geom = ring_geometry(nside)
+        if npix != geom.nring * geom.maxlen:
+            raise ValueError(
+                f"padded npix {npix} != nring*maxlen for nside {nside}"
+            )
+    else:
+        nside = int(np.sqrt(npix / 12))
+        if 12 * nside * nside != npix:
+            raise ValueError(f"npix {npix} is not a valid healpix size")
 
     lead = maps_z.re.shape[:-1]
     fr = maps_z.re.reshape((-1, npix))
@@ -839,7 +891,7 @@ def analysis_split(
         )
         pr, pi, nr, ni = _analysis_split(
             fr, fi, geom_arrays(nside), nside, lmax, width - 1, neg_m, lam,
-            uniform_neg=True, m_lo=np.int64(m0),
+            uniform_neg=True, m_lo=np.int64(m0), ring_padded=ring_padded,
         )
         if m0 == 0 and neg_m:
             # the uniform m = 0 column is the (meaningless) conjugate
@@ -859,7 +911,10 @@ def analysis_split(
         return pos, neg
 
     lam = _legendre_table(ring_geometry(nside), lmax, mmax, fr.dtype)
-    pr, pi, nr, ni = _analysis_split(fr, fi, geom_arrays(nside), nside, lmax, mmax, neg_m, lam)
+    pr, pi, nr, ni = _analysis_split(
+        fr, fi, geom_arrays(nside), nside, lmax, mmax, neg_m, lam,
+        ring_padded=ring_padded,
+    )
     pos = za.Z(pr.reshape(lead + (lmax + 1, mmax + 1)), pi.reshape(lead + (lmax + 1, mmax + 1)))
     if not neg_m:
         return pos, None
@@ -908,6 +963,7 @@ def analysis(
     nside: Optional[int] = None,
     neg_m: bool = False,
     iters: int = 0,
+    ring_padded: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Forward SHT of a batch of maps.
 
@@ -920,21 +976,35 @@ def analysis(
     maps = jnp.asarray(maps)
     mmax = lmax if mmax is None else mmax
     npix = maps.shape[-1]
-    if nside is None:
-        nside = int(np.sqrt(npix / 12))
-    if 12 * nside * nside != npix:
-        raise ValueError(f"npix {npix} is not a valid healpix size")
+    if ring_padded:
+        if nside is None:
+            raise ValueError("ring_padded input requires explicit nside")
+        geom = ring_geometry(nside)
+        if npix != geom.nring * geom.maxlen:
+            raise ValueError(
+                f"padded npix {npix} != nring*maxlen for nside {nside}"
+            )
+    else:
+        if nside is None:
+            nside = int(np.sqrt(npix / 12))
+        if 12 * nside * nside != npix:
+            raise ValueError(f"npix {npix} is not a valid healpix size")
     lead = maps.shape[:-1]
     flat = maps.reshape((-1, npix))
     real_field = not jnp.iscomplexobj(flat)
     if iters and not real_field and not neg_m:
         raise ValueError("refinement of a complex field requires neg_m=True")
+    if iters and ring_padded:
+        raise ValueError("Jacobi refinement requires compact RING maps")
     double = flat.dtype.itemsize >= (16 if not real_field else 8)
     lam = _legendre_table(
         ring_geometry(nside), lmax, mmax, jnp.float64 if double else jnp.float32
     )
     g = geom_arrays(nside)
-    pos, neg = _analysis(flat, g, nside, lmax, mmax, neg_m, real_field, lam)
+    pos, neg = _analysis(
+        flat, g, nside, lmax, mmax, neg_m, real_field, lam,
+        ring_padded=ring_padded,
+    )
 
     for _ in range(iters):
         if neg_m:

@@ -157,7 +157,8 @@ def btm_resident(tel, bl_indices, f_indices, m_range=None):
 
             # btrans = conj(SHT(conj(map))) (reference telescope.py:1188-1191)
             p, n = sht.analysis_split(
-                cvis.conj(), lmax=sub_lmax, neg_m=True, m_window=sub_win
+                cvis.conj(), lmax=sub_lmax, neg_m=True, m_window=sub_win,
+                nside=int(ns), ring_padded=True,
             )
             p, n = p.conj(), n.conj()
 
@@ -428,15 +429,10 @@ def _auto_mbatch(tel, hbm_budget_gb=4.0):
     nl = tel.lmax + 1
     n = tel.nfreq * min(nl, 2 * tel.npairs) * tel.num_pol_sky
     K = nl * tel.num_pol_sky * tel.nfreq
-    n2, k2 = 2 * n, 2 * K
-    per_m = (
-        (k2 + n2) * n2  # QR augmentation
-        + n2 * k2  # whitened factor planes
-        + 6 * n2 * n2  # Gram + eigh workspace
-    ) * 4.0 * 3.0
-    budget = hbm_budget_gb * 2**30
-    mb = int(max(1, min(8, budget // max(per_m, 1.0))))
-    return 1 << (mb.bit_length() - 1)  # power of two
+    # K_aug=K: a tel-only estimate cannot see rank-compacted factors, so
+    # it sizes the noise-side QR augmentation at the uncompacted width
+    # (conservative); product_all_resident uses the true widths instead.
+    return _auto_mbatch_n(n, K, hbm_budget_gb=hbm_budget_gb, cap=8, K_aug=K)
 
 
 # Minimum dimension-reduction factor for a compacted chunk shape to be
@@ -499,8 +495,13 @@ def _auto_mbatch_n(n: int, K: int, hbm_budget_gb=4.0, cap: int = 16, K_aug=None)
     ``K`` sizes the whitened signal factor; ``K_aug`` (default ``K``)
     sizes the noise-side QR augmentation — with rank-compacted
     foreground factors (fpencil.factor_cl) the two differ by an order
-    of magnitude.
+    of magnitude.  The signal width is capped at ``n``: when the
+    factored width exceeds 2n the product step re-factors it to an
+    (n, n) Cholesky factor (fpencil.beam_factor_compact), so the wide
+    factor never exists on device.
     """
+    if K > 2 * n:
+        K = n
     n2, k2 = 2 * n, 2 * K
     k2a = 2 * (K if K_aug is None else K_aug)
     per_m = ((k2a + n2) * n2 + n2 * k2 + 6 * n2 * n2) * 4.0 * 3.0
@@ -589,7 +590,9 @@ def product_all_resident(
     lf = jnp.asarray(lf_h, dtype=dt)
 
     if mbatch is None:
-        mbatch = _auto_mbatch(tel)
+        # true factor widths (the tel-only estimate can't see the
+        # rank-compacted covariance factors)
+        mbatch = _auto_mbatch_n(F * S, K_cov, K_aug=K_aug, cap=8)
 
     place_mv = jnp.asarray
     if multi:

@@ -144,6 +144,38 @@ class CylinderTelescope(telescope.TransitTelescope):
             pol=pol,
         )
 
+    _beam_bank = None
+
+    def _beam_bank_rows(self, freq, polarised):
+        """Device rows (params (C, 12), fx (C, nfx)) for one frequency.
+
+        The whole band's Fraunhofer tables and beam parameters are
+        packed host-side once and uploaded in a single transfer
+        (cylbeam.build_beam_bank) — per-frequency beam evals are then
+        one device dispatch instead of ~7 small uploads across the
+        high-latency tunnel.
+        """
+        import jax.numpy as jnp
+
+        if self._beam_bank is None:
+            params, tables = cylbeam.build_beam_bank(
+                self.zenith,
+                self.cylinder_width / self.wavelengths,
+                self.fwhm_e,
+                self.fwhm_h,
+                polarised,
+                dtype=np.float32 if self.single_precision else np.float64,
+            )
+            self._beam_bank = (jnp.asarray(params), jnp.asarray(tables))
+        params, tables = self._beam_bank
+        return params[freq], tables[freq]
+
+    def _beam_device_eval_all_cyl(self, freq, polarised):
+        par, fx = self._beam_bank_rows(int(freq), polarised)
+        return cylbeam._beam_bank_kernel(
+            self._angpos_cart, self._horizon, fx, par, polarised=polarised
+        )
+
 
 class UnpolarisedCylinderTelescope(
     CylinderTelescope, telescope.SimpleUnpolarisedTelescope
@@ -168,6 +200,23 @@ class UnpolarisedCylinderTelescope(
         ):
             return None
         return self._feed_beam_device(freq, self.fwhm_h, self.fwhm_h, None)
+
+    def _beam_device_eval_all(self, feed, freq):
+        """Bank-based eval of every beamclass at ``freq`` in one
+        dispatch (None -> per-class fallback; same override gate as
+        ``_beam_device_eval``)."""
+        cls = type(self)
+        if (
+            cls.beam is not UnpolarisedCylinderTelescope.beam
+            or cls._feed_beam is not CylinderTelescope._feed_beam
+            or cls._beam_device_eval
+            is not UnpolarisedCylinderTelescope._beam_device_eval
+            or not self.single_precision
+        ):
+            return None
+        out = self._beam_device_eval_all_cyl(freq, polarised=False)
+        base = int(self.beamclass[feed])
+        return {base: out[0]}
 
 
 class PolarisedCylinderTelescope(
@@ -198,3 +247,21 @@ class PolarisedCylinderTelescope(
         if self.beamclass[feed] % 2 == 0:
             return self._feed_beam_device(freq, self.fwhm_e, self.fwhm_h, "x")
         return self._feed_beam_device(freq, self.fwhm_h, self.fwhm_e, "y")
+
+    def _beam_device_eval_all(self, feed, freq):
+        """Both dipole beams at ``freq`` in one bank dispatch (None ->
+        per-class fallback; same override gate as ``_beam_device_eval``)."""
+        cls = type(self)
+        if (
+            cls.beamx is not PolarisedCylinderTelescope.beamx
+            or cls.beamy is not PolarisedCylinderTelescope.beamy
+            or cls.beam is not telescope.SimplePolarisedTelescope.beam
+            or cls._feed_beam is not CylinderTelescope._feed_beam
+            or cls._beam_device_eval
+            is not PolarisedCylinderTelescope._beam_device_eval
+            or not self.single_precision
+        ):
+            return None
+        out = self._beam_device_eval_all_cyl(freq, polarised=True)
+        base = int(self.beamclass[feed]) & ~1
+        return {base: out[0], base + 1: out[1]}

@@ -7,9 +7,13 @@ wall-clock and writes a JSON record for the design doc.
 """
 import json, os, sys, time
 sys.path.insert(0, "/root/repo")
-# windowed Legendre tables at nside 512 / lmax 1006 / width ~126 are
-# ~1.05 GB each; allow two (the 512 and 256 buckets) plus slack
+# windowed Legendre tables: nside 1024 / lmax 1006 / width 63 is
+# ~1.06 GB, nside 512 ~0.27 GB; allow both plus slack
 os.environ.setdefault("DRIFTSCAN_TPU_LEGENDRE_CACHE_GB", "2.0")
+# 2 units per chunk at nside 1024 (~1.6 GB of pixel temporaries per
+# polarised unit): halves the per-chunk host dispatch overhead vs
+# take=1 while staying inside HBM next to the 4.15 GB window tables
+os.environ.setdefault("DRIFTSCAN_TPU_SHT_BUDGET_GB", "6.0")
 import numpy as np, jax, jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

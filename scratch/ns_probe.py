@@ -2,6 +2,7 @@
 import os, sys, time
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("DRIFTSCAN_TPU_LEGENDRE_CACHE_GB", "2.0")
+os.environ.setdefault("DRIFTSCAN_TPU_SHT_BUDGET_GB", "6.0")
 os.environ["DRIFTSCAN_TPU_DEBUG_CHUNKS"] = "1"
 import numpy as np, jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -9,6 +9,7 @@ and check the override gate falls back for subclassed beam physics.
 
 import numpy as np
 
+from driftscan_tpu.ops import sht
 from driftscan_tpu.telescope import cylinder
 
 
@@ -32,8 +33,12 @@ def test_polarised_device_beam_matches_host():
     tel._init_trans(64)
     for feed in (0, tel.nfeed // 2):  # one X feed, one Y feed
         for fi in range(tel.nfreq):
-            dev = np.asarray(tel._beam_device_eval(feed, fi))
-            host = tel._beam(feed, fi)
+            # the device grid is ring-padded: unpad before comparing
+            dev = sht.unpad_map(
+                np.moveaxis(np.asarray(tel._beam_device_eval(feed, fi)), 0, -1),
+                tel._nside,
+            )
+            host = np.moveaxis(tel._beam(feed, fi), 0, -1)
             assert dev.shape == host.shape
             assert dev.dtype == np.float32
             np.testing.assert_allclose(dev, host, atol=2e-5)
@@ -43,7 +48,7 @@ def test_unpolarised_device_beam_matches_host():
     tel = _mktel(cylinder.UnpolarisedCylinderTelescope)
     tel._init_trans(64)
     for fi in range(tel.nfreq):
-        dev = np.asarray(tel._beam_device_eval(0, fi))
+        dev = sht.unpad_map(np.asarray(tel._beam_device_eval(0, fi)), tel._nside)
         host = tel._beam(0, fi)
         assert dev.shape == host.shape
         np.testing.assert_allclose(dev, host, atol=2e-5)
@@ -55,7 +60,8 @@ def test_device_beam_feeds_the_device_cache():
     beam = np.asarray(tel._beam_device(0, 0))
     # host-side cache must not have been populated by the device path
     assert not tel._beam_cache
-    np.testing.assert_allclose(beam, tel._beam(0, 0), atol=2e-5)
+    got = sht.unpad_map(np.moveaxis(beam, 0, -1), tel._nside)
+    np.testing.assert_allclose(got, np.moveaxis(tel._beam(0, 0), 0, -1), atol=2e-5)
 
 
 def test_subclassed_beam_physics_falls_back_to_host():
@@ -66,12 +72,17 @@ def test_subclassed_beam_physics_falls_back_to_host():
     tel = _mktel(Perturbed)
     tel._init_trans(64)
     assert tel._beam_device_eval(0, 0) is None
-    # _beam_device still works via the host path and sees the override
-    dev = np.asarray(tel._beam_device(0, 0))
-    np.testing.assert_allclose(dev, tel._beam(0, 0), atol=2e-5)
+    # _beam_device still works via the host path (padded on upload) and
+    # sees the override
+    dev = sht.unpad_map(
+        np.moveaxis(np.asarray(tel._beam_device(0, 0)), 0, -1), tel._nside
+    )
+    np.testing.assert_allclose(dev, np.moveaxis(tel._beam(0, 0), 0, -1), atol=2e-5)
     base = _mktel(cylinder.PolarisedCylinderTelescope)
     base._init_trans(64)
-    np.testing.assert_allclose(dev, 2.0 * np.asarray(base._beam(0, 0)), atol=4e-5)
+    np.testing.assert_allclose(
+        dev, 2.0 * np.moveaxis(np.asarray(base._beam(0, 0)), 0, -1), atol=4e-5
+    )
 
 
 def test_double_precision_falls_back_to_host():

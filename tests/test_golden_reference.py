@@ -16,7 +16,7 @@ import numpy as np
 import pytest
 
 from driftscan_tpu.core import telescope as teles
-from driftscan_tpu.ops import healpix
+from driftscan_tpu.ops import healpix, sht
 from driftscan_tpu.telescope import cylinder
 
 
@@ -63,9 +63,12 @@ def test_beam_m_against_scipy_brute_force(tel):
     for ui in range(tel.npairs):
         nside = tel._nside_for(int(unit_lmax[ui]))
         tel._init_trans(nside)
-        bmap = np.asarray(
-            tel._beam_map_batch(np.array([ui]), np.array([0]))
-        )[0]
+        # device maps live in the padded ring layout: unpad for the
+        # compact-pixel brute-force quadrature below
+        bmap = sht.unpad_map(
+            np.asarray(tel._beam_map_batch(np.array([ui]), np.array([0])))[0],
+            nside,
+        )
 
         geom = healpix.ring_geometry(nside)
         ang = healpix.ang_positions(nside)

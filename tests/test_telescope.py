@@ -121,7 +121,10 @@ def test_transfer_matrices_forward_model():
 
         # Direct integral of the visibility beam against the sky
         tel._init_trans(nside)
-        cvis = np.asarray(tel._beam_map_batch([bi], [fi]))[0]
+        # device beam maps live in the padded ring layout
+        cvis = sht.unpad_map(
+            np.asarray(tel._beam_map_batch([bi], [fi]))[0], nside
+        )
         vis_direct = (cvis * skymap).sum() * 4 * np.pi / skymap.size
 
         assert np.abs(vis_m - vis_direct) < 1e-4 * max(np.abs(vis_direct), 1e-3)
