@@ -581,3 +581,23 @@ class TestBeamFactorCompact:
         ev_on = np.asarray(on.evals, dtype=np.float64)
         sel = ev_off > 1e-2 * max(ev_off.max(), 1.0)
         np.testing.assert_allclose(ev_on[sel], ev_off[sel], rtol=1e-3)
+
+    def test_doublekl_compact_signal_matches_wide(self):
+        """The two-stage (DoubleKL) pencil through a compacted signal
+        factor agrees with the wide factored form."""
+        rng = np.random.default_rng(23)
+        b, Ls = self._structured(rng, F=3, S=6, npol=1, nl=24, K=6)
+        _, Lf = self._structured(rng, F=3, S=6, npol=1, nl=24, K=6)
+        Lf = Lf * 300.0
+
+        a_s_w = fpencil.beam_factor(b, Ls)
+        a_s_c = fpencil.beam_factor_compact(b, Ls, l_chunk=8)
+        a_f = fpencil.beam_factor(b, Lf)
+
+        f_w, ev_w, _, nk_w = fpencil.doublekl_solve_qr(a_s_w, a_f)
+        f_c, ev_c, _, nk_c = fpencil.doublekl_solve_qr(a_s_c, a_f)
+        assert int(nk_w) == int(nk_c)
+        top = np.asarray(ev_w)[-6:]
+        np.testing.assert_allclose(
+            np.asarray(ev_c)[-6:], top, rtol=5e-4, atol=1e-6 * max(top.max(), 1)
+        )
