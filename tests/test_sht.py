@@ -250,3 +250,52 @@ class TestSplitSynthesis:
         np.testing.assert_allclose(
             sht.sphtrans_inv_sky(alm, self.nside), inv_native, rtol=1e-10, atol=1e-12
         )
+
+
+def test_pad_unpad_roundtrip():
+    from driftscan_tpu.ops import sht
+
+    rng = np.random.default_rng(5)
+    nside = 16
+    m = rng.standard_normal((3, 12 * nside**2))
+    p = sht.pad_map(m, nside)
+    geom = sht.ring_geometry(nside)
+    assert p.shape == (3, geom.nring * geom.maxlen)
+    np.testing.assert_array_equal(sht.unpad_map(p, nside), m)
+
+
+def test_analysis_ring_padded_matches_compact():
+    import jax.numpy as jnp
+
+    from driftscan_tpu.ops import sht, zarray as za
+
+    rng = np.random.default_rng(6)
+    nside, lmax = 16, 20
+    m = rng.standard_normal((2, 12 * nside**2)) + 1j * rng.standard_normal(
+        (2, 12 * nside**2)
+    )
+    mp = sht.pad_map(m, nside)
+
+    p1, n1 = sht.analysis(jnp.asarray(m), lmax, neg_m=True)
+    p2, n2 = sht.analysis(
+        jnp.asarray(mp), lmax, neg_m=True, nside=nside, ring_padded=True
+    )
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(n2), np.asarray(n1), atol=1e-13)
+
+    z = za.of(jnp.asarray(m))
+    zp = za.of(jnp.asarray(mp))
+    q1, g1 = sht.analysis_split(z, lmax, neg_m=True)
+    q2, g2 = sht.analysis_split(
+        zp, lmax, neg_m=True, nside=nside, ring_padded=True
+    )
+    np.testing.assert_allclose(za.to_numpy(q2), za.to_numpy(q1), atol=1e-13)
+    np.testing.assert_allclose(za.to_numpy(g2), za.to_numpy(g1), atol=1e-13)
+
+    # windowed entry, padded input
+    w1, v1 = sht.analysis_split(z, lmax, neg_m=True, m_window=(4, 9))
+    w2, v2 = sht.analysis_split(
+        zp, lmax, neg_m=True, m_window=(4, 9), nside=nside, ring_padded=True
+    )
+    np.testing.assert_allclose(za.to_numpy(w2), za.to_numpy(w1), atol=1e-13)
+    np.testing.assert_allclose(za.to_numpy(v2), za.to_numpy(v1), atol=1e-13)
