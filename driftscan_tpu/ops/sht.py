@@ -189,28 +189,38 @@ def geom_arrays(nside: int) -> GeomArrays:
     return g
 
 
-def _phase_angle(mv, g: GeomArrays, nside: int, rdtype):
+def _phase_angle_tables(tj, n2_rows, mv, rdtype, promote: bool):
     """m*phi reduced mod 2*pi in integer arithmetic, returned as rdtype.
 
-    phi[r, j] = 2*pi * twoj_h[r, j] / n2[r] exactly (healpix azimuths are
-    rational in 2*pi), so (m*phi) mod 2*pi = 2*pi*((m mod n2)*twoj_h mod
+    phi[r, j] = 2*pi * tj[r, j] / n2[r] exactly (healpix azimuths are
+    rational in 2*pi), so (m*phi) mod 2*pi = 2*pi*((m mod n2)*tj mod
     n2)/n2 with every product bounded by n2^2 <= (8*nside-1)^2 —
-    int32-safe through nside 4096; above that the product is promoted to
-    int64 before the mod (the reduced residue still fits int32).  An f32
-    angle in [0, 2*pi) then carries full f32 accuracy at any m, where the
-    unreduced f64 product (the previous implementation) needed an f64
-    phase tensor twice the size and twice the bandwidth.
+    int32-safe through nside 4096; above that (``promote``) the product
+    goes through int64 before the mod (the reduced residue still fits
+    int32).  An f32 angle in [0, 2*pi) then carries full f32 accuracy at
+    any m, where the unreduced f64 product (the previous implementation)
+    needed an f64 phase tensor twice the size and twice the bandwidth.
     """
-    tj = g.twoj_h  # (nring, maxlen) int32
-    n2 = g.n2[None, :, None]  # (1, nring, 1) int32
+    n2 = n2_rows[None, :, None]  # (1, R, 1) int32
     mmod = (mv[:, None, None].astype(jnp.int32) % n2 + n2) % n2
-    if (8 * nside - 1) ** 2 > np.iinfo(np.int32).max:
+    if promote:
         r = ((mmod.astype(jnp.int64) * tj[None]) % n2.astype(jnp.int64)).astype(
             jnp.int32
         )
     else:
         r = (mmod * tj[None]) % n2
     return r.astype(rdtype) * (2.0 * np.pi / n2.astype(rdtype))
+
+
+def _phase_angle(mv, g: GeomArrays, nside: int, rdtype):
+    """m*phi over the full ring set (see :func:`_phase_angle_tables`)."""
+    return _phase_angle_tables(
+        g.twoj_h,
+        g.n2,
+        mv,
+        rdtype,
+        promote=(8 * nside - 1) ** 2 > np.iinfo(np.int32).max,
+    )
 
 
 def _chunk_size(nring: int, maxlen: int, nm: int, budget_bytes=None) -> int:
@@ -626,20 +636,81 @@ def _analysis_split(
 
     pixarea = jnp.asarray(geom.pixarea, dtype=rdtype)
 
+    # Belt/cap split for the phase stage.  The equatorial belt (rows
+    # nside-1 .. 3*nside-1, 2/3 of all pixels) has a CONSTANT ring
+    # length (4*nside) and only TWO azimuth offsets (phi0 in
+    # {pi/J, 0}, strictly alternating starting with pi/J) — so its
+    # phase projection is two big (B*nbelt, J) @ (J, mc) matmuls
+    # against (mc, J) tables instead of ~2*nside tiny per-ring matmuls
+    # against a (mc, nring, J) tensor.  Only the polar caps (1/3 of
+    # pixels) keep the general per-ring path.
+    J = geom.maxlen
+    ncap_n = nside - 1
+    belt_lo, belt_hi = nside - 1, 3 * nside
+    nb = belt_hi - belt_lo
+    cap_tj = jnp.concatenate([g.twoj_h[:ncap_n], g.twoj_h[belt_hi:]], axis=0)
+    cap_n2 = jnp.concatenate([g.n2[:ncap_n], g.n2[belt_hi:]], axis=0)
+    cap_mask = jnp.concatenate([maskr[:ncap_n], maskr[belt_hi:]], axis=0)
+    int64_belt = (2 * J) ** 2 > np.iinfo(np.int32).max
+
+    def _belt_tables(mv):
+        """cos/sin((m * pi * (2j + par)) / J mod 2pi), (2, mc, J)."""
+        n2b = 2 * J
+        mmod = (mv % n2b).astype(jnp.int64 if int64_belt else jnp.int32)
+        tj = jnp.arange(J, dtype=mmod.dtype) * 2
+        cs, ss = [], []
+        for par in (1, 0):  # belt parity alternates pi/J, 0, pi/J, ...
+            r = (mmod[:, None] * (tj[None, :] + par)) % n2b
+            ang = r.astype(rdtype) * rdtype.type(np.pi / J)
+            cs.append(jnp.cos(ang))
+            ss.append(jnp.sin(ang))
+        return cs, ss
+
     def chunk_fn(_, xs):
         mv, lam_xs = _split_xs(xs)
-        phase = _phase_angle(mv, g, nside, rdtype)
-        c = jnp.cos(phase) * maskr[None]
-        s = jnp.sin(phase) * maskr[None]
+
+        cs_b, ss_b = _belt_tables(mv)
+        cap_phase = _phase_angle_tables(
+            cap_tj, cap_n2, mv, rdtype,
+            promote=(8 * nside - 1) ** 2 > np.iinfo(np.int32).max,
+        )
+        c_cap = jnp.cos(cap_phase) * cap_mask[None]
+        s_cap = jnp.sin(cap_phase) * cap_mask[None]
+
+        def project(p):
+            """(B, nring, J) -> (p.c, p.s) stitched (B, mc, nring)."""
+            pb = [
+                p[:, belt_lo:belt_hi:2],  # parity pi/J rows
+                p[:, belt_lo + 1 : belt_hi : 2],
+            ]
+            pc = jnp.concatenate([p[:, :ncap_n], p[:, belt_hi:]], axis=1)
+
+            outs = []
+            for tabs in (cs_b, ss_b):
+                belt = jnp.zeros((p.shape[0], mv.shape[0], nb), dtype=rdtype)
+                for blk, tab, off in zip(pb, tabs, (0, 1)):
+                    proj = jnp.einsum("bnj,mj->bmn", blk, tab)
+                    belt = belt.at[..., off::2].set(proj)
+                outs.append(belt)
+            c_all, s_all = outs
+
+            if ncap_n > 0:
+                capc = jnp.einsum("brj,mrj->bmr", pc, c_cap)
+                caps = jnp.einsum("brj,mrj->bmr", pc, s_cap)
+                c_all = jnp.concatenate(
+                    [capc[..., :ncap_n], c_all, capc[..., ncap_n:]], axis=-1
+                )
+                s_all = jnp.concatenate(
+                    [caps[..., :ncap_n], s_all, caps[..., ncap_n:]], axis=-1
+                )
+            return c_all, s_all
 
         # F = sum_j p e^{-im phi}:  F.re = pr.c + pi.s ; F.im = pi.c - pr.s
-        rc = jnp.einsum("brj,mrj->bmr", p_re, c)
-        rs = jnp.einsum("brj,mrj->bmr", p_re, s)
+        rc, rs = project(p_re)
         if real_field:
             ic = is_ = jnp.zeros_like(rc)
         else:
-            ic = jnp.einsum("brj,mrj->bmr", p_im, c)
-            is_ = jnp.einsum("brj,mrj->bmr", p_im, s)
+            ic, is_ = project(p_im)
         f_re = rc + is_
         f_im = ic - rs
 
