@@ -256,15 +256,25 @@ def beam_factor_compact(bsvd: za.Z, L, l_chunk: int = 64) -> za.Z:
     # f64 interleaved Cholesky with a relative shift ladder: S is PSD and
     # often genuinely rank-deficient (band-limit masks), and the f32 Gram
     # formation can push small eigenvalues slightly negative.
-    s_e = za.interleave(za.Z(s_re, s_im)).astype(jnp.float64)
-    dmax = jnp.max(jnp.diagonal(s_e)) + jnp.asarray(1e-300, jnp.float64)
-    eye = jnp.eye(2 * n, dtype=jnp.float64)
+    # DRIFTSCAN_TPU_COMPACT_CHOL=f32 drops the factorisation to the
+    # input dtype — escape hatch for runtimes where a big emulated-f64
+    # cholesky inside the (vmapped) product program breaks the remote
+    # compiler (doc/design.md section 6); the shift ladder then settles
+    # one rung higher (~1e-5 relative eigenvalue bias instead of ~1e-8).
+    import os
+
+    f64 = os.environ.get("DRIFTSCAN_TPU_COMPACT_CHOL", "f64") != "f32"
+    cdt = jnp.float64 if f64 else dt
+    s_e = za.interleave(za.Z(s_re, s_im)).astype(cdt)
+    dmax = jnp.max(jnp.diagonal(s_e)) + jnp.asarray(1e-30, cdt)
+    eye = jnp.eye(2 * n, dtype=cdt)
 
     def chol_at(rel):
         return jnp.linalg.cholesky(s_e + (rel * dmax) * eye)
 
     out = chol_at(1e-2)  # always-finite backstop
-    for rel in (1e-4, 1e-7, 1e-10):
+    rungs = (1e-4, 1e-7, 1e-10) if f64 else (1e-4, 1e-5)
+    for rel in rungs:
         cand = chol_at(rel)
         good = jnp.isfinite(cand[-1, -1])
         out = jnp.where(good, cand, out)
