@@ -42,8 +42,15 @@ log(f"north-star telescope: {rec}")
 
 log("covariances...")
 st = time.time()
-cl_s, cl_n, noisew, _ = bench._covariances(tel)
-ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)
+_cov_cache = "/tmp/ns_cov_cache.npz"
+if os.path.exists(_cov_cache):
+    z = np.load(_cov_cache)
+    ls, lf, noisew = z["ls"], z["lf"], z["noisew"]
+    log("covariance factors loaded from cache")
+else:
+    cl_s, cl_n, noisew, _ = bench._covariances(tel)
+    ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)
+    np.savez(_cov_cache, ls=ls, lf=lf, noisew=noisew)
 rec["t_cov_s"] = round(time.time() - st, 1)
 rec["K_signal"], rec["K_fg"] = int(ls.shape[-1]), int(lf.shape[-1])
 log(f"covariances {rec['t_cov_s']}s (factor widths: signal {ls.shape[-1]}, fg {lf.shape[-1]})")
