@@ -67,7 +67,18 @@ edges = np.linspace(0, nm, W + 1).astype(int)
 rec["m_windows"] = W
 t_btm = t_prod = 0.0
 evs, nmods = [], []
+# per-window checkpoints: a device fault mid-run (the tunnel wedges for
+# tens of minutes on any client death) must not cost completed windows
+_ckpt_dir = "/tmp/ns_windows"
+os.makedirs(_ckpt_dir, exist_ok=True)
 for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
+    ck = f"{_ckpt_dir}/w{wi:02d}_{m0}_{m1}.npz"
+    if os.path.exists(ck):
+        z = np.load(ck)
+        evs.append(z["ev"]); nmods.append(z["nmo"])
+        t_btm += float(z["tb"]); t_prod += float(z["tp"])
+        log(f"window {wi+1}/{W} m=[{m0},{m1}): restored from checkpoint")
+        continue
     st = time.time()
     pos, neg = resident.btm_resident(tel, blg, fig, m_range=(int(m0), int(m1)))
     _ = float(np.asarray(pos.re.sum()))
@@ -85,6 +96,7 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
     del pos, neg
     evs.append(ev)
     nmods.append(nmo)
+    np.savez(ck, ev=ev, nmo=nmo, tb=tb, tp=tp)
     log(f"window {wi+1}/{W} m=[{m0},{m1}): btm {tb:.1f}s product {tp:.1f}s")
 evals = np.concatenate(evs)
 nmodes = np.concatenate(nmods)
