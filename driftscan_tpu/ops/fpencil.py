@@ -654,6 +654,285 @@ def _noise_r_factor(noise_rows: za.Z) -> jnp.ndarray:
 
 
 # ------------------------------------------------------------------
+# Top-band extraction: Chebyshev-filtered subspace iteration
+# ------------------------------------------------------------------
+#
+# The retained KL modes are the eigenvalues of H = Y Y^H above an
+# *absolute* cut (the S/N threshold, reference kltransform.py:310-355).
+# A full eigendecomposition computes all n of them; XLA's QDWH-eig runs
+# at <1% of matmul peak on the TPU (measured ~0.5 s per 2176^2 f32
+# matrix), and post-CholeskyQR it is ~85% of the product step.  The
+# functions below extract exactly the above-cut band with *matmuls
+# only*: a scaled Chebyshev filter that suppresses [0, b] (b below the
+# cut) drives a k-column subspace iteration, and one small (k x k)
+# float64 Rayleigh-Ritz recovers the eigenvalues to f64 formation
+# accuracy.  Basis error from the f32 iteration enters the Ritz values
+# only quadratically (variational bound: |theta - lambda| <=
+# lambda_max * sin^2(angle)), so the f32 noise floor (~1e-7 subspace
+# angle) is invisible at the reference's 1e-4 eigenvalue tier.
+
+
+def _chol_qr_zblock(v: za.Z) -> za.Z:
+    """Orthonormalise a complex column block via the interleaved embedding.
+
+    interleave is a ring homomorphism mapping the complex Gram/Cholesky
+    to their real counterparts (see zarray.cholesky), so the real
+    Cholesky-QR of the interleaved block is the complex Cholesky-QR up
+    to rounding.  The shifted rounds leave ~1e-5 non-orthonormality but
+    preserve the *span* exactly (column ops only) — callers that need a
+    metric use the explicit V^H V in the Rayleigh-Ritz step.
+    """
+    return za.deinterleave(_chol_qr_real(za.interleave(v)))
+
+
+def _cheb_apply(y: za.Z, v: za.Z, b: float, degree: int) -> za.Z:
+    """Apply the Chebyshev filter T_degree(t(H)) to the block v.
+
+    H = Y Y^H (never formed: each application is two (n, K)(K, k)
+    matmuls), t(lam) = 2*lam/b - 1 maps the suppressed interval [0, b]
+    onto [-1, 1]; everything above b grows as T_d(t) ~ exp(d*acosh(t)).
+    Eigenvalues at 2b (t = 3) gain ~5.8^degree per application while
+    [0, b] stays bounded by 1.  The three-term recurrence rescales both
+    iterates by the running max each step — T_d reaches (4*lam_max/b)^d,
+    far outside f32 range, but only the *direction* of the filtered
+    block matters.
+    """
+    inv_b = 2.0 / b
+
+    def t_of_h(x: za.Z) -> za.Z:
+        w = za.einsum("ji,jk->ik", y.conj(), x)  # Y^H x
+        hx = za.einsum("ij,jk->ik", y, w)  # Y (Y^H x)
+        return za.Z(inv_b * hx.re - x.re, inv_b * hx.im - x.im)
+
+    vp, vk = v, t_of_h(v)  # T_0 v, T_1 v
+    for _ in range(degree - 1):
+        t = t_of_h(vk)
+        vn = za.Z(2.0 * t.re - vp.re, 2.0 * t.im - vp.im)
+        s = 1.0 / (
+            jnp.maximum(jnp.max(jnp.abs(vn.re)), jnp.max(jnp.abs(vn.im)))
+            + 1e-30
+        )
+        vp = za.Z(vk.re * s, vk.im * s)
+        vk = za.Z(vn.re * s, vn.im * s)
+    return vk
+
+
+def _herm(a: za.Z) -> za.Z:
+    return za.Z(
+        0.5 * (a.re + jnp.swapaxes(a.re, -1, -2)),
+        0.5 * (a.im - jnp.swapaxes(a.im, -1, -2)),
+    )
+
+
+def gram_topband(
+    y: za.Z,
+    k: int,
+    cut: float,
+    levels: int = 5,
+    lock_rel: float = 1e-2,
+    gap_rel: float = 4.0,
+    degree: int = 2,
+    iters: int = 4,
+    rr_dtype=jnp.float64,
+):
+    """All eigenpairs of H = Y Y^H with eigenvalue >= ``cut`` (absolute).
+
+    A single-stage filter cannot work here: every f32 application of H
+    rounds at ~eps32 * lambda_max, which destroys cut-level components
+    whenever lambda_max/cut exceeds ~1/eps32 — the same reason
+    :func:`gram_bands` deflates in levels.  So this uses the *same*
+    level structure, with each level's band extracted by matmuls
+    instead of a (2n)^2 QDWH eigh:
+
+    * level ell *locks* the eigenvalues in
+      [max(lock_rel * lam_ell, cut), lam_ell] (lam_1 from power
+      iteration; lam_{ell+1} = the previous lock bound after
+      deflation), found by a gentle Chebyshev filter of the given
+      ``degree`` suppressing [0, b], b = lock / gap_rel;
+    * Ritz values/vectors come from a float64 Rayleigh-Ritz with the
+      explicit basis metric (B = Y^H V in ``rr_dtype``; the generalised
+      (V^H H V, V^H V) solve absorbs the shifted CholeskyQR's ~1e-5
+      non-orthonormality, and f64 formation keeps eigenvalues at the
+      lock bound accurate);
+    * locked pairs are CGS2-deflated out of Y; everything below the
+      lock (unconverged band floor, the (b, lock) gap) stays in Y and
+      surfaces at the next level, where it sits at the band *top*.
+
+    The error budget fixing the constants: each f32 filter application
+    reinjects rounding noise at relative eps32 of the *top* amplified
+    component, so a locked direction's subspace angle floors at
+    ~eps32 * gain(lam)/gain(lock) = eps32 * (lam/lock)^degree; the
+    Rayleigh-Ritz error (lam - theta) * sin^2(angle) then stays below
+    1e-4 * theta (the reference tier) only if (lam/lock)^degree <~ 1e4
+    — hence 2-decade levels at degree 2.  Convergence against the
+    suppressed region is T_degree(2*gap_rel - 1)^iters ~ 1e8.
+
+    The completeness certificate is spectral, not structural: after the
+    last level, lambda_max of the deflated remainder (power iteration —
+    matmuls) must be below ``cut``.  That catches a band overflowing
+    the ``k``-column basis, an unconverged filter, and too few levels
+    for the spectrum's range (each level advances ~1/lock_rel in
+    eigenvalue; ``levels`` must cover lambda_max/cut).
+
+    Returns ``(theta, u, ok)``:
+
+    theta : (levels * k,) descending within each level, zero where
+        below ``cut``
+    u : Z (n, levels * k) orthonormal eigenvector columns (zeroed
+        below cut)
+    ok : () bool — True iff every eigenvalue >= cut was captured.
+    """
+    n = y.shape[-2]
+    dt = y.re.dtype
+    cut = float(cut)
+
+    lam = _spectral_norm_sq(y)  # lambda_max estimate (matmuls)
+    v0_re = _random_real_basis(n, k, dt)
+
+    thetas, us = [], []
+    for _ in range(levels):
+        lock = jnp.maximum(lock_rel * lam, cut)
+        b = jnp.maximum(lock / gap_rel, 1e-30)
+        v = za.Z(v0_re, jnp.zeros((n, k), dt))
+        for _ in range(iters):
+            v = _cheb_apply(y, v, b, degree)
+            v = _chol_qr_zblock(v)
+
+        yd = y.astype(rr_dtype)
+        vd = v.astype(rr_dtype)
+        bd = za.einsum("ji,jk->ik", yd.conj(), vd)  # (K, k)
+        h = za.einsum("ji,jk->ik", bd.conj(), bd)  # V^H H V
+        met = za.einsum("ji,jk->ik", vd.conj(), vd)  # V^H V
+        theta, u, _ = za.whiten_eigh(_herm(h), _herm(met))  # ascending
+        theta = theta[::-1]
+        u = za.Z(u.re[:, ::-1], u.im[:, ::-1])
+        uu = za.einsum("ij,jk->ik", v, u.astype(dt))  # (n, k) orthonormal
+
+        # lock only well-converged pairs: below the lock bound the
+        # filter gain margin is too thin — leave those directions in Y
+        # for the next level
+        keep = (theta >= lock).astype(dt)
+        theta = theta.astype(dt) * keep
+        uu = za.Z(uu.re * keep[None, :], uu.im * keep[None, :])
+        thetas.append(theta)
+        us.append(uu)
+
+        # CGS2 deflation of the locked columns (masked columns are zero
+        # and deflate nothing)
+        for _ in range(2):
+            proj = za.einsum("ji,jk->ik", uu.conj(), y)
+            y = y - za.einsum("ij,jk->ik", uu, proj)
+        lam = lock
+
+    # certificate: nothing above the cut survives in the remainder
+    ok = _spectral_norm_sq(y, iters=12) < cut
+
+    theta = jnp.concatenate(thetas)  # descending across+within levels
+    u = za.Z(
+        jnp.concatenate([x.re for x in us], axis=1),
+        jnp.concatenate([x.im for x in us], axis=1),
+    )
+    mask = (theta >= cut).astype(dt)
+    theta = theta * mask
+    u = za.Z(u.re * mask[None, :], u.im * mask[None, :])
+    return theta, u, ok
+
+
+def pencil_solve_qr_topband(
+    a_signal: za.Z,
+    noise_rows: za.Z,
+    cut: float,
+    k: int,
+    levels: int = 5,
+    lock_rel: float = 1e-2,
+    gap_rel: float = 4.0,
+    degree: int = 2,
+    iters: int = 4,
+    rr_dtype=jnp.float64,
+):
+    """Retained band of S v = w N v by QR whitening + filtered iteration.
+
+    Same whitening as :func:`pencil_solve_qr` (CholeskyQR of the noise
+    rows, triangular solves), but the whitened Gram's eigendecomposition
+    is replaced by :func:`gram_topband`, which computes only the modes
+    the KL transform retains (w >= ``cut``).  Eigenvalues below the cut
+    are reported as exact zeros with zero eigenvectors — the reference
+    writes them for diagnostics only and retains nothing below its
+    threshold (drift/core/kltransform.py:310-355).
+
+    Returns ``(KLResult, ok)`` with evals ascending in the standard
+    (n,) layout; ``ok`` False means a band overflowed the ``k``-column
+    basis or the filter had not converged (see :func:`gram_topband`).
+    """
+    in_dtype = a_signal.re.dtype
+    n = a_signal.shape[-2]
+    w = min(levels * k, n)
+
+    r_e = _noise_r_factor(noise_rows)
+    y = _solve_tri_interleaved(r_e, a_signal, adjoint=True)  # R^-H A_s
+
+    theta, u, ok = gram_topband(
+        y,
+        k=k,
+        cut=cut,
+        levels=levels,
+        lock_rel=lock_rel,
+        gap_rel=gap_rel,
+        degree=degree,
+        iters=iters,
+        rr_dtype=rr_dtype,
+    )  # (levels*k,) descending-within-level, zeros interspersed
+
+    # top-w by value (the cut-masked zeros make value order == keep set)
+    order = jnp.argsort(-theta)[:w]
+    theta = jnp.take(theta, order)
+    u = za.Z(
+        jnp.take(u.re, order, axis=1), jnp.take(u.im, order, axis=1)
+    )
+
+    v = _solve_tri_interleaved(r_e, u, adjoint=False)  # R^-1 U, (n, w)
+
+    pad = n - w
+    evals = jnp.concatenate(
+        [jnp.zeros((pad,), in_dtype), theta[::-1].astype(in_dtype)]
+    )
+    zeros = jnp.zeros((n, pad), in_dtype)
+    vfull = za.Z(
+        jnp.concatenate([zeros, v.re[:, ::-1]], axis=1).astype(in_dtype),
+        jnp.concatenate([zeros, v.im[:, ::-1]], axis=1).astype(in_dtype),
+    )
+    return KLResult(evals, vfull), ok
+
+
+def kl_solve_qr_topband(
+    a_signal: za.Z,
+    a_fg: za.Z,
+    cut: float,
+    k: int,
+    levels: int = 5,
+    lock_rel: float = 1e-2,
+    gap_rel: float = 4.0,
+    degree: int = 2,
+    iters: int = 4,
+    rr_dtype=jnp.float64,
+):
+    """Retained band of the standard thermal pencil (see kl_solve_qr)."""
+    nc = jnp.asarray(1.0, a_signal.re.dtype)
+    return pencil_solve_qr_topband(
+        a_signal,
+        _thermal_noise_rows(a_fg, nc),
+        cut=cut,
+        k=k,
+        levels=levels,
+        lock_rel=lock_rel,
+        gap_rel=gap_rel,
+        degree=degree,
+        iters=iters,
+        rr_dtype=rr_dtype,
+    )
+
+
+# ------------------------------------------------------------------
 # The KL pencil solve
 # ------------------------------------------------------------------
 

@@ -67,6 +67,11 @@ class ProductStepResultSplit(NamedTuple):
     evals: jnp.ndarray
     evecs_re: jnp.ndarray
     evecs_im: jnp.ndarray
+    # per-m completeness certificate of the top-band KL engine: True
+    # unless kl_top_k was set and the m's retained band overflowed the
+    # basis / level budget (fpencil.gram_topband) — redispatch those m's
+    # with a larger budget or the exact engine.
+    klok: jnp.ndarray
 
 
 def kl_product_step_split(
@@ -89,6 +94,9 @@ def kl_product_step_split(
     method: str = "qr",
     s_cap: int = 0,
     compact_signal: bool | None = None,
+    kl_cut: float = 0.0,
+    kl_top_k: int = 0,
+    kl_levels: int = 5,
 ) -> ProductStepResultSplit:
     """SVD-compress and KL-filter a batch of m-modes in one jitted program.
 
@@ -117,6 +125,15 @@ def kl_product_step_split(
         F * svd_len; since its cost is cubic, this is where the high-m
         tail's shrinking rank pays off.  The SVD outputs (ut, beam, sig)
         stay full-size.
+    kl_cut, kl_top_k, kl_levels
+        ``kl_top_k > 0`` switches the whitened-signal eigensolver to the
+        matmul-only top-band engine (:func:`fpencil.kl_solve_qr_topband`;
+        requires ``method='qr'``/``with_thermal``): only the modes with
+        eigenvalue >= ``kl_cut`` (the caller's KL retention threshold)
+        are computed, in ``kl_levels`` two-decade deflation levels of a
+        ``kl_top_k``-column filtered basis; everything below the cut is
+        reported as exact zeros.  The per-m ``klok`` output certifies
+        completeness — the dispatcher must redispatch failed m's.
     """
     dt_r = beam_re.dtype
     noisew = noisew.astype(dt_r)
@@ -169,17 +186,27 @@ def kl_product_step_split(
         else:
             a_s = fpencil.beam_factor(b4, ls)
         a_f = fpencil.beam_factor(b4, lf)
-        kl = fpencil.kl_solve(
-            a_s,
-            a_f,
-            with_thermal=with_thermal,
-            fg_levels=fg_levels,
-            sig_levels=sig_levels,
-            band_rel=band_rel,
-            fg_k_cap=fg_k_cap,
-            sig_k_cap=sig_k_cap,
-            method=method,
-        )
+        if kl_top_k:
+            if method != "qr" or not with_thermal:
+                raise ValueError(
+                    "kl_top_k requires method='qr' with_thermal=True"
+                )
+            kl, klok = fpencil.kl_solve_qr_topband(
+                a_s, a_f, cut=kl_cut, k=kl_top_k, levels=kl_levels
+            )
+        else:
+            kl = fpencil.kl_solve(
+                a_s,
+                a_f,
+                with_thermal=with_thermal,
+                fg_levels=fg_levels,
+                sig_levels=sig_levels,
+                band_rel=band_rel,
+                fg_k_cap=fg_k_cap,
+                sig_k_cap=sig_k_cap,
+                method=method,
+            )
+            klok = jnp.asarray(True)
         evecs = kl.evecs.conj().transpose(1, 0)  # rows are KL modes
 
         keep = 1.0 - (mval < 0).astype(dt_r)
@@ -193,6 +220,7 @@ def kl_product_step_split(
             kl.evals * keep,
             evecs.re * keep,
             evecs.im * keep,
+            klok | (mval < 0),  # padding m's never block a dispatch
         )
 
     out = jax.vmap(one_m)(beam_re, beam_im, m_values)

@@ -285,6 +285,7 @@ def _svdcount_batch(
     static_argnames=(
         "npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels",
         "fg_k_cap", "sig_k_cap", "band_rel", "method", "s_cap", "nfreq_full",
+        "kl_cut", "kl_top_k", "kl_levels",
     ),
 )
 def _resident_batch(
@@ -308,6 +309,9 @@ def _resident_batch(
     method: str = "qr",
     s_cap: int = 0,
     nfreq_full: int = 0,
+    kl_cut: float = 0.0,
+    kl_top_k: int = 0,
+    kl_levels: int = 5,
     f_idx=None,
     fmask=None,
     m_lo=None,
@@ -339,6 +343,9 @@ def _resident_batch(
         band_rel=band_rel,
         method=method,
         s_cap=s_cap,
+        kl_cut=kl_cut,
+        kl_top_k=kl_top_k,
+        kl_levels=kl_levels,
     )
 
 
@@ -347,6 +354,7 @@ def _resident_batch(
     static_argnames=(
         "npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels",
         "fg_k_cap", "sig_k_cap", "band_rel", "method", "s_cap", "nfreq_full",
+        "kl_cut", "kl_top_k", "kl_levels",
     ),
 )
 def _spectrum_batch(
@@ -370,11 +378,14 @@ def _spectrum_batch(
     method: str = "qr",
     s_cap: int = 0,
     nfreq_full: int = 0,
+    kl_cut: float = 0.0,
+    kl_top_k: int = 0,
+    kl_levels: int = 5,
     f_idx=None,
     fmask=None,
     m_lo=None,
 ):
-    """Spectrum-only product batch: returns just (evals, nmodes), so XLA
+    """Spectrum-only product batch: returns (evals, nmodes, klok), so XLA
     dead-code-eliminates the eigenvector/beam outputs a spectrum pass
     never reads.
 
@@ -403,11 +414,14 @@ def _spectrum_batch(
         method=method,
         s_cap=s_cap,
         nfreq_full=nfreq_full,
+        kl_cut=kl_cut,
+        kl_top_k=kl_top_k,
+        kl_levels=kl_levels,
         f_idx=f_idx,
         fmask=fmask,
         m_lo=m_lo,
     )
-    return res.evals, res.nmodes
+    return res.evals, res.nmodes, res.klok
 
 
 # One y-Gram deflation level resolves eigenvalues to ~n*eps(f32) of the
@@ -415,6 +429,39 @@ def _spectrum_batch(
 # accurate (rel <~ 1e-3) whenever the batch's top whitened eigenvalue
 # stays below this bound — above it the batch is re-solved deeper.
 _SIG1_TOP_BOUND = 1.0
+
+# Working (basis width, levels) of the top-band engine per pencil
+# dimension, remembered across chunks/windows so the escalation ladder
+# is paid once per shape, not once per dispatch.
+_TB_STATE = {}
+
+
+def _run_topband(run, mv, extra, nw, lsd, lfd, n_chunk, kl_cut, exact_levels):
+    """One chunk through the top-band KL engine with escalation.
+
+    Starts from the remembered (k, levels) for this pencil dimension
+    (default n/8 columns, 5 levels); any m failing the completeness
+    certificate redispatches the chunk with (2k, levels+1).  Past
+    k = n/2 the filtered engine no longer wins over the exact eigh —
+    fall back to it (``exact_levels=None`` keeps its adaptive default).
+    """
+    k, lv = _TB_STATE.get(
+        n_chunk, (_quant_frac(max(n_chunk // 8, 8), n_chunk), 5)
+    )
+    while k <= n_chunk // 2:
+        kw = dict(extra or {})
+        kw.update(
+            kl_cut=float(kl_cut),
+            kl_top_k=int(min(k, n_chunk)),
+            kl_levels=int(lv),
+        )
+        ev, nmo, okf = run(mv, 1, kw, nw, lsd, lfd)
+        if bool(np.asarray(okf).all()):
+            _TB_STATE[n_chunk] = (k, lv)
+            return np.asarray(ev), nmo
+        k, lv = 2 * k, lv + 1
+    ev, nmo, _ = run(mv, exact_levels, extra, nw, lsd, lfd)
+    return np.asarray(ev), nmo
 
 
 def _auto_mbatch(tel, hbm_budget_gb=4.0):
@@ -513,6 +560,7 @@ def _auto_mbatch_n(n: int, K: int, hbm_budget_gb=4.0, cap: int = 16, K_aug=None)
 def product_all_resident(
     tel, pos, neg, ls, lf, noisew, mbatch=None, max_m=None, mesh=None,
     sig_k_cap=0, sig_levels=None, bucket=None, m_range=None,
+    topband=False, kl_cut=0.1,
 ):
     """Run the SVD+KL product step over every m from resident BTMs.
 
@@ -551,6 +599,17 @@ def product_all_resident(
     with ``btm_resident(..., m_range=...)`` (uniform layout) — the HBM
     streaming axis for band limits whose full tables exceed device
     memory.  Returns spectra for m in [m0, m1).
+
+    ``topband=True`` replaces the whitened-signal eigendecomposition —
+    the QDWH eigh that dominates the product step — with the matmul-only
+    filtered top-band engine (fpencil.gram_topband): only eigenvalues
+    >= ``kl_cut`` (the KL retention threshold this spectrum will be cut
+    at) are computed, and the sub-cut tail is reported as exact zeros.
+    Each chunk dispatch carries a per-m completeness certificate; on
+    failure the chunk is redispatched with a doubled basis (and one
+    more deflation level), falling back to the exact engine at
+    basis width n/2.  The working (k, levels) is remembered per chunk
+    shape across windows.
     """
     if m_range is not None:
         m_lo, m_hi = int(m_range[0]), int(m_range[1])
@@ -702,11 +761,17 @@ def product_all_resident(
 
         mv = np.full(mb, -1, np.int32)
         mv[: len(ms)] = ms
-        ev, nmo = run(mv, 1 if adaptive else sig_levels, extra, nw, lsd, lfd)
-        ev = np.asarray(ev)
-        if adaptive and ev.max() > _SIG1_TOP_BOUND:
-            ev, nmo = run(mv, None, extra, nw, lsd, lfd)  # deepen
+        if topband:
+            ev, nmo = _run_topband(
+                run, mv, extra, nw, lsd, lfd, fq * sq, kl_cut,
+                None if adaptive else sig_levels,
+            )
+        else:
+            ev, nmo, _ = run(mv, 1 if adaptive else sig_levels, extra, nw, lsd, lfd)
             ev = np.asarray(ev)
+            if adaptive and ev.max() > _SIG1_TOP_BOUND:
+                ev, nmo, _ = run(mv, None, extra, nw, lsd, lfd)  # deepen
+                ev = np.asarray(ev)
         ev = ev[: len(ms)]
         nmo = np.asarray(nmo)[: len(ms)]
 

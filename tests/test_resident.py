@@ -332,3 +332,45 @@ def test_m_window_streaming_matches_full():
     np.testing.assert_array_equal(nm_win, nm_full)
     scale = max(ev_full.max(), 1e-30)
     np.testing.assert_allclose(ev_win, ev_full, rtol=2e-5, atol=1e-8 * scale)
+
+
+def test_topband_product_matches_exact():
+    """The matmul-only top-band engine must reproduce the exact spectrum
+    for every eigenvalue above the retention cut, in both a weak regime
+    (band near the cut) and a boosted regime (band spanning many
+    deflation levels)."""
+    import bench
+
+    tel = _tel()
+    bl = np.arange(tel.npairs)
+    fi = np.arange(tel.nfreq)
+    blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+
+    cl_s, cl_n, noisew, _ = bench._covariances(tel)
+    pos, neg = resident.btm_resident(tel, blg, fig)
+    cut = 0.1
+
+    for boost, tag in [(1.0, "weak"), (1e8, "strong")]:
+        ls, lf = mstep.prepare_cl_factors(cl_s * boost, cl_n, out_dtype=np.float64)
+        nw = noisew.astype(np.float64)
+
+        ev0, nm0 = resident.product_all_resident(
+            tel, pos, neg, ls, lf, nw, mbatch=4
+        )
+        ev1, nm1 = resident.product_all_resident(
+            tel, pos, neg, ls, lf, nw, mbatch=4, topband=True, kl_cut=cut
+        )
+        np.testing.assert_array_equal(nm0, nm1)
+        # identical retained sets...
+        np.testing.assert_array_equal(ev0 > cut, ev1 > cut, err_msg=tag)
+        # ...with tier-level agreement on the retained eigenvalues
+        keep = ev0 > cut
+        if keep.any():
+            np.testing.assert_allclose(
+                ev1[keep], ev0[keep], rtol=2e-4, err_msg=tag
+            )
+        # the sub-cut tail is either exact zeros (top-band chunks) or
+        # the exact engine's values (fallback chunks) — never spurious
+        # above-cut entries (already checked by the retained-set
+        # equality above)
+        assert float(np.abs(ev1[~keep]).max(initial=0.0)) <= cut

@@ -1,0 +1,148 @@
+"""Top-band pencil engine (fpencil.gram_topband / kl_solve_qr_topband).
+
+Validates the Chebyshev-filtered subspace iteration against the dense
+complex128 generalised-eigh reference at production-like conditioning,
+and the completeness certificate against its two failure modes (basis
+overflow, too few levels for the spectrum's range).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from driftscan_tpu.ops import fpencil
+from driftscan_tpu.ops import zarray as za
+
+CUT = 0.1
+
+
+def _pencil(seed, n, Ks, Kf, sig_top, fg_top):
+    """Synthetic factored pencil with controlled conditioning."""
+    rng = np.random.default_rng(seed)
+    As = rng.standard_normal((n, Ks)) + 1j * rng.standard_normal((n, Ks))
+    As *= np.logspace(sig_top, sig_top - 7, Ks)[None, :]
+    Af = rng.standard_normal((n, Kf)) + 1j * rng.standard_normal((n, Kf))
+    Af *= np.logspace(fg_top, 0, Kf)[None, :]
+    az = za.Z(jnp.asarray(As.real, jnp.float32), jnp.asarray(As.imag, jnp.float32))
+    fz = za.Z(jnp.asarray(Af.real, jnp.float32), jnp.asarray(Af.imag, jnp.float32))
+    ev_ref, _ = fpencil.kl_solve_dense_ref(
+        As.astype(np.complex128), Af.astype(np.complex128), with_thermal=True
+    )
+    return az, fz, np.sort(ev_ref)[::-1]
+
+
+class TestTopband:
+    def test_matches_dense_reference(self):
+        """Retained evals match the dense f64 pencil to the 1e-4 tier."""
+        az, fz, e = _pencil(11, 128, 90, 50, sig_top=2.5, fg_top=5)
+        nret = int((e > CUT).sum())
+        assert nret > 10  # the case must actually exercise the band
+
+        res, ok = fpencil.kl_solve_qr_topband(az, fz, cut=CUT, k=32)
+        assert bool(ok)
+        got = np.asarray(res.evals, np.float64)[::-1]
+        got = got[got > 0]
+        assert len(got) == nret
+        rel = np.abs(got - e[:nret]) / e[:nret]
+        assert rel.max() < 1e-4
+
+    def test_wide_conditioning(self):
+        """lambda_max ~ 1e8 above the cut still meets the tier."""
+        az, fz, e = _pencil(13, 128, 90, 50, sig_top=3.5, fg_top=5)
+        nret = int((e > CUT).sum())
+        # lambda_max ~ 1.5e9: 10.2 decades above the cut needs 6
+        # two-decade levels (5 leave the last band at 0.15 > cut, which
+        # the certificate correctly flags)
+        res, ok = fpencil.kl_solve_qr_topband(az, fz, cut=CUT, k=48, levels=6)
+        assert bool(ok)
+        got = np.asarray(res.evals, np.float64)[::-1]
+        got = got[got > 0]
+        assert len(got) == nret
+        rel = np.abs(got - e[:nret]) / e[:nret]
+        assert rel.max() < 2e-4
+
+    def test_certificate_basis_overflow(self):
+        """Total capacity levels*k below the retained count -> ok False.
+
+        (A single level's band overflowing is self-healing — leftovers
+        surface at the next level's band top — so the certificate's
+        contract is on *total* completeness, not per-level width.)
+        """
+        az, fz, e = _pencil(11, 128, 90, 50, sig_top=2.5, fg_top=5)
+        nret = int((e > CUT).sum())
+        k_small = max(nret // 10, 1)  # capacity levels*k < nret
+        _, ok = fpencil.kl_solve_qr_topband(az, fz, cut=CUT, k=k_small)
+        assert not bool(ok)
+
+    def test_certificate_too_few_levels(self):
+        """Spectrum range beyond levels*2 decades -> ok must be False."""
+        az, fz, e = _pencil(13, 128, 90, 50, sig_top=3.5, fg_top=5)
+        _, ok = fpencil.kl_solve_qr_topband(az, fz, cut=CUT, k=48, levels=2)
+        assert not bool(ok)
+
+    def test_empty_band(self):
+        """Nothing above the cut: zero capture with a True certificate."""
+        az, fz, _ = _pencil(9, 96, 50, 30, sig_top=-4, fg_top=5)
+        res, ok = fpencil.kl_solve_qr_topband(az, fz, cut=CUT, k=16)
+        assert bool(ok)
+        assert float(jnp.max(res.evals)) == 0.0
+
+    def test_vmapped_batch(self):
+        """vmap over a pencil batch gives the same results as per-m."""
+        cases = [_pencil(s, 96, 60, 40, 2.0, 4) for s in (21, 22, 23)]
+        ar = jnp.stack([c[0].re for c in cases])
+        ai = jnp.stack([c[0].im for c in cases])
+        fr = jnp.stack([c[1].re for c in cases])
+        fi = jnp.stack([c[1].im for c in cases])
+
+        def solve(a_re, a_im, f_re, f_im):
+            res, ok = fpencil.kl_solve_qr_topband(
+                za.Z(a_re, a_im), za.Z(f_re, f_im), cut=CUT, k=24
+            )
+            return res.evals, ok
+
+        evb, okb = jax.vmap(solve)(ar, ai, fr, fi)
+        for i, (azi, fzi, e) in enumerate(cases):
+            res, ok = fpencil.kl_solve_qr_topband(azi, fzi, cut=CUT, k=24)
+            assert bool(okb[i]) == bool(ok)
+            np.testing.assert_allclose(
+                np.asarray(evb[i]), np.asarray(res.evals), rtol=1e-4, atol=1e-6
+            )
+            got = np.asarray(evb[i], np.float64)[::-1]
+            got = got[got > 0]
+            nret = int((e > CUT).sum())
+            if bool(okb[i]):
+                assert len(got) == nret
+
+    def test_eigenvectors_rayleigh(self):
+        """Retained eigenvectors verify by f64 Rayleigh quotient of the
+        original pencil, at parity with the exact production path.
+
+        The bound here is the *whitening's* backward error, shared by
+        both engines: v = R^-1 u picks up eps32 * ||N|| from the f32
+        CholeskyQR factor, a ~1% Rayleigh deviation at this
+        conditioning.  Measured on this case the exact kl_solve_qr path
+        gives median 1.3% with a 296x outlier at the cut; the topband
+        path must not be worse than its median profile.
+        """
+        az, fz, e = _pencil(11, 128, 90, 50, sig_top=2.5, fg_top=5)
+        nret = int((e > CUT).sum())
+        res, ok = fpencil.kl_solve_qr_topband(az, fz, cut=CUT, k=32)
+        assert bool(ok)
+        As = np.asarray(az.re, np.float64) + 1j * np.asarray(az.im, np.float64)
+        Af = np.asarray(fz.re, np.float64) + 1j * np.asarray(fz.im, np.float64)
+        S = As @ As.conj().T
+        N = np.eye(As.shape[0]) + Af @ Af.conj().T
+        V = np.asarray(res.evecs.re, np.float64) + 1j * np.asarray(
+            res.evecs.im, np.float64
+        )
+        w = np.asarray(res.evals, np.float64)
+        errs = []
+        for j in range(len(w) - nret, len(w)):
+            v = V[:, j]
+            rq = (v.conj() @ S @ v).real / (v.conj() @ N @ v).real
+            errs.append(abs(rq - w[j]) / w[j])
+        errs = np.array(errs)
+        assert np.median(errs) < 2e-2
+        assert errs.max() < 5e-2
