@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""A/B the top-band KL engine vs the exact eigh on the TPU.
+
+Two granularities:
+* one m-batch through _spectrum_batch (fetch-timed, stage-clean);
+* the whole product_all_resident phase (what the bench headline sees).
+
+Scale via BENCH_SCALE (bench.build_telescope) or STRESS=1 for the
+ndof-1088 production-stress telescope.
+"""
+
+import os
+import sys
+import time
+import functools
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+if os.environ.get("AB_CPU"):  # flow check without the chip
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import bench
+from driftscan_tpu.parallel import mstep, resident
+
+
+def sync(x):
+    return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+
+
+def t(f, *a, n=3):
+    out = f(*a)
+    sync(out)
+    best = np.inf
+    for _ in range(n):
+        st = time.time()
+        out = f(*a)
+        sync(out)
+        best = min(best, time.time() - st)
+    return best
+
+
+def main():
+    if os.environ.get("STRESS"):
+        from driftscan_tpu.telescope import cylinder
+
+        tel = cylinder.PolarisedCylinderTelescope.from_config(dict(
+            num_freq=16, freq_start=400.0, freq_end=500.0, freq_mode="edge",
+            num_cylinders=2, cylinder_width=15.0, num_feeds=4,
+            feed_spacing=3.0, tsys=50.0, single_precision=True,
+        ))
+    else:
+        tel = bench.build_telescope()
+    cl_s, cl_n, noisew, _ = bench._covariances(tel)
+    ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)
+    bl = np.arange(tel.npairs)
+    fi = np.arange(tel.nfreq)
+    blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+    st = time.time()
+    pos, neg = resident.btm_resident(tel, blg, fig)
+    sync(pos.re.sum())
+    nl = tel.lmax + 1
+    n = tel.nfreq * min(nl, 2 * tel.npairs)
+    print(f"telescope: nfreq={tel.nfreq} mmax={tel.mmax} ndof={n} "
+          f"(btm {time.time()-st:.0f}s)", flush=True)
+    nw = jnp.asarray(noisew, dtype=pos.re.dtype)
+    lsj = jnp.asarray(ls, dtype=pos.re.dtype)
+    lfj = jnp.asarray(lf, dtype=pos.re.dtype)
+
+    # ---- one m-batch, stage-clean ----
+    mb = resident._auto_mbatch_n(
+        n, nl * ls.shape[-1], K_aug=nl * lf.shape[-1], cap=8
+    )
+    mv = jnp.asarray(np.arange(8, 8 + mb, dtype=np.int32))
+    base = functools.partial(
+        resident._spectrum_batch, npairs=tel.npairs, nfreq=tel.nfreq, nl=nl,
+        npol=tel.num_pol_sky,
+    )
+    dt0 = t(lambda: base(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv,
+                         sig_levels=2))
+    print(f"batch mb={mb} exact(sig_levels=2): {dt0*1e3:.0f} ms", flush=True)
+    dt1 = t(lambda: base(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv,
+                         sig_levels=1))
+    print(f"batch mb={mb} exact(sig_levels=1): {dt1*1e3:.0f} ms", flush=True)
+    for k in (max(n // 8, 8), max(n // 4, 8)):
+        kq = resident._quant_frac(k, n)
+        dt2 = t(lambda: base(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv,
+                             sig_levels=1, kl_cut=0.1, kl_top_k=kq,
+                             kl_levels=5))
+        ev, nmo, okf = base(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv,
+                            sig_levels=1, kl_cut=0.1, kl_top_k=kq,
+                            kl_levels=5)
+        print(f"batch mb={mb} topband k={kq}: {dt2*1e3:.0f} ms "
+              f"ok={bool(np.asarray(okf).all())}", flush=True)
+
+    # ---- whole product phase (second run of each: warm compile cache) ----
+    def phase(**kw):
+        resident.product_all_resident(tel, pos, neg, ls, lf, noisew, **kw)
+        st = time.time()
+        out = resident.product_all_resident(tel, pos, neg, ls, lf, noisew, **kw)
+        return out, time.time() - st
+
+    (ev0, nm0), t_exact = phase()
+    print(f"product phase exact:   {t_exact:.1f} s", flush=True)
+    (ev1, nm1), t_tb = phase(topband=True, kl_cut=0.1)
+    print(f"product phase topband: {t_tb:.1f} s ({t_exact/t_tb:.2f}x)",
+          flush=True)
+
+    keep = ev0 > 0.1
+    agree = np.array_equal(keep, ev1 > 0.1)
+    rel = (np.abs(ev1[keep] - ev0[keep]) / ev0[keep]).max() if keep.any() else 0.0
+    print(f"retained modes: {int(keep.sum())}; sets equal: {agree}; "
+          f"max rel diff on retained: {rel:.2e}", flush=True)
+    print(f"topband state (n -> (k, levels)): {resident._TB_STATE}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
