@@ -277,12 +277,16 @@ def resident_phases(tel, max_m=None, mbatch=None, max_units=None):
     # The rank-capped quick-look (sig_k_cap=128, ~6e-3 bias, another
     # ~5x faster) is available but not what we headline.
     sig_k_cap = int(os.environ.get("BENCH_SIG_K_CAP", "0"))
+    # Top-band KL engine (fpencil.gram_topband): exact retained spectrum
+    # with a completeness certificate; sub-cut tail reported as zeros.
+    topband = os.environ.get("BENCH_TOPBAND", "0") == "1"
 
-    _log(f"product warm-up compile (mbatch={mbatch}, sig_k_cap={sig_k_cap})...")
+    _log(f"product warm-up compile (mbatch={mbatch}, sig_k_cap={sig_k_cap}, "
+         f"topband={topband})...")
     wt = time.time()
     resident.product_all_resident(
         tel, pos, neg, ls, lf, noisew, mbatch=mbatch, max_m=min(mbatch, nm),
-        sig_k_cap=sig_k_cap,
+        sig_k_cap=sig_k_cap, topband=topband,
     )
     _PHASES.setdefault("t_product_warmup_s", round(time.time() - wt, 2))
 
@@ -290,7 +294,7 @@ def resident_phases(tel, max_m=None, mbatch=None, max_units=None):
     st = time.time()
     evals, nmodes = resident.product_all_resident(
         tel, pos, neg, ls, lf, noisew, mbatch=mbatch, max_m=nm,
-        sig_k_cap=sig_k_cap,
+        sig_k_cap=sig_k_cap, topband=topband,
     )
     t_prod = time.time() - st
 

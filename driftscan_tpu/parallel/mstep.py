@@ -286,7 +286,7 @@ def jit_product_step_split(npol: int, nl: int, mesh=None, **kwargs):
     return jax.jit(
         fn,
         in_shardings=(shard, shard, repl, repl, repl, shard),
-        out_shardings=ProductStepResultSplit(*([shard] * 9)),
+        out_shardings=ProductStepResultSplit(*([shard] * 10)),
     )
 
 
