@@ -672,17 +672,36 @@ def _noise_r_factor(noise_rows: za.Z) -> jnp.ndarray:
 # angle) is invisible at the reference's 1e-4 eigenvalue tier.
 
 
-def _chol_qr_zblock(v: za.Z) -> za.Z:
-    """Orthonormalise a complex column block via the interleaved embedding.
+def _chol_qr_zblock(v: za.Z, rounds: int = 2) -> za.Z:
+    """Orthonormalise a complex column block, matmul-only, gather-free.
 
-    interleave is a ring homomorphism mapping the complex Gram/Cholesky
-    to their real counterparts (see zarray.cholesky), so the real
-    Cholesky-QR of the interleaved block is the complex Cholesky-QR up
-    to rounding.  The shifted rounds leave ~1e-5 non-orthonormality but
-    preserve the *span* exactly (column ops only) — callers that need a
+    Interleaving the whole (n, k) block would cost two ~O(n*k) device
+    gathers per call (~2 GB/s effective on this TPU — see design.md
+    5b7), so only the *small* (k, k) Cholesky factor goes through the
+    interleaved embedding: per round one split Gram matmul, a shifted
+    complex Cholesky (zarray.cholesky — interleaves k x k only), an
+    explicit small triangular inverse R^-1 = (L^H)^-1 (stable here:
+    the 1e-5 relative shift caps cond(L) at ~sqrt(1e5)), and one
+    (n, k)(k, k) split matmul V <- V R^-1.
+
+    The shifted rounds leave ~1e-5 non-orthonormality but preserve the
+    *span* exactly (column operations only) — callers that need a
     metric use the explicit V^H V in the Rayleigh-Ritz step.
     """
-    return za.deinterleave(_chol_qr_real(za.interleave(v)))
+    k = v.shape[-1]
+    eye_e = jnp.eye(2 * k, dtype=v.dtype)
+    for _ in range(rounds):
+        g = _herm(za.einsum("ji,jk->ik", v.conj(), v))
+        shift = 1e-5 * jnp.max(jnp.diagonal(g.re, axis1=-2, axis2=-1)) + 1e-30
+        g = za.Z(g.re + shift * jnp.eye(k, dtype=g.re.dtype), g.im)
+        L = za.cholesky(g)
+        # R^-1 = (L^H)^-1 via the small interleaved upper solve
+        le_t = jnp.swapaxes(za.interleave(L), -1, -2)  # interleave(L^H)
+        rinv = za.deinterleave(
+            jax.scipy.linalg.solve_triangular(le_t, eye_e, lower=False)
+        )
+        v = za.einsum("ij,jk->ik", v, rinv)
+    return v
 
 
 def _cheb_apply(y: za.Z, v: za.Z, b: float, degree: int) -> za.Z:
