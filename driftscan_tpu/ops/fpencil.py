@@ -35,6 +35,7 @@ complex-free TPU runtimes via the split-complex ``Z`` representation.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -638,12 +639,79 @@ def chol_qr_r(aug_e: jnp.ndarray, rounds: int | None = None) -> jnp.ndarray:
 
 
 # Factorisation used for the pencil's noise whitening: "cholqr" (the
-# matmul-only iteration above) or "householder" (XLA's QR) for A/B.
-_QR_IMPL = "cholqr"
+# matmul-only iteration above, on the interleaved embedding),
+# "cholqr_split" (same rounds in split-complex form — half the Gram
+# flops, no tall interleave/triangular solve) or "householder" (XLA's
+# QR) for A/B.  Env-overridable once, before first trace.
+_QR_IMPL = os.environ.get("DRIFTSCAN_TPU_QR_IMPL", "cholqr")
+
+
+def _chol_qr_r_split(rows: za.Z) -> jnp.ndarray:
+    """R of the noise rows by shifted CholeskyQR in split-complex form.
+
+    Exactly :func:`chol_qr_r`'s round schedule, but the tall matrix
+    never leaves the split representation: per round the Gram is four
+    real (rows, n) matmuls — *half* the flops of the
+    interleaved-embedded Gram, whose doubled dimensions redo every
+    product twice — the shifted complex Cholesky interleaves only the
+    (n, n) Gram (zarray.cholesky), and the tall triangular solve
+    becomes one split matmul against the explicit small inverse
+    (stable: the shift caps cond(R_k) at ~sqrt(1/shift_rel)).  In
+    exact arithmetic the result equals chol_qr_r's R (the interleaved
+    embedding is a ring homomorphism mapping Cholesky to Cholesky).
+
+    Returns interleave(R_total) — the downstream whitening solves stay
+    true triangular solves (the *full* R carries cond(N)^(1/2) and
+    must not be inverted explicitly).
+    """
+    dt = rows.re.dtype
+    n = rows.shape[-1]
+    eps = float(jnp.finfo(dt).eps)
+    rounds = _cholqr_rounds(dt)
+    shift_rel = _CHOLQR_SHIFT_EPS_MULT * eps
+    small_rel = 10.0 * (2 * n) * eps
+    eye = jnp.eye(n, dtype=dt)
+    eye2 = jnp.eye(2 * n, dtype=dt)
+
+    g = rows
+    r_tot = None  # Z (n, n) upper-triangular complex
+    for k in range(rounds):
+        gram = _herm(za.einsum("...ji,...jk->...ik", g.conj(), g))
+        if k < rounds - 2:
+            rel = shift_rel
+        elif k == rounds - 2:
+            rel = small_rel
+        else:
+            rel = 0.0
+        if rel:
+            # inf-norm upper bound on lambda_max (|z| <= |re| + |im|)
+            lam = jnp.max(
+                jnp.sum(jnp.abs(gram.re) + jnp.abs(gram.im), axis=-1),
+                axis=-1, keepdims=True,
+            )[..., None]
+            gram = za.Z(gram.re + (rel * lam + 1e-30) * eye, gram.im)
+        L = za.cholesky(gram)
+        r_k = za.Z(
+            jnp.swapaxes(L.re, -1, -2), -jnp.swapaxes(L.im, -1, -2)
+        )  # L^H, upper
+        r_tot = (
+            r_k
+            if r_tot is None
+            else za.einsum("...ij,...jk->...ik", r_k, r_tot)
+        )
+        if k < rounds - 1:
+            le_t = jnp.swapaxes(za.interleave(L), -1, -2)  # interleave(L^H)
+            rinv = za.deinterleave(
+                jax.scipy.linalg.solve_triangular(le_t, eye2, lower=False)
+            )
+            g = za.einsum("...ij,...jk->...ik", g, rinv)
+    return za.interleave(r_tot)
 
 
 def _noise_r_factor(noise_rows: za.Z) -> jnp.ndarray:
     """Interleaved upper-triangular R with N = R^H R from noise rows G."""
+    if _QR_IMPL == "cholqr_split":
+        return _chol_qr_r_split(noise_rows)
     aug = za.interleave(noise_rows)
     if _QR_IMPL == "householder":
         r_e = jnp.linalg.qr(aug, mode="r")

@@ -762,6 +762,71 @@ def _analysis_split(
     return pos_re, pos_im, neg_re, neg_im
 
 
+def _belt_phase_tables(mv, J, rdtype):
+    """cos/sin((m * pi * (2j + par)) / J mod 2pi) per belt parity.
+
+    Returns (cs, ss), each a [par=pi/J, par=0] list of (mc, J) tables —
+    the same integer range reduction as the analysis belt stage.
+    """
+    n2b = 2 * J
+    int64_belt = (2 * J) ** 2 > np.iinfo(np.int32).max
+    mmod = (mv % n2b).astype(jnp.int64 if int64_belt else jnp.int32)
+    tj = jnp.arange(J, dtype=mmod.dtype) * 2
+    cs, ss = [], []
+    for par in (1, 0):  # belt parity alternates pi/J, 0, pi/J, ...
+        r = (mmod[:, None] * (tj[None, :] + par)) % n2b
+        ang = r.astype(rdtype) * rdtype.type(np.pi / J)
+        cs.append(jnp.cos(ang))
+        ss.append(jnp.sin(ang))
+    return cs, ss
+
+
+def _phase_unproject(t_c, t_s, mv, g, nside: int, rdtype):
+    """out[b, r, j] = sum_m t_c[b,m,r] cos(m phi_rj) + t_s[b,m,r] sin(..).
+
+    The synthesis-side phase stage, belt/cap split exactly like the
+    analysis projection (see _analysis_split): the equatorial belt's
+    constant ring length and two alternating azimuth offsets collapse
+    its per-ring einsums into two (B*nbelt, mc) @ (mc, J) matmuls;
+    only the polar caps keep the general per-ring contraction with a
+    half-size phase tensor.  Invalid cap slots come out zero (the cap
+    tables are masked); belt rows are always full.
+    """
+    geom = ring_geometry(nside)
+    J = geom.maxlen
+    ncap_n = nside - 1
+    belt_lo, belt_hi = nside - 1, 3 * nside
+    maskr = g.mask.astype(rdtype)
+    B = t_c.shape[0]
+
+    cs_b, ss_b = _belt_phase_tables(mv, J, rdtype)
+    out = jnp.zeros((B, geom.nring, J), dtype=rdtype)
+    for off, ctab, stab in zip((0, 1), cs_b, ss_b):
+        tc = t_c[:, :, belt_lo + off : belt_hi : 2]  # (B, mc, nb_par)
+        ts = t_s[:, :, belt_lo + off : belt_hi : 2]
+        blk = jnp.einsum("bmn,mj->bnj", tc, ctab)
+        blk = blk + jnp.einsum("bmn,mj->bnj", ts, stab)
+        out = out.at[:, belt_lo + off : belt_hi : 2].set(blk)
+
+    if ncap_n > 0:
+        cap_tj = jnp.concatenate([g.twoj_h[:ncap_n], g.twoj_h[belt_hi:]], axis=0)
+        cap_n2 = jnp.concatenate([g.n2[:ncap_n], g.n2[belt_hi:]], axis=0)
+        cap_mask = jnp.concatenate([maskr[:ncap_n], maskr[belt_hi:]], axis=0)
+        cap_phase = _phase_angle_tables(
+            cap_tj, cap_n2, mv, rdtype,
+            promote=(8 * nside - 1) ** 2 > np.iinfo(np.int32).max,
+        )
+        c_cap = jnp.cos(cap_phase) * cap_mask[None]
+        s_cap = jnp.sin(cap_phase) * cap_mask[None]
+        tcc = jnp.concatenate([t_c[:, :, :ncap_n], t_c[:, :, belt_hi:]], axis=2)
+        tsc = jnp.concatenate([t_s[:, :, :ncap_n], t_s[:, :, belt_hi:]], axis=2)
+        cap = jnp.einsum("bmr,mrj->brj", tcc, c_cap)
+        cap = cap + jnp.einsum("bmr,mrj->brj", tsc, s_cap)
+        out = out.at[:, :ncap_n].set(cap[:, :ncap_n])
+        out = out.at[:, belt_hi:].set(cap[:, ncap_n:])
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("nside", "lmax", "mmax"))
 def _synthesis_real_split(a_re, a_im, g, nside: int, lmax: int, mmax: int, lam_table=None):
     """Split-complex inverse SHT onto a real field (complex-free backends).
@@ -801,14 +866,11 @@ def _synthesis_real_split(a_re, a_im, g, nside: int, lmax: int, mmax: int, lam_t
             lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
         t_re = jnp.einsum("lmr,blm->bmr", lam, ar)
         t_im = jnp.einsum("lmr,blm->bmr", lam, ai)
-        phase = _phase_angle(mv, g, nside, rdtype)
-        mr = mask[None].astype(rdtype)
-        c = jnp.cos(phase) * mr
-        s = jnp.sin(phase) * mr
         weight = jnp.where(mv == 0, 1.0, 2.0).astype(rdtype)[None, :, None]
         # Re(T e^{i m phi}) = T.re * cos - T.im * sin
-        contrib = jnp.einsum("bmr,mrj->brj", t_re * weight, c)
-        contrib -= jnp.einsum("bmr,mrj->brj", t_im * weight, s)
+        contrib = _phase_unproject(
+            t_re * weight, -(t_im * weight), mv, g, nside, rdtype
+        )
         return acc + contrib, None
 
     acc0 = jnp.zeros((B, geom.nring, geom.maxlen), dtype=rdtype)
@@ -873,16 +935,14 @@ def _synthesis_complex_split(
         signm = jnp.where(mv % 2 == 0, 1.0, -1.0).astype(rdtype)[None, :, None]
         tn_re = jnp.einsum("lmr,blm->bmr", lam, nr) * signm
         tn_im = jnp.einsum("lmr,blm->bmr", lam, ni) * signm
-        phase = _phase_angle(mv, g, nside, rdtype)
-        mr = mask[None].astype(rdtype)
-        c = jnp.cos(phase) * mr
-        s = jnp.sin(phase) * mr
         # T+ e^{i m phi} + T- e^{-i m phi}
         acc_re, acc_im = acc
-        acc_re = acc_re + jnp.einsum("bmr,mrj->brj", tp_re + tn_re, c)
-        acc_re = acc_re - jnp.einsum("bmr,mrj->brj", tp_im - tn_im, s)
-        acc_im = acc_im + jnp.einsum("bmr,mrj->brj", tp_im + tn_im, c)
-        acc_im = acc_im + jnp.einsum("bmr,mrj->brj", tp_re - tn_re, s)
+        acc_re = acc_re + _phase_unproject(
+            tp_re + tn_re, -(tp_im - tn_im), mv, g, nside, rdtype
+        )
+        acc_im = acc_im + _phase_unproject(
+            tp_im + tn_im, tp_re - tn_re, mv, g, nside, rdtype
+        )
         return (acc_re, acc_im), None
 
     acc0 = (

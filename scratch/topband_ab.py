@@ -72,6 +72,15 @@ def main():
     lsj = jnp.asarray(ls, dtype=pos.re.dtype)
     lfj = jnp.asarray(lf, dtype=pos.re.dtype)
 
+    # ---- interleave micro-probe: is the aug embedding gather-bound? ----
+    from driftscan_tpu.ops import zarray as za
+    K_aug = nl * lf.shape[-1]
+    rows = jnp.ones((K_aug + n, n), pos.re.dtype)
+    zz = za.Z(rows, rows)
+    ie = jax.jit(lambda a: za.interleave(a).sum())
+    dt_i = t(lambda: ie(zz))
+    print(f"interleave aug ({K_aug + n}x{n}): {dt_i*1e3:.0f} ms", flush=True)
+
     # ---- one m-batch, stage-clean ----
     mb = resident._auto_mbatch_n(
         n, nl * ls.shape[-1], K_aug=nl * lf.shape[-1], cap=8
@@ -97,6 +106,22 @@ def main():
                             kl_levels=5)
         print(f"batch mb={mb} topband k={kq}: {dt2*1e3:.0f} ms "
               f"ok={bool(np.asarray(okf).all())}", flush=True)
+
+    # ---- QR impl A/B (same batch; clear the jit cache between impls:
+    # the impl flag is module state, not a static arg) ----
+    from driftscan_tpu.ops import fpencil
+    for impl in ("cholqr", "cholqr_split"):
+        resident._spectrum_batch.clear_cache()
+        old = fpencil._QR_IMPL
+        fpencil._QR_IMPL = impl
+        try:
+            dtq = t(lambda: base(pos.re, pos.im, neg.re, neg.im, nw, lsj,
+                                 lfj, mv, sig_levels=2))
+        finally:
+            fpencil._QR_IMPL = old
+        print(f"batch mb={mb} exact, qr_impl={impl}: {dtq*1e3:.0f} ms",
+              flush=True)
+    resident._spectrum_batch.clear_cache()
 
     # ---- whole product phase (second run of each: warm compile cache) ----
     def phase(**kw):

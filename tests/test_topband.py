@@ -146,3 +146,30 @@ class TestTopband:
         errs = np.array(errs)
         assert np.median(errs) < 2e-2
         assert errs.max() < 5e-2
+
+
+def test_cholqr_split_impl_matches_interleaved():
+    """The split-complex CholeskyQR (DRIFTSCAN_TPU_QR_IMPL=cholqr_split)
+    computes the same whitening factor as the interleaved-embedding
+    default (they are the same algorithm through the interleave ring
+    homomorphism), and the pencil solved through it stays at the same
+    distance from the dense f64 reference."""
+    az, fz, e = _pencil(11, 128, 90, 50, sig_top=2.5, fg_top=5)
+    rows = fpencil._thermal_noise_rows(fz, jnp.asarray(1.0, jnp.float32))
+    r_a = np.asarray(fpencil.chol_qr_r(za.interleave(rows)), np.float64)
+    r_b = np.asarray(fpencil._chol_qr_r_split(rows), np.float64)
+    assert np.abs(r_a - r_b).max() < 1e-5 * np.abs(r_a).max()
+
+    nret = int((e > CUT).sum())
+    kl_a = fpencil.kl_solve_qr(az, fz, with_thermal=True)
+    old = fpencil._QR_IMPL
+    try:
+        fpencil._QR_IMPL = "cholqr_split"
+        kl_b = fpencil.kl_solve_qr(az, fz, with_thermal=True)
+    finally:
+        fpencil._QR_IMPL = old
+    ea = np.sort(np.asarray(kl_a.evals, np.float64))[::-1][:nret]
+    eb = np.sort(np.asarray(kl_b.evals, np.float64))[::-1][:nret]
+    ref_a = (np.abs(ea - e[:nret]) / e[:nret]).max()
+    ref_b = (np.abs(eb - e[:nret]) / e[:nret]).max()
+    assert ref_b < max(2.0 * ref_a, 1e-4)
