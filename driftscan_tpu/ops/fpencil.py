@@ -1189,6 +1189,77 @@ def doublekl_solve_qr(
     return f_evals, evals2, v, nkept
 
 
+def doublekl_solve_qr_topband(
+    a_signal: za.Z,
+    a_fg: za.Z,
+    cut: float,
+    k: int,
+    fg_threshold: float = 100.0,
+    fg_floor: float = 1e-6,
+    nc1: float | None = None,
+    fg_reg_rel: float = 1e-14,
+    levels: int = 5,
+    k2: int | None = None,
+):
+    """Two-stage (DoubleKL) pencil through the top-band engine.
+
+    Identical structure to :func:`doublekl_solve_qr`, with each stage's
+    eigendecomposition replaced by the filtered top-band extraction:
+    stage 1 computes exactly the modes it *keeps* (S/F > fg_threshold —
+    the retention cut IS the stage-1 band edge), stage 2 the modes
+    above the final KL threshold ``cut``.  Everything below either cut
+    is reported as exact zeros, matching the mask-drop contract.
+
+    Returns (f_evals, evals2, evecs, nkept, ok) — the first four as
+    :func:`doublekl_solve_qr`; ``ok`` is the AND of both stages'
+    completeness certificates (False => redispatch bigger or fall back
+    to the exact engine).
+    """
+    dt = a_signal.dtype
+    n = a_signal.shape[-2]
+    if k2 is None:
+        k2 = k
+
+    # ---- stage 1: S/F, band = the kept modes ----
+    if nc1 is None:
+        nc1 = fg_floor * _spectral_norm_sq(a_fg) + jnp.asarray(1e-30, dt)
+    reg = fg_reg_rel * jnp.max(jnp.sum(a_fg.abs2(), axis=-1))
+    nc1 = nc1 + reg
+    kl1, ok1 = pencil_solve_qr_topband(
+        a_signal,
+        _thermal_noise_rows(a_fg, nc1),
+        cut=fg_threshold,
+        k=k,
+        levels=levels,
+    )
+    f_evals = kl1.evals  # ascending, zeros below fg_threshold
+    keep = (f_evals > fg_threshold).astype(dt)
+    p = za.Z(kl1.evecs.re * keep[None, :], kl1.evecs.im * keep[None, :])
+
+    # ---- stage 2: S/(nc I + F) on the kept subspace ----
+    bs = za.einsum("ji,jk->ik", p.conj(), a_signal)
+    fp = za.einsum("ja,jc->ac", a_fg.conj(), p)
+    gr = za.Z(
+        jnp.concatenate([fp.re, p.re], axis=-2),
+        jnp.concatenate([fp.im, p.im], axis=-2),
+    )
+    delta = jnp.asarray(1e-4, dt) * jnp.eye(n, dtype=dt)
+    gr = za.Z(
+        jnp.concatenate([gr.re, delta], axis=-2),
+        jnp.concatenate([gr.im, jnp.zeros_like(delta)], axis=-2),
+    )
+
+    kl2, ok2 = pencil_solve_qr_topband(bs, gr, cut=cut, k=k2, levels=levels)
+
+    v = za.einsum("ij,jk->ik", p, kl2.evecs)
+    vnorm = jnp.sum(v.abs2(), axis=-2)
+    alive = (vnorm > 1e-12).astype(dt)
+    evals2 = kl2.evals * alive
+
+    nkept = jnp.sum(keep).astype(jnp.int32)
+    return f_evals, evals2, v, nkept, ok1 & ok2
+
+
 def kl_solve_qr(
     a_signal: za.Z,
     a_fg: za.Z,

@@ -173,3 +173,57 @@ def test_cholqr_split_impl_matches_interleaved():
     ref_a = (np.abs(ea - e[:nret]) / e[:nret]).max()
     ref_b = (np.abs(eb - e[:nret]) / e[:nret]).max()
     assert ref_b < max(2.0 * ref_a, 1e-4)
+
+
+def test_doublekl_topband_matches_dense_two_stage():
+    """Both DoubleKL stages through the top-band engine agree with an
+    independent dense f64 two-stage solve — counts exactly, values to
+    well inside the reference's DoubleKL tier (1e-2).
+
+    (At this conditioning the dense referee is the only valid anchor:
+    the exact f32 engine itself produces spurious above-cut modes when
+    lambda_max approaches the eps32^2 deflation envelope.)
+    """
+    import scipy.linalg as sla
+
+    az, fz, _ = _pencil(11, 128, 90, 50, sig_top=5.0, fg_top=3)
+    As = np.asarray(az.re, np.float64) + 1j * np.asarray(az.im, np.float64)
+    Af = np.asarray(fz.re, np.float64) + 1j * np.asarray(fz.im, np.float64)
+    n = As.shape[0]
+    S = As @ As.conj().T
+    F = Af @ Af.conj().T
+    # mirror the engine's stage-1 regularisation exactly — including its
+    # power-iteration lambda_max estimate: the kept (low-foreground)
+    # modes are nc1-dominated, so a ~0.2% lambda_max estimation
+    # difference shifts every kept eigenvalue by the same relative
+    # amount (a property shared with the exact engine, not a top-band
+    # artefact)
+    lam_f = float(fpencil._spectral_norm_sq(fz))
+    nc1 = 1e-6 * lam_f + 1e-14 * np.abs(F).max()
+    w1, q1 = sla.eigh(
+        0.5 * (S + S.conj().T), 0.5 * (F + F.conj().T) + nc1 * np.eye(n)
+    )
+    P = q1[:, w1 > 100.0]
+    assert P.shape[1] > 10
+    S2 = P.conj().T @ S @ P
+    N2 = P.conj().T @ (np.eye(n) + F) @ P
+    w2 = np.sort(
+        sla.eigh(0.5 * (S2 + S2.conj().T), 0.5 * (N2 + N2.conj().T),
+                 eigvals_only=True)
+    )[::-1]
+    w1k = np.sort(w1[w1 > 100.0])[::-1]
+
+    f1, e1, v1, nk, ok = fpencil.doublekl_solve_qr_topband(
+        az, fz, cut=CUT, k=48, levels=7
+    )
+    assert bool(ok)
+    f1n = np.asarray(f1, np.float64)
+    f1n = np.sort(f1n[f1n > 100.0])[::-1]
+    e1n = np.asarray(e1, np.float64)
+    e1n = np.sort(e1n[e1n > CUT])[::-1]
+    w2r = w2[w2 > CUT]
+
+    assert len(f1n) == len(w1k) == int(nk)
+    np.testing.assert_allclose(f1n, w1k, rtol=1e-3)
+    assert len(e1n) == len(w2r)
+    np.testing.assert_allclose(e1n, w2r, rtol=1e-3)
