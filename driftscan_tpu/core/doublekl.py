@@ -111,16 +111,44 @@ class DoubleKL(kltransform.KLTransform):
         ls, lf = self._cl_factors()
 
         nc1 = (1e-3 / tel.tsys_flat) ** 2  # suppressed-thermal floor
-        f_ev_b, ev_b, evecs_b, nkept_b = projections.doublekl_factored_batched(
-            bsvd,
-            ls,
-            lf,
-            nc=1.0,
-            nc1=nc1,
-            fg_threshold=self.foreground_threshold,
-            fg_reg_rel=self._foreground_regulariser,
-            mesh=meshmod.get_mesh(),
-        )
+
+        # Retained-band engine (see KLTransform.engine): both stages
+        # compute only the modes they keep; certificate failures drop
+        # the chunk to the exact two-stage engine.  The sub-threshold
+        # tails of `evals_full`/`f_evals` are then exact zeros.
+        use_topband = self.engine == "topband" and self.subset
+        topband_ok = False
+        if use_topband:
+            f_ev_b, ev_b, evecs_b, nkept_b, ok_b = (
+                projections.doublekl_factored_batched_topband(
+                    bsvd,
+                    ls,
+                    lf,
+                    cut=self.threshold,
+                    nc=1.0,
+                    nc1=nc1,
+                    fg_threshold=self.foreground_threshold,
+                    fg_reg_rel=self._foreground_regulariser,
+                    mesh=meshmod.get_mesh(),
+                )
+            )
+            topband_ok = bool(np.asarray(ok_b).all())
+            if not topband_ok:
+                logger.info(
+                    "m chunk %s: top-band certificate failed; re-solving "
+                    "with the exact engine.", list(m_chunk),
+                )
+        if not topband_ok:
+            f_ev_b, ev_b, evecs_b, nkept_b = projections.doublekl_factored_batched(
+                bsvd,
+                ls,
+                lf,
+                nc=1.0,
+                nc1=nc1,
+                fg_threshold=self.foreground_threshold,
+                fg_reg_rel=self._foreground_regulariser,
+                mesh=meshmod.get_mesh(),
+            )
 
         for i, mi in enumerate(m_chunk):
             idx = idx_list[i]

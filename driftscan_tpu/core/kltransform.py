@@ -73,6 +73,15 @@ class KLTransform(config.Reader):
 
     threshold = config.Property(proptype=float, default=0.1, key="threshold")
 
+    # Eigensolver for the batched path: "exact" (full whitened-Gram
+    # eigendecomposition) or "topband" (fpencil.gram_topband — matmuls
+    # only, computes exactly the retained band).  With "topband" the
+    # sub-threshold tail of the diagnostic `evals_full` dataset is
+    # written as exact zeros (the retained `evals`/`evecs` datasets are
+    # unchanged); it requires ``subset`` and falls back to "exact"
+    # whenever a chunk's completeness certificate fails.
+    engine = config.Property(proptype=str, default="exact", key="engine")
+
     _foreground_regulariser = config.Property(
         proptype=float, default=1e-14, key="regulariser"
     )
@@ -412,14 +421,40 @@ class KLTransform(config.Reader):
         ls, lf = self._cl_factors()
         nc = 1.0 if self.use_thermal else (1e-3 / tel.tsys_flat) ** 2
 
-        evals_b, evecs_b = projections.kl_factored_batched(
-            bsvd,
-            ls,
-            lf,
-            nc=nc,
-            with_thermal=True,
-            mesh=meshmod.get_mesh(),
-        )
+        # Retained-band engine: compute only the eigenpairs the subset
+        # cut keeps (fpencil.gram_topband — matmuls instead of the QDWH
+        # eigh).  Any m whose completeness certificate fails drops the
+        # whole chunk back to the exact engine.  The sub-threshold tail
+        # of `evals_full` is then exact zeros (see the `engine` config
+        # property).
+        use_topband = self.engine == "topband" and self.subset
+        topband_ok = False
+        if use_topband:
+            evals_b, evecs_b, ok_b = projections.kl_factored_batched_topband(
+                bsvd,
+                ls,
+                lf,
+                cut=self.threshold,
+                nc=nc,
+                fg_reg_rel=self._foreground_regulariser,
+                mesh=meshmod.get_mesh(),
+            )
+            topband_ok = bool(np.asarray(ok_b).all())
+            if not topband_ok:
+                logger.info(
+                    "m chunk %s: top-band certificate failed; re-solving "
+                    "with the exact engine.", list(m_chunk),
+                )
+        if not topband_ok:
+            evals_b, evecs_b = projections.kl_factored_batched(
+                bsvd,
+                ls,
+                lf,
+                nc=nc,
+                with_thermal=True,
+                fg_reg_rel=self._foreground_regulariser,
+                mesh=meshmod.get_mesh(),
+            )
 
         for i, mi in enumerate(m_chunk):
             idx = idx_list[i]
@@ -428,10 +463,28 @@ class KLTransform(config.Reader):
             v = evecs_b[i]  # columns are modes, padded coordinates
             w = evals_b[i]
 
-            # Genuine modes have (N-normalised) support on the compact
-            # directions; padding modes are unit vectors on padded axes.
-            support = np.abs(v[idx, :]) ** 2
-            keep = support.sum(axis=0) > 0.5
+            if topband_ok:
+                # above-threshold columns are genuine by construction
+                # (padded/svcut directions emerge at exactly 0); no
+                # support test needed, and the sub-threshold spectrum is
+                # reported as zeros in evals_full.
+                keep = w > self.threshold
+                self._write_ev_file(
+                    mi, ndof, w[keep], v[:, keep][idx, :].T.conj()
+                )
+                continue
+
+            # Genuine modes are supported on the compact directions;
+            # padding modes are unit vectors on padded axes.  Compare
+            # each column's compact support to its *total* norm: the
+            # columns are N-orthonormal, so absolute support scales as
+            # 1/lambda_N and an absolute 0.5 test misclassifies every
+            # genuine mode once foregrounds lift the noise floor above
+            # ~2 (observed: permanent per-m fallback at strong
+            # foregrounds); the support *fraction* is normalisation-free.
+            support = (np.abs(v[idx, :]) ** 2).sum(axis=0)
+            total = (np.abs(v) ** 2).sum(axis=0) + 1e-300
+            keep = support > 0.5 * total
             if keep.sum() != ndof:
                 # Fall back to the per-m path for this m if the padding
                 # separation is ambiguous.
@@ -447,30 +500,33 @@ class KLTransform(config.Reader):
 
             evals = w[keep]
             evecs = v[:, keep][idx, :].T.conj()  # rows modes, compact coords
+            self._write_ev_file(mi, ndof, evals, evecs)
 
-            order = np.argsort(evals)
-            evals = evals[order]
-            evecs = evecs[order]
+    def _write_ev_file(self, mi, ndof, evals, evecs):
+        """Write one m's eigenfile (evals ascending-sorted here)."""
+        order = np.argsort(evals)
+        evals = evals[order]
+        evecs = evecs[order]
 
-            logger.info("Writing KL file for m = %i: %s", mi, self._evfile % mi)
-            with h5py.File(self._evfile % mi, "w") as f:
-                f.attrs["m"] = mi
-                f.attrs["SUBSET"] = self.subset
+        logger.info("Writing KL file for m = %i: %s", mi, self._evfile % mi)
+        with h5py.File(self._evfile % mi, "w") as f:
+            f.attrs["m"] = mi
+            f.attrs["SUBSET"] = self.subset
 
-                evalsf = np.zeros(ndof, dtype=np.float64)
-                if evals.size != 0:
-                    evalsf[-evals.size :] = evals
-                f.create_dataset("evals_full", data=evalsf)
+            evalsf = np.zeros(ndof, dtype=np.float64)
+            if evals.size != 0:
+                evalsf[-evals.size :] = evals
+            f.create_dataset("evals_full", data=evalsf)
 
-                if self.subset:
-                    i_ev = np.searchsorted(evals, self.threshold)
-                    evals = evals[i_ev:]
-                    evecs = evecs[i_ev:]
+            if self.subset:
+                i_ev = np.searchsorted(evals, self.threshold)
+                evals = evals[i_ev:]
+                evecs = evecs[i_ev:]
 
-                f.create_dataset("evals", data=evals)
-                f.create_dataset("evecs", data=np.ascontiguousarray(evecs))
-                f.attrs["num_modes"] = evals.size
-                self._ev_save_hook(f, {"ac": 0.0})
+            f.create_dataset("evals", data=evals)
+            f.create_dataset("evecs", data=np.ascontiguousarray(evecs))
+            f.attrs["num_modes"] = evals.size
+            self._ev_save_hook(f, {"ac": 0.0})
 
     olddatafile = False
 

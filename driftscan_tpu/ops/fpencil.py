@@ -1002,9 +1002,14 @@ def kl_solve_qr_topband(
     degree: int = 2,
     iters: int = 4,
     rr_dtype=jnp.float64,
+    fg_reg_rel: float = 0.0,
 ):
-    """Retained band of the standard thermal pencil (see kl_solve_qr)."""
+    """Retained band of the standard thermal pencil (see kl_solve_qr;
+    ``fg_reg_rel`` carries the reference's foreground regulariser as an
+    identity shift on the noise, exactly as there)."""
     nc = jnp.asarray(1.0, a_signal.re.dtype)
+    if fg_reg_rel:
+        nc = nc + fg_reg_rel * jnp.max(jnp.sum(a_fg.abs2(), axis=-1))
     return pencil_solve_qr_topband(
         a_signal,
         _thermal_noise_rows(a_fg, nc),
@@ -1268,6 +1273,7 @@ def kl_solve_qr(
     band_rel: float = 3e-2,
     fg_floor: float = 1e-6,
     sig_k_cap: int = 0,
+    fg_reg_rel: float = 0.0,
 ) -> KLResult:
     """Solve S v = w N v by factor-side QR whitening (the accurate path).
 
@@ -1289,6 +1295,15 @@ def kl_solve_qr(
     The whitened signal spectrum is narrow (it *is* the S/N spectrum), so
     ``sig_levels`` Gram-deflation levels on y suffice; ``sig_k_cap``
     switches the y side to subspace iteration for spectrum-only passes.
+
+    ``fg_reg_rel`` adds the *reference's* foreground regulariser — its
+    dense path shifts the noise diagonal by fg_reg_rel * max|F_ij|
+    (/root/reference/drift/core/kltransform.py:289-290; for PSD F the
+    max entry is the max row norm^2 of A_f), an identity shift that
+    folds exactly into the thermal scale of the factored noise rows.
+    At strong-foreground configurations this term can exceed the
+    thermal floor itself, so output parity with the reference requires
+    carrying it even though the factored solve needs no regularisation.
     """
     in_dtype = a_signal.re.dtype
 
@@ -1296,6 +1311,8 @@ def kl_solve_qr(
         nc = jnp.asarray(1.0, in_dtype)
     else:
         nc = fg_floor * _spectral_norm_sq(a_fg) + jnp.asarray(1e-30, in_dtype)
+    if fg_reg_rel:
+        nc = nc + fg_reg_rel * jnp.max(jnp.sum(a_fg.abs2(), axis=-1))
 
     return pencil_solve_qr(
         a_signal,
@@ -1318,6 +1335,7 @@ def kl_solve(
     fg_k_cap: int = 0,
     sig_k_cap: int = 0,
     method: str = "qr",
+    fg_reg_rel: float = 0.0,
 ) -> KLResult:
     """Solve S v = w N v with S = A_s A_s^H, N = [I +] A_f A_f^H.
 
@@ -1384,9 +1402,19 @@ def kl_solve(
             band_rel=band_rel,
             fg_floor=fg_floor,
             sig_k_cap=sig_k_cap,
+            fg_reg_rel=fg_reg_rel,
         )
     if method != "gram":
         raise ValueError(f"Unknown kl_solve method {method!r}")
+
+    if fg_reg_rel:
+        # N = (1 + r) I + F == (1+r) * (I + F/(1+r)): scaling both
+        # factors by 1/sqrt(1+r) gives the same generalised eigenvalues
+        # through the id-plus-low-rank whitening below.
+        r = fg_reg_rel * jnp.max(jnp.sum(a_fg.abs2(), axis=-1))
+        s = 1.0 / jnp.sqrt(1.0 + r)
+        a_signal = za.Z(a_signal.re * s, a_signal.im * s)
+        a_fg = za.Z(a_fg.re * s, a_fg.im * s)
 
     in_dtype = a_signal.re.dtype
     if solve_dtype is not None:

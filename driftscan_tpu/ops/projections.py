@@ -340,8 +340,7 @@ def band_covariance_projection(g: np.ndarray, clarray: np.ndarray) -> np.ndarray
     jax.jit,
     static_argnames=(
         "with_thermal", "fg_levels", "sig_levels", "band_rel", "fg_floor",
-        "method",
-    ),
+        "method", "fg_reg_rel",),
 )
 def _kl_factored_m(
     b_re,
@@ -355,6 +354,7 @@ def _kl_factored_m(
     band_rel: float,
     fg_floor: float,
     method: str = "qr",
+    fg_reg_rel: float = 0.0,
 ):
     from . import fpencil
 
@@ -371,6 +371,7 @@ def _kl_factored_m(
             band_rel=band_rel,
             fg_floor=fg_floor,
             method=method,
+            fg_reg_rel=fg_reg_rel,
         )
         return kl.evals, kl.evecs.re, kl.evecs.im
 
@@ -388,6 +389,7 @@ def kl_factored_batched(
     band_rel: float = 3e-2,
     fg_floor: float = 1e-6,
     method: str = "qr",
+    fg_reg_rel: float = 0.0,
     mesh=None,
 ):
     """m-batched KL pencil solve on *factored* covariances, mesh-sharded.
@@ -435,6 +437,7 @@ def kl_factored_batched(
         band_rel=band_rel,
         fg_floor=fg_floor,
         method=method,
+        fg_reg_rel=fg_reg_rel,
     )
 
     M = b_re.shape[0]
@@ -452,6 +455,85 @@ def kl_factored_batched(
     w, v_re, v_im = _kl_factored_m(b_re, b_im, ls, lf, inv_sqrt_nc, **kwargs)
     evecs = (np.asarray(v_re) + 1j * np.asarray(v_im))[:M]
     return np.asarray(w)[:M], evecs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cut", "k", "levels", "fg_reg_rel")
+)
+def _kl_factored_topband_m(
+    b_re, b_im, ls, lf, inv_sqrt_nc, cut, k, levels, fg_reg_rel=0.0
+):
+    from . import fpencil
+
+    def one(bre, bim):
+        b4 = za.Z(bre, bim)
+        a_s = fpencil.beam_factor(b4, ls) * inv_sqrt_nc
+        a_f = fpencil.beam_factor(b4, lf) * inv_sqrt_nc
+        res, ok = fpencil.kl_solve_qr_topband(
+            a_s, a_f, cut=cut, k=k, levels=levels, fg_reg_rel=fg_reg_rel
+        )
+        return res.evals, res.evecs.re, res.evecs.im, ok
+
+    return jax.vmap(one)(b_re, b_im)
+
+
+def kl_factored_batched_topband(
+    bsvd5: np.ndarray,
+    ls: np.ndarray,
+    lf: np.ndarray,
+    cut: float,
+    nc: float = 1.0,
+    k: int = 0,
+    levels: int = 6,
+    fg_reg_rel: float = 0.0,
+    mesh=None,
+):
+    """m-batched retained-band KL solve (fpencil.kl_solve_qr_topband).
+
+    Same conventions as :func:`kl_factored_batched`, but only the
+    eigenpairs with eigenvalue >= ``cut`` (the caller's KL retention
+    threshold) are computed — everything below is exact zeros with zero
+    eigenvector columns.  ``k=0`` sizes the filter basis at n/8
+    (minimum 8).  Returns (evals (M, n), evecs (M, n, n), ok (M,)
+    bool): any False certificate means that m's band overflowed the
+    budget — re-solve those with the exact engine.
+    """
+    import jax.sharding as jsh
+
+    if backend.split_complex():
+        b_re = backend.device_real(bsvd5.real)
+        b_im = backend.device_real(bsvd5.imag)
+    else:
+        b_re = np.ascontiguousarray(bsvd5.real)
+        b_im = np.ascontiguousarray(bsvd5.imag)
+    dt = b_re.dtype
+    ls = np.asarray(ls, dtype=dt)
+    lf = np.asarray(lf, dtype=dt)
+    inv_sqrt_nc = np.asarray(1.0 / np.sqrt(nc), dtype=dt)
+
+    n = b_re.shape[1] * b_re.shape[2]
+    if not k:
+        k = max(n // 8, 8)
+
+    M = b_re.shape[0]
+    if mesh is not None and mesh.devices.size > 1:
+        ndev = mesh.devices.size
+        pad = (-M) % ndev
+        if pad:
+            b_re = np.concatenate([b_re, np.repeat(b_re[-1:], pad, axis=0)])
+            b_im = np.concatenate([b_im, np.repeat(b_im[-1:], pad, axis=0)])
+        ax = mesh.axis_names[0]
+        shard = jsh.NamedSharding(mesh, jsh.PartitionSpec(ax))
+        b_re = jax.device_put(b_re, shard)
+        b_im = jax.device_put(b_im, shard)
+
+    w, v_re, v_im, ok = _kl_factored_topband_m(
+        b_re, b_im, ls, lf, inv_sqrt_nc,
+        cut=float(cut), k=int(min(k, n)), levels=int(levels),
+        fg_reg_rel=float(fg_reg_rel),
+    )
+    evecs = (np.asarray(v_re) + 1j * np.asarray(v_im))[:M]
+    return np.asarray(w)[:M], evecs, np.asarray(ok)[:M]
 
 
 @functools.partial(
@@ -563,6 +645,109 @@ def doublekl_factored_batched(
         np.asarray(ev)[:M],
         evecs,
         np.asarray(nkept)[:M],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cut", "k", "levels", "fg_threshold", "fg_floor", "nc1", "fg_reg_rel"
+    ),
+)
+def _doublekl_factored_topband_m(
+    b_re, b_im, ls, lf, inv_sqrt_nc,
+    cut, k, levels, fg_threshold, fg_floor, nc1, fg_reg_rel,
+):
+    from . import fpencil
+
+    def one(bre, bim):
+        b4 = za.Z(bre, bim)
+        a_s = fpencil.beam_factor(b4, ls) * inv_sqrt_nc
+        a_f = fpencil.beam_factor(b4, lf) * inv_sqrt_nc
+        f_evals, evals, v, nkept, ok = fpencil.doublekl_solve_qr_topband(
+            a_s,
+            a_f,
+            cut=cut,
+            k=k,
+            levels=levels,
+            fg_threshold=fg_threshold,
+            fg_floor=fg_floor,
+            nc1=nc1,
+            fg_reg_rel=fg_reg_rel,
+        )
+        return f_evals, evals, v.re, v.im, nkept, ok
+
+    return jax.vmap(one)(b_re, b_im)
+
+
+def doublekl_factored_batched_topband(
+    bsvd5: np.ndarray,
+    ls: np.ndarray,
+    lf: np.ndarray,
+    cut: float,
+    nc: float = 1.0,
+    nc1: float | None = None,
+    fg_threshold: float = 100.0,
+    fg_floor: float = 1e-6,
+    fg_reg_rel: float = 1e-14,
+    k: int = 0,
+    levels: int = 6,
+    mesh=None,
+):
+    """m-batched two-stage DoubleKL through the top-band engine.
+
+    Same conventions and outputs as :func:`doublekl_factored_batched`
+    plus a trailing per-m ``ok`` certificate array (the AND of both
+    stages); stage 1 computes only the modes it keeps (S/F >
+    ``fg_threshold``), stage 2 only those above the final retention
+    ``cut`` — everything below either cut is exact zeros.
+    """
+    import jax.sharding as jsh
+
+    if backend.split_complex():
+        b_re = backend.device_real(bsvd5.real)
+        b_im = backend.device_real(bsvd5.imag)
+    else:
+        b_re = np.ascontiguousarray(bsvd5.real)
+        b_im = np.ascontiguousarray(bsvd5.imag)
+    dt = b_re.dtype
+    ls = np.asarray(ls, dtype=dt)
+    lf = np.asarray(lf, dtype=dt)
+    inv_sqrt_nc = np.asarray(1.0 / np.sqrt(nc), dtype=dt)
+
+    n = b_re.shape[1] * b_re.shape[2]
+    if not k:
+        k = max(n // 8, 8)
+
+    M = b_re.shape[0]
+    if mesh is not None and mesh.devices.size > 1:
+        ndev = mesh.devices.size
+        pad = (-M) % ndev
+        if pad:
+            b_re = np.concatenate([b_re, np.repeat(b_re[-1:], pad, axis=0)])
+            b_im = np.concatenate([b_im, np.repeat(b_im[-1:], pad, axis=0)])
+        ax = mesh.axis_names[0]
+        shard = jsh.NamedSharding(mesh, jsh.PartitionSpec(ax))
+        b_re = jax.device_put(b_re, shard)
+        b_im = jax.device_put(b_im, shard)
+
+    f_ev, ev, v_re, v_im, nkept, ok = _doublekl_factored_topband_m(
+        b_re, b_im, ls, lf, inv_sqrt_nc,
+        cut=float(cut),
+        k=int(min(k, n)),
+        levels=int(levels),
+        fg_threshold=float(fg_threshold),
+        fg_floor=float(fg_floor),
+        nc1=None if nc1 is None else float(nc1 / nc),
+        fg_reg_rel=float(fg_reg_rel),
+    )
+    evecs = (np.asarray(v_re) + 1j * np.asarray(v_im))[:M]
+    return (
+        np.asarray(f_ev)[:M],
+        np.asarray(ev)[:M],
+        evecs,
+        np.asarray(nkept)[:M],
+        np.asarray(ok)[:M],
     )
 
 
