@@ -138,3 +138,35 @@ kltransform:
     assert seen, "batched KL path was not taken"
     assert seen["mesh"] is not None
     assert seen["mesh"].devices.size == len(jax.devices())
+
+
+def test_kl_factored_topband_sharded_over_mesh(mesh8):
+    """The retained-band batched solve shards over the mesh and agrees
+    with its own unsharded run and with the exact engine's retained
+    eigenvalues; certificates gather correctly across shards."""
+    rng = np.random.default_rng(3)
+    M, F, S, npol, nl = 8, 2, 3, 1, 6
+    bsvd = _random_bsvd(rng, M, F, S, npol, nl) * 10.0
+    ls = fpencil.factor_cl(_psd_cl(rng, npol, nl, F, 1.0))
+    lf = fpencil.factor_cl(_psd_cl(rng, npol, nl, F, 1e6))
+    # the strong foreground pushes every S/N eigenvalue far below 0.1
+    # on this synthetic case; an absolute cut inside the true spectrum
+    # exercises the engine just the same
+    cut = 1e-9
+
+    w, v, ok = projections.kl_factored_batched_topband(
+        bsvd, ls, lf, cut=cut, mesh=mesh8
+    )
+    assert w.shape == (M, F * S) and ok.shape == (M,)
+    w1, v1, ok1 = projections.kl_factored_batched_topband(
+        bsvd, ls, lf, cut=cut, mesh=None
+    )
+    np.testing.assert_array_equal(ok, ok1)
+    np.testing.assert_allclose(w, w1, rtol=1e-10, atol=1e-12)
+
+    we, _ = projections.kl_factored_batched(bsvd, ls, lf, mesh=None)
+    keep = we > cut
+    assert keep.any()
+    if ok.all():
+        np.testing.assert_array_equal(w > cut, keep)
+        np.testing.assert_allclose(w[keep], we[keep], rtol=1e-4)
