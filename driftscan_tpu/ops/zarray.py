@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -118,6 +120,24 @@ def embed_herm(h: Z) -> jnp.ndarray:
     return jnp.concatenate([top, bot], axis=-2)
 
 
+# Assembly strategy for the interleaved embedding: "gather" (concat +
+# take with a fixed permutation) or "stack" (stack/reshape row mixes +
+# two transposes for the column mix).  The gather form was the round-2
+# workaround for a 32x HLO-temp blowup from trailing-2 intermediates;
+# the stack form only ever creates a *sublane*-2 intermediate (4x pad
+# transient) and no gathers, which matters on this TPU where gathers
+# run at ~2 GB/s against ~800 GB/s streaming.  Env-selectable for the
+# on-chip A/B; read once, before first trace.
+_INTERLEAVE_IMPL = os.environ.get("DRIFTSCAN_TPU_INTERLEAVE", "gather")
+
+
+def _rowmix_stack(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """(..., p, q) pair -> (..., 2p, q) with rows x0, y0, x1, y1, ..."""
+    p = x.shape[-2]
+    s = jnp.stack([x, y], axis=-2)  # (..., p, 2, q): sublane-2 transient
+    return s.reshape(x.shape[:-2] + (2 * p, x.shape[-1]))
+
+
 def interleave(m: Z) -> jnp.ndarray:
     """Interleaved real embedding of a general complex matrix M = A + iB.
 
@@ -131,10 +151,19 @@ def interleave(m: Z) -> jnp.ndarray:
     """
     p, q = m.re.shape[-2], m.re.shape[-1]
 
+    if _INTERLEAVE_IMPL == "stack":
+        even = _rowmix_stack(m.re, m.im)  # content of even columns
+        odd = _rowmix_stack(-m.im, m.re)
+        # column interleave = row interleave of the transpose
+        allt = _rowmix_stack(
+            jnp.swapaxes(even, -1, -2), jnp.swapaxes(odd, -1, -2)
+        )
+        return jnp.swapaxes(allt, -1, -2)
+
     # Assemble with concatenate + gather only: any intermediate with a
-    # trailing (or sublane) dimension of 2 gets padded to the TPU's
-    # (8, 128) tile — measured 32x memory expansion (a 440 MB embedding
-    # ballooned to 13.7 GB of HLO temp at production scale).
+    # *trailing* dimension of 2 gets padded to the TPU's (8, 128) tile —
+    # measured 32x memory expansion (a 440 MB embedding ballooned to
+    # 13.7 GB of HLO temp at production scale).
     def rowmix(x, y):
         # (..., 2p, q) with rows x0, y0, x1, y1, ...
         both = jnp.concatenate([x, y], axis=-2)

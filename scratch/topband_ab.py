@@ -77,9 +77,14 @@ def main():
     K_aug = nl * lf.shape[-1]
     rows = jnp.ones((K_aug + n, n), pos.re.dtype)
     zz = za.Z(rows, rows)
-    ie = jax.jit(lambda a: za.interleave(a).sum())
-    dt_i = t(lambda: ie(zz))
-    print(f"interleave aug ({K_aug + n}x{n}): {dt_i*1e3:.0f} ms", flush=True)
+    for impl in ("gather", "stack"):
+        za._INTERLEAVE_IMPL = impl
+        ie = jax.jit(lambda a: za.interleave(a).sum())
+        dt_i = t(lambda: ie(zz))
+        print(f"interleave[{impl}] aug ({K_aug + n}x{n}): {dt_i*1e3:.0f} ms",
+              flush=True)
+        ie.clear_cache()
+    za._INTERLEAVE_IMPL = "gather"
 
     # ---- one m-batch, stage-clean ----
     mb = resident._auto_mbatch_n(

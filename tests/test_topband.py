@@ -227,3 +227,20 @@ def test_doublekl_topband_matches_dense_two_stage():
     np.testing.assert_allclose(f1n, w1k, rtol=1e-3)
     assert len(e1n) == len(w2r)
     np.testing.assert_allclose(e1n, w2r, rtol=1e-3)
+
+
+def test_interleave_stack_impl_matches_gather():
+    """DRIFTSCAN_TPU_INTERLEAVE=stack assembles the identical embedding."""
+    rng = np.random.default_rng(0)
+    for shape in ((5, 7), (3, 8, 6), (2, 1, 4, 3)):
+        a = rng.standard_normal(shape)
+        b = rng.standard_normal(shape)
+        z = za.Z(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32))
+        g = np.asarray(za.interleave(z))
+        old = za._INTERLEAVE_IMPL
+        try:
+            za._INTERLEAVE_IMPL = "stack"
+            s = np.asarray(za.interleave(z))
+        finally:
+            za._INTERLEAVE_IMPL = old
+        np.testing.assert_array_equal(g, s)
