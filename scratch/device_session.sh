@@ -1,0 +1,38 @@
+#!/bin/bash
+# Preflight-gated device-session chain: cheap probes while the tunnel is
+# down; once the TPU answers, run (in order, skipping what's done):
+#   1. the north-star product run (per-window checkpoints; writes
+#      doc/northstar_run.json on success)
+#   2. the top-band / QR-impl / interleave A/B at production-stress scale
+#   3. the same A/B at benchmark scale
+# Each step's log goes to /tmp/; the loop survives device faults by
+# re-probing and re-entering wherever it left off.
+cd /root/repo
+while true; do
+    if python scratch/tpu_preflight.py >> /tmp/device_session.log 2>&1; then
+        echo "[chain] preflight OK $(date -u +%H:%M:%S)" >> /tmp/device_session.log
+        if [ ! -f /root/repo/doc/northstar_run.json ]; then
+            echo "[chain] northstar..." >> /tmp/device_session.log
+            python scratch/northstar.py >> /tmp/northstar_run.log 2>&1 \
+                || { echo "[chain] northstar failed; relooping" >> /tmp/device_session.log; sleep 60; continue; }
+            echo "[chain] northstar DONE" >> /tmp/device_session.log
+        fi
+        if [ ! -f /tmp/topband_ab_stress.done ]; then
+            echo "[chain] topband A/B (stress)..." >> /tmp/device_session.log
+            STRESS=1 python scratch/topband_ab.py > /tmp/topband_ab_stress.log 2>&1 \
+                && touch /tmp/topband_ab_stress.done \
+                || { echo "[chain] stress A/B failed; relooping" >> /tmp/device_session.log; sleep 60; continue; }
+        fi
+        if [ ! -f /tmp/topband_ab_bench.done ]; then
+            echo "[chain] topband A/B (bench scale)..." >> /tmp/device_session.log
+            python scratch/topband_ab.py > /tmp/topband_ab_bench.log 2>&1 \
+                && touch /tmp/topband_ab_bench.done \
+                || { echo "[chain] bench A/B failed; relooping" >> /tmp/device_session.log; sleep 60; continue; }
+        fi
+        echo "[chain] ALL DONE $(date -u +%H:%M:%S)" >> /tmp/device_session.log
+        exit 0
+    else
+        echo "[chain] preflight no device $(date -u +%H:%M:%S)" >> /tmp/device_session.log
+    fi
+    sleep 180
+done
