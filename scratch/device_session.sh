@@ -1,22 +1,19 @@
 #!/bin/bash
 # Preflight-gated device-session chain: cheap probes while the tunnel is
 # down; once the TPU answers, run (in order, skipping what's done):
-#   1. the north-star product run (per-window checkpoints; writes
-#      doc/northstar_run.json on success)
-#   2. the top-band / QR-impl / interleave A/B at production-stress scale
-#   3. the same A/B at benchmark scale
+#   1. the top-band / QR-impl / interleave A/B at production-stress scale
+#   2. the same A/B at benchmark scale
+#   3. the north-star product run (per-window checkpoints; writes
+#      doc/northstar_run.json on success) — topband engine by default
+# The quick A/Bs run FIRST: they take minutes and their results decide
+# the bench defaults; the north-star run takes hours and is window-
+# checkpointed, so a late device fault only costs the current window.
 # Each step's log goes to /tmp/; the loop survives device faults by
 # re-probing and re-entering wherever it left off.
 cd /root/repo
 while true; do
     if python scratch/tpu_preflight.py >> /tmp/device_session.log 2>&1; then
         echo "[chain] preflight OK $(date -u +%H:%M:%S)" >> /tmp/device_session.log
-        if [ ! -f /root/repo/doc/northstar_run.json ]; then
-            echo "[chain] northstar..." >> /tmp/device_session.log
-            python scratch/northstar.py >> /tmp/northstar_run.log 2>&1 \
-                || { echo "[chain] northstar failed; relooping" >> /tmp/device_session.log; sleep 60; continue; }
-            echo "[chain] northstar DONE" >> /tmp/device_session.log
-        fi
         if [ ! -f /tmp/topband_ab_stress.done ]; then
             echo "[chain] topband A/B (stress)..." >> /tmp/device_session.log
             STRESS=1 python scratch/topband_ab.py > /tmp/topband_ab_stress.log 2>&1 \
@@ -28,6 +25,12 @@ while true; do
             python scratch/topband_ab.py > /tmp/topband_ab_bench.log 2>&1 \
                 && touch /tmp/topband_ab_bench.done \
                 || { echo "[chain] bench A/B failed; relooping" >> /tmp/device_session.log; sleep 60; continue; }
+        fi
+        if [ ! -f /root/repo/doc/northstar_run.json ]; then
+            echo "[chain] northstar..." >> /tmp/device_session.log
+            python scratch/northstar.py >> /tmp/northstar_run.log 2>&1 \
+                || { echo "[chain] northstar failed; relooping" >> /tmp/device_session.log; sleep 60; continue; }
+            echo "[chain] northstar DONE" >> /tmp/device_session.log
         fi
         echo "[chain] ALL DONE $(date -u +%H:%M:%S)" >> /tmp/device_session.log
         exit 0

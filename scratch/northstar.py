@@ -58,6 +58,13 @@ log(f"covariances {rec['t_cov_s']}s (factor widths: signal {ls.shape[-1]}, fg {l
 bl = np.arange(tel.npairs); fi = np.arange(tel.nfreq)
 blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
 
+# KL engine for the product phase: the certified top-band engine
+# (matmuls only; per-chunk completeness certificate with exact-eigh
+# fallback) unless NS_TOPBAND=0 asks for the exact engine throughout.
+NS_TOPBAND = os.environ.get("NS_TOPBAND", "1") == "1"
+rec["engine"] = "topband" if NS_TOPBAND else "exact"
+log(f"product engine: {rec['engine']}")
+
 # The full (l, m) tables are 66 GB here (nu*npol*nl*nm, 4 f32 planes) —
 # over the 15.75 GB HBM — so the run streams m-windows: each window's
 # BTM costs its share of the SHT (the m-chunk scan just starts at m0)
@@ -72,7 +79,7 @@ evs, nmods = [], []
 _ckpt_dir = "/tmp/ns_windows"
 os.makedirs(_ckpt_dir, exist_ok=True)
 for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
-    ck = f"{_ckpt_dir}/w{wi:02d}_{m0}_{m1}.npz"
+    ck = f"{_ckpt_dir}/w{wi:02d}_{m0}_{m1}_{rec['engine']}.npz"
     if os.path.exists(ck):
         z = np.load(ck)
         evs.append(z["ev"]); nmods.append(z["nmo"])
@@ -89,7 +96,8 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
     t_btm += tb
     st = time.time()
     ev, nmo = resident.product_all_resident(
-        tel, pos, neg, ls, lf, noisew, bucket=True, m_range=(int(m0), int(m1))
+        tel, pos, neg, ls, lf, noisew, bucket=True, m_range=(int(m0), int(m1)),
+        topband=NS_TOPBAND, kl_cut=0.1,
     )
     tp = time.time() - st
     t_prod += tp
@@ -106,6 +114,10 @@ rec["finite"] = bool(np.isfinite(evals).all())
 rec["max_eval"] = float(evals.max())
 rec["retained_modes"] = int((evals > 0.1).sum())
 rec["rate_m_per_s"] = round(nm / (t_btm + t_prod), 3)
+if NS_TOPBAND:
+    # converged (basis width, levels) per pencil dimension — records how
+    # hard the certificate had to escalate at north-star conditioning
+    rec["topband_state"] = {str(k): list(v) for k, v in resident._TB_STATE.items()}
 log(f"TOTAL: btm {t_btm:.1f}s product {t_prod:.1f}s; rate "
     f"{rec['rate_m_per_s']} m/s; finite={rec['finite']} "
     f"max_eval={rec['max_eval']:.3g} retained={rec['retained_modes']}")
