@@ -26,6 +26,14 @@ while true; do
                 && touch /tmp/topband_ab_bench.done \
                 || { echo "[chain] bench A/B failed; relooping" >> /tmp/device_session.log; sleep 60; continue; }
         fi
+        if [ ! -f /tmp/pallas_probe.done ]; then
+            # informational: does Pallas/Mosaic lower on this runtime?
+            echo "[chain] pallas probe..." >> /tmp/device_session.log
+            # SIGINT (not TERM) on expiry: a hard-killed TPU client
+            # wedges the device claim for 20-65 min
+            timeout -s INT 900 python scratch/pallas_probe.py > /tmp/pallas_probe.log 2>&1 || true
+            touch /tmp/pallas_probe.done
+        fi
         if [ ! -f /root/repo/doc/northstar_run.json ]; then
             echo "[chain] northstar..." >> /tmp/device_session.log
             python scratch/northstar.py >> /tmp/northstar_run.log 2>&1 \
