@@ -446,6 +446,8 @@ def _device_answers(timeout_s: float = 420.0) -> bool:
     ok = []
 
     def work():
+        import jax.numpy as jnp
+
         x = jnp.ones((64, 64), jnp.float32)
         ok.append(float(np.asarray((x @ x).sum())))
 
