@@ -740,7 +740,23 @@ def _noise_r_factor(noise_rows: za.Z) -> jnp.ndarray:
 # angle) is invisible at the reference's 1e-4 eigenvalue tier.
 
 
-def _chol_qr_zblock(v: za.Z, rounds: int = 2) -> za.Z:
+# Matmul precision of the top-band engine's *filter* stages (Chebyshev
+# applications and the in-loop CholeskyQR): these only shape the
+# iteration basis — the f64 Rayleigh-Ritz recovers eigenvalues from the
+# span, and the spectral certificate checks completeness — so they can
+# run below the library's "highest" default.  At "high" (bf16x3,
+# eps ~ 5e-7) the locked-direction angle floors at ~5e-7 * (lam/lock)^2
+# ~ 5e-3 with the 2-decade levels, i.e. Ritz error ~ 2.5e-5 relative —
+# inside the 1e-4 tier — at half the MXU passes of bf16x6.  The
+# *deflation* matmuls are excluded: their error leaks eps^2 * lam_max
+# of spurious weight past the cut, and bf16x3's eps^2 ~ 2.5e-13 is
+# marginal at production conditioning (lam/cut ~ 1e12).  None inherits
+# the global default; module state (read at trace time) rather than an
+# argument so the on-chip A/B can flip it like _QR_IMPL.
+_FILTER_PRECISION = os.environ.get("DRIFTSCAN_TPU_TOPBAND_FILTER_PRECISION") or None
+
+
+def _chol_qr_zblock(v: za.Z, rounds: int = 2, precision=None) -> za.Z:
     """Orthonormalise a complex column block, matmul-only, gather-free.
 
     Interleaving the whole (n, k) block would cost two ~O(n*k) device
@@ -759,7 +775,7 @@ def _chol_qr_zblock(v: za.Z, rounds: int = 2) -> za.Z:
     k = v.shape[-1]
     eye_e = jnp.eye(2 * k, dtype=v.dtype)
     for _ in range(rounds):
-        g = _herm(za.einsum("ji,jk->ik", v.conj(), v))
+        g = _herm(za.einsum("ji,jk->ik", v.conj(), v, precision=precision))
         shift = 1e-5 * jnp.max(jnp.diagonal(g.re, axis1=-2, axis2=-1)) + 1e-30
         g = za.Z(g.re + shift * jnp.eye(k, dtype=g.re.dtype), g.im)
         L = za.cholesky(g)
@@ -768,11 +784,11 @@ def _chol_qr_zblock(v: za.Z, rounds: int = 2) -> za.Z:
         rinv = za.deinterleave(
             jax.scipy.linalg.solve_triangular(le_t, eye_e, lower=False)
         )
-        v = za.einsum("ij,jk->ik", v, rinv)
+        v = za.einsum("ij,jk->ik", v, rinv, precision=precision)
     return v
 
 
-def _cheb_apply(y: za.Z, v: za.Z, b: float, degree: int) -> za.Z:
+def _cheb_apply(y: za.Z, v: za.Z, b: float, degree: int, precision=None) -> za.Z:
     """Apply the Chebyshev filter T_degree(t(H)) to the block v.
 
     H = Y Y^H (never formed: each application is two (n, K)(K, k)
@@ -787,8 +803,8 @@ def _cheb_apply(y: za.Z, v: za.Z, b: float, degree: int) -> za.Z:
     inv_b = 2.0 / b
 
     def t_of_h(x: za.Z) -> za.Z:
-        w = za.einsum("ji,jk->ik", y.conj(), x)  # Y^H x
-        hx = za.einsum("ij,jk->ik", y, w)  # Y (Y^H x)
+        w = za.einsum("ji,jk->ik", y.conj(), x, precision=precision)  # Y^H x
+        hx = za.einsum("ij,jk->ik", y, w, precision=precision)  # Y (Y^H x)
         return za.Z(inv_b * hx.re - x.re, inv_b * hx.im - x.im)
 
     vp, vk = v, t_of_h(v)  # T_0 v, T_1 v
@@ -882,8 +898,8 @@ def gram_topband(
         b = jnp.maximum(lock / gap_rel, 1e-30)
         v = za.Z(v0_re, jnp.zeros((n, k), dt))
         for _ in range(iters):
-            v = _cheb_apply(y, v, b, degree)
-            v = _chol_qr_zblock(v)
+            v = _cheb_apply(y, v, b, degree, precision=_FILTER_PRECISION)
+            v = _chol_qr_zblock(v, precision=_FILTER_PRECISION)
 
         yd = y.astype(rr_dtype)
         vd = v.astype(rr_dtype)

@@ -112,9 +112,43 @@ def main():
         print(f"batch mb={mb} topband k={kq}: {dt2*1e3:.0f} ms "
               f"ok={bool(np.asarray(okf).all())}", flush=True)
 
+    # ---- topband filter-precision A/B: the Chebyshev/CholQR matmuls
+    # only shape the iteration basis (f64 RR + certificate deliver the
+    # accuracy), so they may run below the library "highest" default.
+    # Certificate + eigenvalue agreement vs the "highest" run are the
+    # accuracy gates; time is the payoff (bf16x3 halves the MXU passes).
+    from driftscan_tpu.ops import fpencil
+
+    kq0 = resident._quant_frac(max(n // 8, 8), n)
+    ev_ref = None
+    for prec in (None, "high", "default"):
+        resident._spectrum_batch.clear_cache()
+        old_p = fpencil._FILTER_PRECISION
+        fpencil._FILTER_PRECISION = prec
+        try:
+            dtp = t(lambda: base(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj,
+                                 mv, sig_levels=1, kl_cut=0.1, kl_top_k=kq0,
+                                 kl_levels=5))
+            ev, nmo, okf = base(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj,
+                                mv, sig_levels=1, kl_cut=0.1, kl_top_k=kq0,
+                                kl_levels=5)
+        finally:
+            fpencil._FILTER_PRECISION = old_p
+        ev = np.asarray(ev)
+        if ev_ref is None:
+            ev_ref = ev
+            rel = 0.0
+        else:
+            keepr = ev_ref > 0.1
+            rel = (np.abs(ev[keepr] - ev_ref[keepr]) / ev_ref[keepr]).max() \
+                if keepr.any() else 0.0
+        print(f"batch mb={mb} topband k={kq0} filter_prec={prec}: "
+              f"{dtp*1e3:.0f} ms ok={bool(np.asarray(okf).all())} "
+              f"rel_vs_highest={rel:.2e}", flush=True)
+    resident._spectrum_batch.clear_cache()
+
     # ---- QR impl A/B (same batch; clear the jit cache between impls:
     # the impl flag is module state, not a static arg) ----
-    from driftscan_tpu.ops import fpencil
     for impl in ("cholqr", "cholqr_split"):
         resident._spectrum_batch.clear_cache()
         old = fpencil._QR_IMPL
