@@ -468,7 +468,9 @@ def main():
                     "vs_baseline": 0.0,
                     "detail": {
                         "error": "accelerator unreachable (tunnel wedge): "
-                        "no device answer within 7 min"
+                        "no device answer within 7 min",
+                        "last_known_good": "BENCH_r01.json: 30.985 "
+                        "m-modes/s on this chip (2026-08-17)",
                     },
                 }
             ),

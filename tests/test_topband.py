@@ -244,3 +244,28 @@ def test_interleave_stack_impl_matches_gather():
         finally:
             za._INTERLEAVE_IMPL = old
         np.testing.assert_array_equal(g, s)
+
+
+def test_filter_precision_flag_preserves_solution():
+    """The filter-stage precision override must plumb through cleanly.
+
+    On the CPU backend matmul precision is a no-op, so the solutions
+    must be bitwise-stable under the flag — this guards the plumbing
+    (kwarg routing, trace-time module-state read), not the numerics,
+    which only the on-chip A/B can measure (doc/design.md 5b8).
+    """
+    az, fz, e = _pencil(23, 96, 64, 40, sig_top=2.0, fg_top=4)
+    nret = int((e > CUT).sum())
+
+    res0, ok0 = fpencil.kl_solve_qr_topband(az, fz, cut=CUT, k=32)
+    old = fpencil._FILTER_PRECISION
+    fpencil._FILTER_PRECISION = "high"
+    try:
+        res1, ok1 = fpencil.kl_solve_qr_topband(az, fz, cut=CUT, k=32)
+    finally:
+        fpencil._FILTER_PRECISION = old
+    assert bool(ok0) and bool(ok1)
+    e0 = np.asarray(res0.evals, np.float64)
+    e1 = np.asarray(res1.evals, np.float64)
+    assert int((e0 > 0).sum()) == nret
+    np.testing.assert_allclose(e1, e0, rtol=1e-12, atol=0)
