@@ -219,6 +219,39 @@ def _log(msg):
 
 _T0 = time.time()
 
+# Decision record written by the on-chip A/B (scratch/topband_ab.py at
+# bench scale): which KL engine (and filter matmul precision) measured
+# fastest *while passing the accuracy gates* (retained-mode sets equal,
+# rel <= 1e-4 vs the exact engine, certificates clean).  Env vars always
+# win so a human (or the driver) can pin either engine explicitly.
+_AB_DECISION = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "doc", "topband_ab.json"
+)
+
+
+def _engine_defaults():
+    """Resolve {topband, filter_precision} from env, else the A/B record."""
+    out = {"topband": False, "source": "default"}
+    try:
+        with open(_AB_DECISION) as f:
+            rec = json.load(f)
+        out["topband"] = bool(rec.get("topband_wins", False))
+        out["source"] = "ab_record"
+        fp = rec.get("filter_precision_pick")
+        if fp and os.environ.get("DRIFTSCAN_TPU_TOPBAND_FILTER_PRECISION") is None:
+            from driftscan_tpu.ops import fpencil
+
+            fpencil._FILTER_PRECISION = fp
+            out["filter_precision"] = fp
+    except (OSError, ValueError):
+        pass
+    env = os.environ.get("BENCH_TOPBAND")
+    if env is not None:
+        out["topband"] = env == "1"
+        out["source"] = "env"
+    _PHASES.setdefault("engine", dict(out))
+    return out
+
 
 def resident_phases(tel, max_m=None, mbatch=None, max_units=None):
     """Device-resident BTM + product phases; returns (t_btm, t_prod).
@@ -279,7 +312,7 @@ def resident_phases(tel, max_m=None, mbatch=None, max_units=None):
     sig_k_cap = int(os.environ.get("BENCH_SIG_K_CAP", "0"))
     # Top-band KL engine (fpencil.gram_topband): exact retained spectrum
     # with a completeness certificate; sub-cut tail reported as zeros.
-    topband = os.environ.get("BENCH_TOPBAND", "0") == "1"
+    topband = _engine_defaults()["topband"]
 
     _log(f"product warm-up compile (mbatch={mbatch}, sig_k_cap={sig_k_cap}, "
          f"topband={topband})...")

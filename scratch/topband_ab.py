@@ -121,6 +121,7 @@ def main():
 
     kq0 = resident._quant_frac(max(n // 8, 8), n)
     ev_ref = None
+    fp_table = {}
     for prec in (None, "high", "default"):
         resident._spectrum_batch.clear_cache()
         old_p = fpencil._FILTER_PRECISION
@@ -142,10 +143,24 @@ def main():
             keepr = ev_ref > 0.1
             rel = (np.abs(ev[keepr] - ev_ref[keepr]) / ev_ref[keepr]).max() \
                 if keepr.any() else 0.0
+        ok = bool(np.asarray(okf).all())
+        fp_table[str(prec)] = dict(ms=round(dtp * 1e3, 1), ok=ok,
+                                   rel_vs_highest=float(rel))
         print(f"batch mb={mb} topband k={kq0} filter_prec={prec}: "
-              f"{dtp*1e3:.0f} ms ok={bool(np.asarray(okf).all())} "
-              f"rel_vs_highest={rel:.2e}", flush=True)
+              f"{dtp*1e3:.0f} ms ok={ok} rel_vs_highest={rel:.2e}", flush=True)
     resident._spectrum_batch.clear_cache()
+    # accuracy-gated pick: fastest precision whose certificate is clean
+    # and whose retained eigenvalues sit within the 1e-4 tier of the
+    # "highest" run; require a >5% win before departing from the default
+    fp_pick = None
+    base_ms = fp_table["None"]["ms"]
+    for prec, row in fp_table.items():
+        if prec == "None" or not row["ok"] or row["rel_vs_highest"] > 1e-4:
+            continue
+        if row["ms"] < 0.95 * base_ms and (
+            fp_pick is None or row["ms"] < fp_table[fp_pick]["ms"]
+        ):
+            fp_pick = prec
 
     # ---- QR impl A/B (same batch; clear the jit cache between impls:
     # the impl flag is module state, not a static arg) ----
@@ -181,6 +196,31 @@ def main():
     print(f"retained modes: {int(keep.sum())}; sets equal: {agree}; "
           f"max rel diff on retained: {rel:.2e}", flush=True)
     print(f"topband state (n -> (k, levels)): {resident._TB_STATE}", flush=True)
+
+    # Decision record for bench.py (bench scale only — the scale the
+    # driver's headline runs at).  topband_wins requires the accuracy
+    # gates, not just speed; filter_precision_pick is per-batch gated
+    # above and only applies when the topband engine is on.
+    if not os.environ.get("STRESS"):
+        import json
+
+        rec = dict(
+            scale=bench.SCALE,
+            ndof=int(n),
+            t_exact_s=round(t_exact, 2),
+            t_topband_s=round(t_tb, 2),
+            retained=int(keep.sum()),
+            sets_equal=bool(agree),
+            max_rel=float(rel),
+            topband_wins=bool(agree and rel <= 1e-4 and t_tb < t_exact),
+            filter_precision_pick=fp_pick,
+            filter_precision_table=fp_table,
+            tb_state={str(k): list(v) for k, v in resident._TB_STATE.items()},
+        )
+        path = "/root/repo/doc/topband_ab.json"
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"decision record written to {path}", flush=True)
 
 
 if __name__ == "__main__":

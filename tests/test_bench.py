@@ -36,3 +36,48 @@ def test_bench_small_scale_json_contract():
     assert out["value"] > 0
     assert out["unit"] == "m-modes/s"
     assert "t_btm_s" in out["detail"] and "t_product_s" in out["detail"]
+
+
+def test_engine_defaults_resolution(tmp_path, monkeypatch):
+    """Env pins the engine; otherwise the A/B decision record decides."""
+    import bench
+    from driftscan_tpu.ops import fpencil
+
+    rec = tmp_path / "topband_ab.json"
+    monkeypatch.setattr(bench, "_AB_DECISION", str(rec))
+    monkeypatch.delenv("BENCH_TOPBAND", raising=False)
+    monkeypatch.delenv("DRIFTSCAN_TPU_TOPBAND_FILTER_PRECISION", raising=False)
+
+    # no record, no env -> exact engine
+    bench._PHASES.pop("engine", None)
+    assert bench._engine_defaults()["topband"] is False
+
+    # record says topband wins and picks a filter precision
+    rec.write_text(
+        json.dumps({"topband_wins": True, "filter_precision_pick": "high"})
+    )
+    old_fp = fpencil._FILTER_PRECISION
+    try:
+        bench._PHASES.pop("engine", None)
+        out = bench._engine_defaults()
+        assert out["topband"] is True and out["source"] == "ab_record"
+        assert fpencil._FILTER_PRECISION == "high"
+    finally:
+        fpencil._FILTER_PRECISION = old_fp
+
+    # env overrides the record
+    monkeypatch.setenv("BENCH_TOPBAND", "0")
+    bench._PHASES.pop("engine", None)
+    out = bench._engine_defaults()
+    assert out["topband"] is False and out["source"] == "env"
+
+    # env-pinned filter precision is never clobbered by the record
+    monkeypatch.setenv("DRIFTSCAN_TPU_TOPBAND_FILTER_PRECISION", "default")
+    old_fp = fpencil._FILTER_PRECISION
+    try:
+        bench._PHASES.pop("engine", None)
+        out = bench._engine_defaults()
+        assert "filter_precision" not in out
+        assert fpencil._FILTER_PRECISION == old_fp
+    finally:
+        fpencil._FILTER_PRECISION = old_fp
