@@ -16,6 +16,15 @@ os.environ.setdefault("DRIFTSCAN_TPU_LEGENDRE_CACHE_GB", "2.0")
 os.environ.setdefault("DRIFTSCAN_TPU_SHT_BUDGET_GB", "6.0")
 import numpy as np, jax, jax.numpy as jnp
 
+# NS_SMOKE=1: tiny-telescope CPU rehearsal of this script's *logic*
+# (windowing, checkpoint save/restore, engine tagging, record writing)
+# so a bug here can't cost hours of the real device run.  Uses its own
+# checkpoint/cache/output paths and pins the CPU backend in-script
+# (JAX_PLATFORMS is ignored on this runtime).
+SMOKE = os.environ.get("NS_SMOKE") == "1"
+if SMOKE:
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -28,11 +37,18 @@ T0 = time.time()
 def log(msg):
     print(f"[ns +{time.time()-T0:7.1f}s] {msg}", flush=True)
 
-tel = cylinder.PolarisedCylinderTelescope.from_config(dict(
-    num_freq=256, freq_start=400.0, freq_end=800.0, freq_mode="edge",
-    num_cylinders=2, cylinder_width=30.0, num_feeds=1,
-    feed_spacing=6.0, tsys=50.0, single_precision=True,
-))
+if SMOKE:
+    tel = cylinder.PolarisedCylinderTelescope.from_config(dict(
+        num_freq=2, freq_start=400.0, freq_end=410.0, freq_mode="edge",
+        num_cylinders=2, cylinder_width=3.0, num_feeds=2,
+        feed_spacing=1.0, tsys=50.0, single_precision=True,
+    ))
+else:
+    tel = cylinder.PolarisedCylinderTelescope.from_config(dict(
+        num_freq=256, freq_start=400.0, freq_end=800.0, freq_mode="edge",
+        num_cylinders=2, cylinder_width=30.0, num_feeds=1,
+        feed_spacing=6.0, tsys=50.0, single_precision=True,
+    ))
 nm = tel.mmax + 1
 S = min(tel.lmax + 1, 2 * tel.npairs)
 rec = dict(nfreq=tel.nfreq, mmax=tel.mmax, lmax=tel.lmax,
@@ -42,7 +58,7 @@ log(f"north-star telescope: {rec}")
 
 log("covariances...")
 st = time.time()
-_cov_cache = "/tmp/ns_cov_cache.npz"
+_cov_cache = "/tmp/ns_smoke_cov.npz" if SMOKE else "/tmp/ns_cov_cache.npz"
 if os.path.exists(_cov_cache):
     z = np.load(_cov_cache)
     ls, lf, noisew = z["ls"], z["lf"], z["noisew"]
@@ -69,14 +85,14 @@ log(f"product engine: {rec['engine']}")
 # over the 15.75 GB HBM — so the run streams m-windows: each window's
 # BTM costs its share of the SHT (the m-chunk scan just starts at m0)
 # plus a re-run of the pixel-space beam products.
-W = 16
+W = 3 if SMOKE else 16
 edges = np.linspace(0, nm, W + 1).astype(int)
 rec["m_windows"] = W
 t_btm = t_prod = 0.0
 evs, nmods = [], []
 # per-window checkpoints: a device fault mid-run (the tunnel wedges for
 # tens of minutes on any client death) must not cost completed windows
-_ckpt_dir = "/tmp/ns_windows"
+_ckpt_dir = "/tmp/ns_smoke_windows" if SMOKE else "/tmp/ns_windows"
 os.makedirs(_ckpt_dir, exist_ok=True)
 for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
     ck = f"{_ckpt_dir}/w{wi:02d}_{m0}_{m1}_{rec['engine']}.npz"
@@ -122,6 +138,8 @@ log(f"TOTAL: btm {t_btm:.1f}s product {t_prod:.1f}s; rate "
     f"{rec['rate_m_per_s']} m/s; finite={rec['finite']} "
     f"max_eval={rec['max_eval']:.3g} retained={rec['retained_modes']}")
 
-with open("/root/repo/doc/northstar_run.json", "w") as f:
+_rec_path = ("/tmp/ns_smoke_record.json" if SMOKE
+             else "/root/repo/doc/northstar_run.json")
+with open(_rec_path, "w") as f:
     json.dump(rec, f, indent=1)
-log("record written to doc/northstar_run.json")
+log(f"record written to {_rec_path}")
