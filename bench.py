@@ -227,10 +227,13 @@ _T0 = time.time()
 _AB_DECISION = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "doc", "topband_ab.json"
 )
+_SHT_AB_DECISION = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "doc", "sht_ab.json"
+)
 
 
 def _engine_defaults():
-    """Resolve {topband, filter_precision} from env, else the A/B record."""
+    """Resolve {topband, filter/SHT precision} from env, else A/B records."""
     out = {"topband": False, "source": "default"}
     try:
         with open(_AB_DECISION) as f:
@@ -243,6 +246,17 @@ def _engine_defaults():
 
             fpencil._FILTER_PRECISION = fp
             out["filter_precision"] = fp
+    except (OSError, ValueError):
+        pass
+    try:
+        with open(_SHT_AB_DECISION) as f:
+            rec = json.load(f)
+        sp = rec.get("sht_precision_pick")
+        if sp and os.environ.get("DRIFTSCAN_TPU_SHT_PRECISION") is None:
+            from driftscan_tpu.ops import sht
+
+            sht._SHT_PRECISION = sp
+            out["sht_precision"] = sp
     except (OSError, ValueError):
         pass
     env = os.environ.get("BENCH_TOPBAND")
@@ -263,6 +277,10 @@ def resident_phases(tel, max_m=None, mbatch=None, max_units=None):
     extrapolated CPU baseline leg).
     """
     from driftscan_tpu.parallel import mstep, resident
+
+    # resolve {engine, precisions} before anything compiles: the SHT
+    # precision pick must be live for the BTM warm-up trace
+    eng = _engine_defaults()
 
     if mbatch is None:
         mbatch = resident._auto_mbatch(tel)
@@ -312,7 +330,7 @@ def resident_phases(tel, max_m=None, mbatch=None, max_units=None):
     sig_k_cap = int(os.environ.get("BENCH_SIG_K_CAP", "0"))
     # Top-band KL engine (fpencil.gram_topband): exact retained spectrum
     # with a completeness certificate; sub-cut tail reported as zeros.
-    topband = _engine_defaults()["topband"]
+    topband = eng["topband"]
 
     _log(f"product warm-up compile (mbatch={mbatch}, sig_k_cap={sig_k_cap}, "
          f"topband={topband})...")

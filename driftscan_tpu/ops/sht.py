@@ -26,6 +26,7 @@ optional Jacobi iterations refine it like healpy's ``iter`` parameter.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -33,6 +34,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from .healpix import RingGeometry, nside_for_lmax, ring_geometry
+
+# Matmul precision of the split-path phase/Legendre contractions — the
+# FLOP bulk of the BTM phase.  None inherits the library default
+# (jax_default_matmul_precision=highest, bf16x6); "high" (bf16x3,
+# eps ~ 5e-7 per contraction) halves the MXU passes while sitting ~200x
+# inside the beam_m accuracy tier (rel 1e-4, reference
+# tests/test_functional.py:29-31) and ~8x above the f32 storage
+# rounding the products already carry.  Default unchanged; the on-chip
+# A/B (scratch/sht_ab.py) gates a flip on measured BTM agreement plus
+# downstream retained-KL-eigenvalue agreement.  Module state read at
+# trace time (like fpencil._FILTER_PRECISION) so the A/B can flip it;
+# flips require clearing the jit caches of the entry points.
+_SHT_PRECISION = os.environ.get("DRIFTSCAN_TPU_SHT_PRECISION") or None
+
+
+def _pein(subscripts, *operands):
+    """einsum at the SHT precision switch (hot split-path stages only)."""
+    return jnp.einsum(subscripts, *operands, precision=_SHT_PRECISION)
 
 # Rescaling bounds for the Legendre recurrence.  These must fit the
 # *f32 exponent range*: TPU runtimes emulate f64 as a float32 pair
@@ -689,14 +708,14 @@ def _analysis_split(
             for tabs in (cs_b, ss_b):
                 belt = jnp.zeros((p.shape[0], mv.shape[0], nb), dtype=rdtype)
                 for blk, tab, off in zip(pb, tabs, (0, 1)):
-                    proj = jnp.einsum("bnj,mj->bmn", blk, tab)
+                    proj = _pein("bnj,mj->bmn", blk, tab)
                     belt = belt.at[..., off::2].set(proj)
                 outs.append(belt)
             c_all, s_all = outs
 
             if ncap_n > 0:
-                capc = jnp.einsum("brj,mrj->bmr", pc, c_cap)
-                caps = jnp.einsum("brj,mrj->bmr", pc, s_cap)
+                capc = _pein("brj,mrj->bmr", pc, c_cap)
+                caps = _pein("brj,mrj->bmr", pc, s_cap)
                 c_all = jnp.concatenate(
                     [capc[..., :ncap_n], c_all, capc[..., ncap_n:]], axis=-1
                 )
@@ -719,18 +738,18 @@ def _analysis_split(
             if lam_xs is not None
             else _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
         )
-        a_re = pixarea * jnp.einsum("lmr,bmr->blm", lam, f_re)
-        a_im = pixarea * jnp.einsum("lmr,bmr->blm", lam, f_im)
+        a_re = pixarea * _pein("lmr,bmr->blm", lam, f_re)
+        a_im = pixarea * _pein("lmr,bmr->blm", lam, f_im)
 
         if neg_m:
             # G = sum_j p e^{+im phi}: G.re = pr.c - pi.s ; G.im = ic + rs
             g_re = rc - is_
             g_im = ic + rs
             signm = jnp.where(mv % 2 == 0, 1.0, -1.0).astype(rdtype)
-            n_re = pixarea * jnp.einsum(
+            n_re = pixarea * _pein(
                 "lmr,bmr->blm", lam, g_re * signm[None, :, None]
             )
-            n_im = pixarea * jnp.einsum(
+            n_im = pixarea * _pein(
                 "lmr,bmr->blm", lam, g_im * signm[None, :, None]
             )
             return None, (a_re, a_im, n_re, n_im)
@@ -804,8 +823,8 @@ def _phase_unproject(t_c, t_s, mv, g, nside: int, rdtype):
     for off, ctab, stab in zip((0, 1), cs_b, ss_b):
         tc = t_c[:, :, belt_lo + off : belt_hi : 2]  # (B, mc, nb_par)
         ts = t_s[:, :, belt_lo + off : belt_hi : 2]
-        blk = jnp.einsum("bmn,mj->bnj", tc, ctab)
-        blk = blk + jnp.einsum("bmn,mj->bnj", ts, stab)
+        blk = _pein("bmn,mj->bnj", tc, ctab)
+        blk = blk + _pein("bmn,mj->bnj", ts, stab)
         out = out.at[:, belt_lo + off : belt_hi : 2].set(blk)
 
     if ncap_n > 0:
@@ -820,8 +839,8 @@ def _phase_unproject(t_c, t_s, mv, g, nside: int, rdtype):
         s_cap = jnp.sin(cap_phase) * cap_mask[None]
         tcc = jnp.concatenate([t_c[:, :, :ncap_n], t_c[:, :, belt_hi:]], axis=2)
         tsc = jnp.concatenate([t_s[:, :, :ncap_n], t_s[:, :, belt_hi:]], axis=2)
-        cap = jnp.einsum("bmr,mrj->brj", tcc, c_cap)
-        cap = cap + jnp.einsum("bmr,mrj->brj", tsc, s_cap)
+        cap = _pein("bmr,mrj->brj", tcc, c_cap)
+        cap = cap + _pein("bmr,mrj->brj", tsc, s_cap)
         out = out.at[:, :ncap_n].set(cap[:, :ncap_n])
         out = out.at[:, belt_hi:].set(cap[:, ncap_n:])
     return out
@@ -864,8 +883,8 @@ def _synthesis_real_split(a_re, a_im, g, nside: int, lmax: int, mmax: int, lam_t
         else:
             mv, ar, ai = xs
             lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
-        t_re = jnp.einsum("lmr,blm->bmr", lam, ar)
-        t_im = jnp.einsum("lmr,blm->bmr", lam, ai)
+        t_re = _pein("lmr,blm->bmr", lam, ar)
+        t_im = _pein("lmr,blm->bmr", lam, ai)
         weight = jnp.where(mv == 0, 1.0, 2.0).astype(rdtype)[None, :, None]
         # Re(T e^{i m phi}) = T.re * cos - T.im * sin
         contrib = _phase_unproject(
@@ -930,11 +949,11 @@ def _synthesis_complex_split(
         else:
             mv, pr, pi, nr, ni = xs
             lam = _legendre_chunk(mv, cos_t, sin_t, lmax, logpref).astype(rdtype)
-        tp_re = jnp.einsum("lmr,blm->bmr", lam, pr)
-        tp_im = jnp.einsum("lmr,blm->bmr", lam, pi)
+        tp_re = _pein("lmr,blm->bmr", lam, pr)
+        tp_im = _pein("lmr,blm->bmr", lam, pi)
         signm = jnp.where(mv % 2 == 0, 1.0, -1.0).astype(rdtype)[None, :, None]
-        tn_re = jnp.einsum("lmr,blm->bmr", lam, nr) * signm
-        tn_im = jnp.einsum("lmr,blm->bmr", lam, ni) * signm
+        tn_re = _pein("lmr,blm->bmr", lam, nr) * signm
+        tn_im = _pein("lmr,blm->bmr", lam, ni) * signm
         # T+ e^{i m phi} + T- e^{-i m phi}
         acc_re, acc_im = acc
         acc_re = acc_re + _phase_unproject(

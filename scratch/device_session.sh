@@ -26,6 +26,14 @@ while true; do
                 && touch /tmp/topband_ab_bench.done \
                 || { echo "[chain] bench A/B failed; relooping" >> /tmp/device_session.log; sleep 60; continue; }
         fi
+        if [ ! -f /tmp/sht_ab.done ]; then
+            # SHT matmul-precision A/B (stress scale): writes the
+            # accuracy-gated doc/sht_ab.json that bench + northstar adopt
+            echo "[chain] sht precision A/B (stress)..." >> /tmp/device_session.log
+            STRESS=1 python scratch/sht_ab.py > /tmp/sht_ab.log 2>&1 \
+                && touch /tmp/sht_ab.done \
+                || { echo "[chain] sht A/B failed; relooping" >> /tmp/device_session.log; sleep 60; continue; }
+        fi
         if [ ! -f /tmp/pallas_probe.done ]; then
             # informational: does Pallas/Mosaic lower on this runtime?
             echo "[chain] pallas probe..." >> /tmp/device_session.log

@@ -5,7 +5,7 @@
 # Runs alongside scratch/device_session.sh; never touches the device.
 cd /root/repo
 while true; do
-    for name in topband_ab_stress topband_ab_bench pallas_probe; do
+    for name in topband_ab_stress topband_ab_bench sht_ab pallas_probe; do
         if [ -f /tmp/${name}.done ] && [ -f /tmp/${name}.log ]; then
             cmp -s /tmp/${name}.log doc/${name}.log 2>/dev/null \
                 || cp /tmp/${name}.log doc/${name}.log

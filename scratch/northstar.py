@@ -81,6 +81,20 @@ NS_TOPBAND = os.environ.get("NS_TOPBAND", "1") == "1"
 rec["engine"] = "topband" if NS_TOPBAND else "exact"
 log(f"product engine: {rec['engine']}")
 
+# SHT matmul precision: adopt the on-chip A/B's accuracy-gated pick
+# (the chain runs scratch/sht_ab.py before this, so the record is
+# stable for the whole run); env always overrides, smoke never reads it.
+if not SMOKE:
+    try:
+        with open("/root/repo/doc/sht_ab.json") as f:
+            _sp = json.load(f).get("sht_precision_pick")
+        if _sp and os.environ.get("DRIFTSCAN_TPU_SHT_PRECISION") is None:
+            sht._SHT_PRECISION = _sp
+            rec["sht_precision"] = _sp
+            log(f"SHT matmul precision from A/B record: {_sp}")
+    except (OSError, ValueError):
+        pass
+
 # The full (l, m) tables are 66 GB here (nu*npol*nl*nm, 4 f32 planes) —
 # over the 15.75 GB HBM — so the run streams m-windows: each window's
 # BTM costs its share of the SHT (the m-chunk scan just starts at m0)

@@ -1,6 +1,25 @@
 #!/usr/bin/env python
-"""A/B the SHT m-chunk size and stage timings on the big BTM bucket."""
+"""A/B the SHT phase/Legendre matmul precision on the TPU.
 
+The split-path contractions are the BTM phase's FLOP bulk; "high"
+(bf16x3) halves the MXU passes of the library's "highest" (bf16x6)
+default.  The flip is accuracy-gated twice:
+
+* BTM agreement: max|delta| / max|ref| over the (re, im) planes of the
+  positive and negative blocks must stay <= 1e-5 (10x inside the
+  reference's beam_m tier, tests/test_functional.py:29-31);
+* downstream agreement: the exact-engine retained KL spectrum from the
+  "high" BTMs must match the "highest" one to 1e-4 with equal retained
+  sets (the foreground-whitening path is the precision-sensitive
+  consumer, not the beam maps themselves).
+
+Writes doc/sht_ab.json; bench.py and the north-star run adopt the pick
+(env DRIFTSCAN_TPU_SHT_PRECISION always overrides).  STRESS=1 uses the
+ndof-1088 production-stress telescope; AB_CPU=1 flow-checks on CPU.
+"""
+
+import json
+import os
 import sys
 import time
 
@@ -8,76 +27,101 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np
 import jax
-import jax.numpy as jnp
+
+if os.environ.get("AB_CPU"):  # flow check without the chip
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import bench
 from driftscan_tpu.ops import sht
-from driftscan_tpu.core import telescope as T
+from driftscan_tpu.parallel import mstep, resident
+
+
+def fetch(x):
+    return float(np.asarray(x.ravel()[0]))
+
+
+def btm_host(tel, blg, fig):
+    """One warm + one steady fetch-timed BTM pass; planes to host."""
+    pos, neg = resident.btm_resident(tel, blg, fig)
+    fetch(pos.re)
+    st = time.time()
+    pos, neg = resident.btm_resident(tel, blg, fig)
+    fetch(pos.re)
+    dt = time.time() - st
+    out = tuple(np.asarray(p) for p in (pos.re, pos.im, neg.re, neg.im))
+    del pos, neg
+    return out, dt
 
 
 def main():
-    tel = bench.build_telescope()
+    if os.environ.get("STRESS"):
+        from driftscan_tpu.telescope import cylinder
+
+        tel = cylinder.PolarisedCylinderTelescope.from_config(dict(
+            num_freq=16, freq_start=400.0, freq_end=500.0, freq_mode="edge",
+            num_cylinders=2, cylinder_width=15.0, num_feeds=4,
+            feed_spacing=3.0, tsys=50.0, single_precision=True,
+        ))
+    else:
+        tel = bench.build_telescope()
+    cl_s, cl_n, noisew, _ = bench._covariances(tel)
+    ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)
     bl = np.arange(tel.npairs)
     fi = np.arange(tel.nfreq)
     blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
-    lmax_arr, _ = T.max_lm(
-        tel.baselines[blg], tel.wavelengths[fig], tel.u_width, tel.v_width
+    print(f"telescope: nfreq={tel.nfreq} mmax={tel.mmax} "
+          f"npairs={tel.npairs}", flush=True)
+
+    rec = dict(scale="stress" if os.environ.get("STRESS") else bench.SCALE,
+               mmax=int(tel.mmax))
+    planes = {}
+    evs = {}
+    for prec in (None, "high"):
+        sht._SHT_PRECISION = prec
+        jax.clear_caches()  # precision is trace-time module state
+        (pr, pi, nr, ni), dt = btm_host(tel, blg, fig)
+        key = str(prec)
+        rec[f"t_btm_{key}_s"] = round(dt, 2)
+        planes[key] = (pr, pi, nr, ni)
+        # downstream: exact-engine retained KL spectrum from these BTMs
+        import jax.numpy as jnp
+        from driftscan_tpu.ops import zarray as za
+
+        pos = za.Z(jnp.asarray(pr), jnp.asarray(pi))
+        neg = za.Z(jnp.asarray(nr), jnp.asarray(ni))
+        ev, _ = resident.product_all_resident(tel, pos, neg, ls, lf, noisew)
+        evs[key] = np.asarray(ev)
+        del pos, neg
+        print(f"prec={prec}: btm {dt:.2f}s, retained "
+              f"{int((evs[key] > 0.1).sum())}", flush=True)
+    sht._SHT_PRECISION = None
+    jax.clear_caches()
+
+    ref, alt = planes["None"], planes["high"]
+    btm_rel = max(
+        float(np.abs(a - r).max() / (np.abs(r).max() + 1e-300))
+        for r, a in zip(ref, alt)
     )
-    lmax_arr = np.ceil(lmax_arr * tel.l_boost).astype(int)
-    nsides = np.array([tel._nside_for(int(l)) for l in lmax_arr])
-    ns = int(nsides.max())
-    sel = np.nonzero(nsides == ns)[0]
-    sub_lmax = int(lmax_arr[sel].max())
-    print(f"bucket nside={ns}: {len(sel)} units lmax={sub_lmax}", flush=True)
-
-    # build the beam maps once (device)
-    tel._init_trans(ns)
-    nu = len(sel)
-    nu_pad = 1 << max(nu - 1, 0).bit_length()
-    bsel = np.concatenate([blg[sel], np.repeat(blg[sel][-1], nu_pad - nu)])
-    fsel = np.concatenate([fig[sel], np.repeat(fig[sel][-1], nu_pad - nu)])
-
-    st = time.time()
-    cvis = tel._beam_map_batch_split(bsel, fsel)
-    _ = float(np.asarray(cvis.re).ravel()[0])
-    print(f"beam maps ({nu_pad} units): {time.time()-st:.2f}s", flush=True)
-    cvis32 = jax.tree.map(lambda x: x.astype(jnp.float32), cvis)
-
-    st = time.time()
-    cvis2 = tel._beam_map_batch_split(bsel, fsel)
-    _ = float(np.asarray(cvis2.re).ravel()[0])
-    print(f"beam maps again: {time.time()-st:.2f}s", flush=True)
-
-    orig = sht._chunk_size
-    for mc_target in [8, 32, 64, 128]:
-        sht._chunk_size = lambda nring, maxlen, nm, budget_bytes=0, _m=mc_target: min(
-            _m, nm
-        )
-        sht._analysis_split.clear_cache()
-        st = time.time()
-        out = sht._analysis_split(
-            cvis32.re.conj() if hasattr(cvis32, "re") else cvis32[0],
-            -cvis32.im if hasattr(cvis32, "im") else cvis32[1],
-            ns,
-            sub_lmax,
-            sub_lmax,
-            True,
-        )
-        _ = float(np.asarray(out[0]).ravel()[0])  # force full execution
-        t_compile = time.time() - st
-        steadies = []
-        for _i in range(2):
-            st = time.time()
-            out = sht._analysis_split(
-                cvis32.re, cvis32.im, ns, sub_lmax, sub_lmax, True
-            )
-            _ = np.asarray(out[0]).sum() + np.asarray(out[2]).sum()
-            steadies.append(time.time() - st)
-        print(
-            f"mc={mc_target}: compile+run {t_compile:.2f}s, steady {min(steadies):.2f}s",
-            flush=True,
-        )
-    sht._chunk_size = orig
+    ev0, ev1 = evs["None"], evs["high"]
+    keep = ev0 > 0.1
+    sets_equal = bool(np.array_equal(keep, ev1 > 0.1))
+    kl_rel = float((np.abs(ev1[keep] - ev0[keep]) / ev0[keep]).max()) \
+        if keep.any() else 0.0
+    wins = bool(
+        btm_rel <= 1e-5 and sets_equal and kl_rel <= 1e-4
+        and rec["t_btm_high_s"] < 0.95 * rec["t_btm_None_s"]
+    )
+    rec.update(btm_rel=btm_rel, sets_equal=sets_equal, kl_rel=kl_rel,
+               sht_precision_pick="high" if wins else None)
+    print(f"btm_rel={btm_rel:.2e} sets_equal={sets_equal} "
+          f"kl_rel={kl_rel:.2e} -> pick={rec['sht_precision_pick']}",
+          flush=True)
+    path = "/root/repo/doc/sht_ab.json"
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"decision record written to {path}", flush=True)
 
 
 if __name__ == "__main__":

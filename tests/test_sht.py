@@ -299,3 +299,30 @@ def test_analysis_ring_padded_matches_compact():
     )
     np.testing.assert_allclose(za.to_numpy(w2), za.to_numpy(w1), atol=1e-13)
     np.testing.assert_allclose(za.to_numpy(v2), za.to_numpy(v1), atol=1e-13)
+
+
+def test_sht_precision_switch_plumbs(monkeypatch):
+    """The split-path precision switch traces cleanly and (on CPU, where
+    matmul precision is a no-op) leaves results bit-identical."""
+    import jax
+
+    from driftscan_tpu.ops import sht, zarray as za
+
+    nside, lmax = 8, 12
+    rng = np.random.default_rng(45)
+    npix = 12 * nside**2
+    maps = za.Z(
+        jnp.asarray(rng.standard_normal((2, npix))),
+        jnp.asarray(rng.standard_normal((2, npix))),
+    )
+    pos0, neg0 = sht.analysis_split(maps, lmax, neg_m=True)
+    monkeypatch.setattr(sht, "_SHT_PRECISION", "high")
+    jax.clear_caches()
+    pos1, neg1 = sht.analysis_split(maps, lmax, neg_m=True)
+    out1 = sht.synthesis_split(pos1, neg1, nside)
+    monkeypatch.setattr(sht, "_SHT_PRECISION", None)
+    jax.clear_caches()
+    out0 = sht.synthesis_split(pos0, neg0, nside)
+    np.testing.assert_array_equal(np.asarray(pos1.re), np.asarray(pos0.re))
+    np.testing.assert_array_equal(np.asarray(neg1.im), np.asarray(neg0.im))
+    np.testing.assert_array_equal(np.asarray(out1.re), np.asarray(out0.re))
