@@ -484,6 +484,66 @@ def _product_flops(tel, nm):
     return nm * (qr + solves + gram + eigh)
 
 
+def _acquire_device(timeout_s: float = 600.0) -> None:
+    """Preempt any registered chain TPU client, then register the bench.
+
+    The axon runtime serves ONE client: a concurrent chain step (A/B or
+    north-star) would make the bench hang or measure garbage.  SIGINT
+    is the one safe kill on this platform (python cleans up and
+    releases the claim; the north-star run is window-checkpointed and
+    resumes from where it left off).  The bench then writes its own pid
+    to the same file so the chain's loop-top guard waits instead of
+    probing.  Skipped when the bench is CPU-pinned (tests) or
+    BENCH_NO_PREEMPT=1.
+    """
+    if os.environ.get("BENCH_NO_PREEMPT") == "1":
+        return
+    try:
+        if jax.config.jax_platforms == "cpu":
+            return
+    except AttributeError:
+        pass
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scratch"))
+    import _tpu_pidfile
+
+    try:
+        with open(_tpu_pidfile.PATH) as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        pid = None
+    if pid is not None and pid != os.getpid():
+        import signal
+
+        def _gone(p):
+            try:
+                os.kill(p, 0)
+            except ProcessLookupError:
+                return True
+            try:  # an unreaped child still accepts signals: check state
+                with open(f"/proc/{p}/stat") as f:
+                    return f.read().split(")")[-1].split()[0] == "Z"
+            except OSError:
+                return True
+
+        deadline = time.time() + timeout_s
+        notified = False
+        while time.time() < deadline:
+            if _gone(pid):
+                break
+            try:
+                os.kill(pid, signal.SIGINT)
+            except ProcessLookupError:
+                break
+            if not notified:
+                _log(f"preempting chain TPU client pid {pid} (SIGINT)...")
+                notified = True
+            time.sleep(5.0)
+        else:
+            _log(f"chain TPU client pid {pid} ignored SIGINT for "
+                 f"{timeout_s:.0f}s; proceeding anyway")
+    _tpu_pidfile.register()
+
+
 def _device_answers(timeout_s: float = 420.0) -> bool:
     """True iff the accelerator answers a tiny matmul within the timeout.
 
@@ -509,6 +569,7 @@ def _device_answers(timeout_s: float = 420.0) -> bool:
 
 
 def main():
+    _acquire_device()
     if not _device_answers():
         print(
             json.dumps(

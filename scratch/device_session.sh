@@ -12,6 +12,13 @@
 # re-probing and re-entering wherever it left off.
 cd /root/repo
 while true; do
+    # another TPU client (e.g. the driver's bench preempted us and is
+    # running) holds the device: wait instead of contending with probes
+    if [ -f /tmp/tpu_client.pid ] && kill -0 "$(cat /tmp/tpu_client.pid 2>/dev/null)" 2>/dev/null; then
+        echo "[chain] device held by pid $(cat /tmp/tpu_client.pid); waiting $(date -u +%H:%M:%S)" >> /tmp/device_session.log
+        sleep 180
+        continue
+    fi
     if python scratch/tpu_preflight.py >> /tmp/device_session.log 2>&1; then
         echo "[chain] preflight OK $(date -u +%H:%M:%S)" >> /tmp/device_session.log
         if [ ! -f /tmp/topband_ab_stress.done ]; then

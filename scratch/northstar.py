@@ -24,6 +24,10 @@ import numpy as np, jax, jax.numpy as jnp
 SMOKE = os.environ.get("NS_SMOKE") == "1"
 if SMOKE:
     jax.config.update("jax_platforms", "cpu")
+else:
+    import _tpu_pidfile  # script dir is sys.path[0]
+
+    _tpu_pidfile.register()
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -111,11 +115,18 @@ os.makedirs(_ckpt_dir, exist_ok=True)
 for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
     ck = f"{_ckpt_dir}/w{wi:02d}_{m0}_{m1}_{rec['engine']}.npz"
     if os.path.exists(ck):
-        z = np.load(ck)
-        evs.append(z["ev"]); nmods.append(z["nmo"])
-        t_btm += float(z["tb"]); t_prod += float(z["tp"])
-        log(f"window {wi+1}/{W} m=[{m0},{m1}): restored from checkpoint")
-        continue
+        try:
+            z = np.load(ck)
+            ev_r, nmo_r = z["ev"], z["nmo"]
+            tb_r, tp_r = float(z["tb"]), float(z["tp"])
+        except Exception as exc:  # corrupt/partial file: recompute
+            log(f"window {wi+1}/{W}: bad checkpoint ({exc!r}); recomputing")
+            os.unlink(ck)
+        else:
+            evs.append(ev_r); nmods.append(nmo_r)
+            t_btm += tb_r; t_prod += tp_r
+            log(f"window {wi+1}/{W} m=[{m0},{m1}): restored from checkpoint")
+            continue
     st = time.time()
     pos, neg = resident.btm_resident(tel, blg, fig, m_range=(int(m0), int(m1)))
     _ = float(np.asarray(pos.re.sum()))
@@ -134,7 +145,10 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
     del pos, neg
     evs.append(ev)
     nmods.append(nmo)
-    np.savez(ck, ev=ev, nmo=nmo, tb=tb, tp=tp)
+    # write-then-rename: a SIGINT (bench preemption) mid-write must not
+    # leave a partial npz that poisons every later resume
+    np.savez(ck + ".tmp.npz", ev=ev, nmo=nmo, tb=tb, tp=tp)
+    os.replace(ck + ".tmp.npz", ck)
     log(f"window {wi+1}/{W} m=[{m0},{m1}): btm {tb:.1f}s product {tp:.1f}s")
 evals = np.concatenate(evs)
 nmodes = np.concatenate(nmods)

@@ -16,6 +16,10 @@ import jax.numpy as jnp
 
 if os.environ.get("AB_CPU"):  # flow check without the chip (interpret mode)
     jax.config.update("jax_platforms", "cpu")
+else:
+    import _tpu_pidfile  # script dir is sys.path[0]
+
+    _tpu_pidfile.register()
 INTERPRET = bool(os.environ.get("AB_CPU"))
 
 from jax.experimental import pallas as pl

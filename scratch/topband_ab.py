@@ -22,6 +22,10 @@ import jax.numpy as jnp
 
 if os.environ.get("AB_CPU"):  # flow check without the chip
     jax.config.update("jax_platforms", "cpu")
+else:
+    import _tpu_pidfile  # script dir is sys.path[0]
+
+    _tpu_pidfile.register()
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
