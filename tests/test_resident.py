@@ -374,3 +374,60 @@ def test_topband_product_matches_exact():
         # above-cut entries (already checked by the retained-set
         # equality above)
         assert float(np.abs(ev1[~keep]).max(initial=0.0)) <= cut
+
+
+def test_run_topband_escalation_ladder():
+    """The dispatcher escalates (2k, levels+1) on a failed certificate,
+    remembers the working size, and falls back to the exact engine when
+    the ladder passes k = n/2."""
+    n = 64
+    k0 = resident._quant_frac(max(n // 8, 8), n)
+    ev = np.ones((4, 3))
+    nmo = np.ones(3, dtype=int)
+
+    # case 1: first size fails the certificate, the doubled size passes
+    calls = []
+
+    def run_ok_second(mv, sig_levels, kw, nw, lsd, lfd):
+        k = (kw or {}).get("kl_top_k")
+        calls.append((k, (kw or {}).get("kl_levels"), sig_levels))
+        ok = np.asarray([k is not None and k >= 2 * k0])
+        return ev, nmo, ok
+
+    saved = dict(resident._TB_STATE)
+    resident._TB_STATE.clear()
+    try:
+        out, _ = resident._run_topband(
+            run_ok_second, None, {}, None, None, None, n, 0.1, None
+        )
+        np.testing.assert_array_equal(out, ev)
+        assert [c[0] for c in calls] == [k0, 2 * k0]
+        assert calls[1][1] == 6  # levels escalated 5 -> 6
+        assert resident._TB_STATE[n] == (2 * k0, 6)
+
+        # case 2: remembered state skips the failed rung on redispatch
+        calls.clear()
+        resident._run_topband(
+            run_ok_second, None, {}, None, None, None, n, 0.1, None
+        )
+        assert [c[0] for c in calls] == [2 * k0]
+
+        # case 3: nothing certifies -> exact fallback (kw is the plain
+        # extra dict again, sig_levels the exact default)
+        def run_never_ok(mv, sig_levels, kw, nw, lsd, lfd):
+            calls.append(((kw or {}).get("kl_top_k"), sig_levels))
+            return ev, nmo, np.asarray([kw is not None and "kl_top_k" in kw
+                                        and False])
+        calls.clear()
+        resident._TB_STATE.clear()
+        out, _ = resident._run_topband(
+            run_never_ok, None, {"x": 1}, None, None, None, n, 0.1, 2
+        )
+        np.testing.assert_array_equal(out, ev)
+        # ladder k0 -> 2k0 -> n/2 (quantised rungs), then the exact call
+        assert calls[-1] == (None, 2)
+        assert all(c[0] is not None for c in calls[:-1])
+        assert n not in resident._TB_STATE  # nothing certified
+    finally:
+        resident._TB_STATE.clear()
+        resident._TB_STATE.update(saved)
