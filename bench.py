@@ -232,6 +232,27 @@ _SHT_AB_DECISION = os.path.join(
 )
 
 
+def resolve_sht_precision():
+    """Adopt the SHT A/B record's accuracy-gated pick (env always wins).
+
+    Shared by the bench and the north-star run so the adoption rule
+    lives in one place.  Returns the effective precision (None =
+    library "highest" default).
+    """
+    from driftscan_tpu.ops import sht
+
+    if os.environ.get("DRIFTSCAN_TPU_SHT_PRECISION") is not None:
+        return sht._SHT_PRECISION  # set from the env at sht import
+    try:
+        with open(_SHT_AB_DECISION) as f:
+            sp = json.load(f).get("sht_precision_pick")
+    except (OSError, ValueError):
+        sp = None
+    if sp:
+        sht._SHT_PRECISION = sp
+    return sht._SHT_PRECISION
+
+
 def _engine_defaults():
     """Resolve {topband, filter/SHT precision} from env, else A/B records."""
     out = {"topband": False, "source": "default"}
@@ -248,17 +269,9 @@ def _engine_defaults():
             out["filter_precision"] = fp
     except (OSError, ValueError):
         pass
-    try:
-        with open(_SHT_AB_DECISION) as f:
-            rec = json.load(f)
-        sp = rec.get("sht_precision_pick")
-        if sp and os.environ.get("DRIFTSCAN_TPU_SHT_PRECISION") is None:
-            from driftscan_tpu.ops import sht
-
-            sht._SHT_PRECISION = sp
-            out["sht_precision"] = sp
-    except (OSError, ValueError):
-        pass
+    sp = resolve_sht_precision()
+    if sp:
+        out["sht_precision"] = sp
     env = os.environ.get("BENCH_TOPBAND")
     if env is not None:
         out["topband"] = env == "1"
@@ -484,64 +497,85 @@ def _product_flops(tel, nm):
     return nm * (qr + solves + gram + eigh)
 
 
-def _acquire_device(timeout_s: float = 600.0) -> None:
+def _acquire_device(timeout_s: float = 600.0) -> bool:
     """Preempt any registered chain TPU client, then register the bench.
 
     The axon runtime serves ONE client: a concurrent chain step (A/B or
     north-star) would make the bench hang or measure garbage.  SIGINT
     is the one safe kill on this platform (python cleans up and
     releases the claim; the north-star run is window-checkpointed and
-    resumes from where it left off).  The bench then writes its own pid
-    to the same file so the chain's loop-top guard waits instead of
-    probing.  Skipped when the bench is CPU-pinned (tests) or
-    BENCH_NO_PREEMPT=1.
+    resumes from where it left off).  Protocol details that matter:
+
+    * the pidfile is re-read after every takeover, so a chain that
+      finished one step and launched the next (new pid) is preempted
+      again rather than run alongside — loop until the file holds OUR
+      pid and nothing else claimed it;
+    * the holder's identity is verified via /proc starttime before any
+      signal (a recycled pid from a SIGKILLed client is never shot at);
+    * SIGINT is sent sparingly (0 / 120 / 240 s), not every poll — a
+      second KeyboardInterrupt landing inside the client's teardown is
+      the hard-kill path that wedges the claim;
+    * on timeout the bench does NOT start a second concurrent client:
+      it returns False and main() reports an honest failure line.
+
+    Returns True when the device is ours.  Skipped (True) when the
+    bench is CPU-pinned (tests) or BENCH_NO_PREEMPT=1.
     """
     if os.environ.get("BENCH_NO_PREEMPT") == "1":
-        return
+        return True
     try:
         if jax.config.jax_platforms == "cpu":
-            return
+            return True
     except AttributeError:
         pass
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scratch"))
+    import signal
+
     import _tpu_pidfile
 
-    try:
-        with open(_tpu_pidfile.PATH) as f:
-            pid = int(f.read().strip())
-    except (OSError, ValueError):
-        pid = None
-    if pid is not None and pid != os.getpid():
-        import signal
-
-        def _gone(p):
-            try:
-                os.kill(p, 0)
-            except ProcessLookupError:
+    me = os.getpid()
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        info = _tpu_pidfile.read()
+        if info is None or info[0] == me:
+            _tpu_pidfile.register()
+            # settle, then confirm nothing re-registered over us (the
+            # chain may have launched its next step in the window
+            # between its guard check and our registration)
+            time.sleep(2.0)
+            info = _tpu_pidfile.read()
+            if info is not None and info[0] == me:
                 return True
-            try:  # an unreaped child still accepts signals: check state
-                with open(f"/proc/{p}/stat") as f:
-                    return f.read().split(")")[-1].split()[0] == "Z"
+            continue
+        pid, start = info
+        now = _tpu_pidfile.proc_starttime(pid)
+        if now is None or (start is not None and now != start):
+            # stale file: holder is dead (or its pid was recycled by an
+            # unrelated process — never signal it); take over
+            try:
+                os.unlink(_tpu_pidfile.PATH)
             except OSError:
-                return True
-
-        deadline = time.time() + timeout_s
-        notified = False
+                pass
+            continue
+        _log(f"preempting chain TPU client pid {pid} (SIGINT)...")
+        sig_times = [time.time() + dt for dt in (0.0, 120.0, 240.0)]
         while time.time() < deadline:
-            if _gone(pid):
+            live = _tpu_pidfile.proc_starttime(pid)
+            if live is None or (start is not None and live != start):
                 break
-            try:
-                os.kill(pid, signal.SIGINT)
-            except ProcessLookupError:
-                break
-            if not notified:
-                _log(f"preempting chain TPU client pid {pid} (SIGINT)...")
-                notified = True
-            time.sleep(5.0)
-        else:
-            _log(f"chain TPU client pid {pid} ignored SIGINT for "
-                 f"{timeout_s:.0f}s; proceeding anyway")
-    _tpu_pidfile.register()
+            if sig_times and time.time() >= sig_times[0]:
+                sig_times.pop(0)
+                try:
+                    os.kill(pid, signal.SIGINT)
+                except ProcessLookupError:
+                    break
+            time.sleep(2.0)
+    info = _tpu_pidfile.read()
+    if info is not None and info[0] == me:
+        return True
+    _log(f"could not acquire the device within {timeout_s:.0f}s "
+         f"(holder: {info})")
+    return False
 
 
 def _device_answers(timeout_s: float = 420.0) -> bool:
@@ -568,25 +602,54 @@ def _device_answers(timeout_s: float = 420.0) -> bool:
     return bool(ok)
 
 
+def _last_known_good():
+    """Headline from the newest BENCH_r*.json, so the failure line never
+    points at a stale hardcoded number."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            if rec.get("value"):
+                best = f"{os.path.basename(path)}: {rec['value']} {rec.get('unit', '')}"
+        except (OSError, ValueError):
+            continue
+    return best or "none recorded"
+
+
+def _fail_line(error):
+    print(
+        json.dumps(
+            {
+                "metric": "m_modes_per_sec",
+                "value": 0.0,
+                "unit": "m-modes/s",
+                "vs_baseline": 0.0,
+                "detail": {
+                    "error": error,
+                    "last_known_good": _last_known_good(),
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
-    _acquire_device()
+    if not _acquire_device():
+        _fail_line(
+            "device held by a chain TPU client that did not yield to "
+            "SIGINT within 10 min; refusing to start a second "
+            "concurrent client (one-client runtime)"
+        )
+        return
     if not _device_answers():
-        print(
-            json.dumps(
-                {
-                    "metric": "m_modes_per_sec",
-                    "value": 0.0,
-                    "unit": "m-modes/s",
-                    "vs_baseline": 0.0,
-                    "detail": {
-                        "error": "accelerator unreachable (tunnel wedge): "
-                        "no device answer within 7 min",
-                        "last_known_good": "BENCH_r01.json: 30.985 "
-                        "m-modes/s on this chip (2026-08-17)",
-                    },
-                }
-            ),
-            flush=True,
+        _fail_line(
+            "accelerator unreachable (tunnel wedge): no device answer "
+            "within 7 min"
         )
         return
 

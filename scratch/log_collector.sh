@@ -5,8 +5,11 @@
 # Runs alongside scratch/device_session.sh; never touches the device.
 cd /root/repo
 while true; do
+    # mirror unconditionally: a step that keeps failing-and-relooping
+    # never gets a .done marker, and its tracebacks are exactly the
+    # evidence worth shipping
     for name in topband_ab_stress topband_ab_bench sht_ab pallas_probe; do
-        if [ -f /tmp/${name}.done ] && [ -f /tmp/${name}.log ]; then
+        if [ -f /tmp/${name}.log ]; then
             cmp -s /tmp/${name}.log doc/${name}.log 2>/dev/null \
                 || cp /tmp/${name}.log doc/${name}.log
         fi

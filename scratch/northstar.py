@@ -85,19 +85,15 @@ NS_TOPBAND = os.environ.get("NS_TOPBAND", "1") == "1"
 rec["engine"] = "topband" if NS_TOPBAND else "exact"
 log(f"product engine: {rec['engine']}")
 
-# SHT matmul precision: adopt the on-chip A/B's accuracy-gated pick
-# (the chain runs scratch/sht_ab.py before this, so the record is
-# stable for the whole run); env always overrides, smoke never reads it.
-if not SMOKE:
-    try:
-        with open("/root/repo/doc/sht_ab.json") as f:
-            _sp = json.load(f).get("sht_precision_pick")
-        if _sp and os.environ.get("DRIFTSCAN_TPU_SHT_PRECISION") is None:
-            sht._SHT_PRECISION = _sp
-            rec["sht_precision"] = _sp
-            log(f"SHT matmul precision from A/B record: {_sp}")
-    except (OSError, ValueError):
-        pass
+# SHT matmul precision: adopt the on-chip A/B's accuracy-gated pick via
+# the shared bench helper (the chain runs scratch/sht_ab.py before
+# this, so the record is stable for the whole run); env always
+# overrides, smoke never reads it.  The effective precision is baked
+# into the checkpoint filenames so a resume after the pick changes
+# recomputes instead of silently mixing precisions across windows.
+_sp = None if SMOKE else bench.resolve_sht_precision()
+rec["sht_precision"] = _sp or "highest"
+log(f"SHT matmul precision: {rec['sht_precision']}")
 
 # The full (l, m) tables are 66 GB here (nu*npol*nl*nm, 4 f32 planes) —
 # over the 15.75 GB HBM — so the run streams m-windows: each window's
@@ -113,7 +109,8 @@ evs, nmods = [], []
 _ckpt_dir = "/tmp/ns_smoke_windows" if SMOKE else "/tmp/ns_windows"
 os.makedirs(_ckpt_dir, exist_ok=True)
 for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
-    ck = f"{_ckpt_dir}/w{wi:02d}_{m0}_{m1}_{rec['engine']}.npz"
+    ck = (f"{_ckpt_dir}/w{wi:02d}_{m0}_{m1}_{rec['engine']}"
+          f"_{rec['sht_precision']}.npz")
     if os.path.exists(ck):
         try:
             z = np.load(ck)

@@ -46,14 +46,21 @@ def fetch(x):
     return float(np.asarray(x.ravel()[0]))
 
 
-def btm_host(tel, blg, fig):
-    """One warm + one steady fetch-timed BTM pass; planes to host."""
+def btm_host(tel, blg, fig, reps=3):
+    """Warm pass + best-of-``reps`` fetch-timed BTM passes; planes to host.
+
+    Best-of-3, not a single pass: this timing decides a production
+    default via a 5% threshold, and single-pass host-load jitter on
+    this box has been measured at that order.
+    """
     pos, neg = resident.btm_resident(tel, blg, fig)
     fetch(pos.re)
-    st = time.time()
-    pos, neg = resident.btm_resident(tel, blg, fig)
-    fetch(pos.re)
-    dt = time.time() - st
+    dt = np.inf
+    for _ in range(reps):
+        st = time.time()
+        pos, neg = resident.btm_resident(tel, blg, fig)
+        fetch(pos.re)
+        dt = min(dt, time.time() - st)
     out = tuple(np.asarray(p) for p in (pos.re, pos.im, neg.re, neg.im))
     del pos, neg
     return out, dt

@@ -43,10 +43,16 @@ def test_engine_defaults_resolution(tmp_path, monkeypatch):
     import bench
     from driftscan_tpu.ops import fpencil
 
+    from driftscan_tpu.ops import sht
+
     rec = tmp_path / "topband_ab.json"
     monkeypatch.setattr(bench, "_AB_DECISION", str(rec))
+    # isolate from any real doc/sht_ab.json and restore module state
+    monkeypatch.setattr(bench, "_SHT_AB_DECISION", str(tmp_path / "sht_ab.json"))
+    monkeypatch.setattr(sht, "_SHT_PRECISION", sht._SHT_PRECISION)
     monkeypatch.delenv("BENCH_TOPBAND", raising=False)
     monkeypatch.delenv("DRIFTSCAN_TPU_TOPBAND_FILTER_PRECISION", raising=False)
+    monkeypatch.delenv("DRIFTSCAN_TPU_SHT_PRECISION", raising=False)
 
     # no record, no env -> exact engine
     bench._PHASES.pop("engine", None)
@@ -81,3 +87,26 @@ def test_engine_defaults_resolution(tmp_path, monkeypatch):
         assert fpencil._FILTER_PRECISION == old_fp
     finally:
         fpencil._FILTER_PRECISION = old_fp
+
+
+def test_resolve_sht_precision(tmp_path, monkeypatch):
+    """Record adoption is env-gated and sets the sht module state."""
+    import bench
+    from driftscan_tpu.ops import sht
+
+    monkeypatch.setattr(bench, "_SHT_AB_DECISION", str(tmp_path / "sht_ab.json"))
+    monkeypatch.setattr(sht, "_SHT_PRECISION", None)
+    monkeypatch.delenv("DRIFTSCAN_TPU_SHT_PRECISION", raising=False)
+
+    assert bench.resolve_sht_precision() is None  # no record
+
+    (tmp_path / "sht_ab.json").write_text(
+        json.dumps({"sht_precision_pick": "high"})
+    )
+    assert bench.resolve_sht_precision() == "high"
+    assert sht._SHT_PRECISION == "high"
+
+    # env pins the precision: the record is not consulted
+    monkeypatch.setattr(sht, "_SHT_PRECISION", "default")
+    monkeypatch.setenv("DRIFTSCAN_TPU_SHT_PRECISION", "default")
+    assert bench.resolve_sht_precision() == "default"
