@@ -262,8 +262,6 @@ def beam_factor_compact(bsvd: za.Z, L, l_chunk: int = 64) -> za.Z:
     # cholesky inside the (vmapped) product program breaks the remote
     # compiler (doc/design.md section 6); the shift ladder then settles
     # one rung higher (~1e-5 relative eigenvalue bias instead of ~1e-8).
-    import os
-
     f64 = os.environ.get("DRIFTSCAN_TPU_COMPACT_CHOL", "f64") != "f32"
     cdt = jnp.float64 if f64 else dt
     s_e = za.interleave(za.Z(s_re, s_im)).astype(cdt)
@@ -401,19 +399,39 @@ def gram_bands_topk(
     exact :func:`gram_bands` remains the production default everywhere.
     """
 
+    def eig_fn(g):
+        w, q = _top_band_eigh(g, k_cap, iters=iters)  # descending
+        return jnp.sqrt(jnp.maximum(w, 0.0)), q
+
+    return _gram_level_scan(x, levels, band_rel, eig_fn)
+
+
+def _gram_level_scan(x: za.Z, levels: int, band_rel: float, eig_fn) -> GramBands:
+    """Level-deflation scan shared by gram_bands / gram_bands_topk.
+
+    ``eig_fn(g) -> (s, q)``: descending non-negative singular values and
+    matching left-vector columns of the level Gram ``g``.  The level
+    loop is a ``lax.scan`` so the program compiles one level body
+    regardless of depth.
+    """
+
     def level_body(xc, level):
         g = za.einsum("ik,jk->ij", xc, xc.conj())
         g = za.Z(
             0.5 * (g.re + jnp.swapaxes(g.re, -1, -2)),
             0.5 * (g.im - jnp.swapaxes(g.im, -1, -2)),
         )
-        w, q = _top_band_eigh(g, k_cap, iters=iters)  # descending
-        s = jnp.sqrt(jnp.maximum(w, 0.0))
+        s, q = eig_fn(g)
 
         last = level == levels - 1
-        maskf = jnp.where(last | (s > s[:1] * band_rel), 1.0, 0.0).astype(s.dtype)
+        maskf = jnp.where(last | (s > s[:1] * band_rel), 1.0, 0.0).astype(
+            s.dtype
+        )
         qm = za.Z(q.re * maskf[None, :], q.im * maskf[None, :])
 
+        # deflate: X <- (I - Qm Qm^H) X, applied twice (CGS2) — a single
+        # pass leaks ~eps * s_max_level into the remainder, which would
+        # floor every later level at that leak.
         for _ in range(2):
             proj = za.einsum("ji,jk->ik", qm.conj(), xc)
             xc = xc - za.einsum("ij,jk->ik", qm, proj)
@@ -439,35 +457,12 @@ def gram_bands(x: za.Z, levels: int = 3, band_rel: float = 3e-2) -> GramBands:
     body regardless of depth.
     """
 
-    def level_body(xc, level):
-        g = za.einsum("ik,jk->ij", xc, xc.conj())
-        g = za.Z(
-            0.5 * (g.re + jnp.swapaxes(g.re, -1, -2)),
-            0.5 * (g.im - jnp.swapaxes(g.im, -1, -2)),
-        )
+    def eig_fn(g):
         w, q = za.eigh(g)  # ascending
         s = jnp.sqrt(jnp.maximum(w[::-1], 0.0))
-        q = za.Z(q.re[..., ::-1], q.im[..., ::-1])
+        return s, za.Z(q.re[..., ::-1], q.im[..., ::-1])
 
-        last = level == levels - 1
-        maskf = jnp.where(last | (s > s[:1] * band_rel), 1.0, 0.0).astype(
-            s.dtype
-        )
-        qm = za.Z(q.re * maskf[None, :], q.im * maskf[None, :])
-
-        # deflate: X <- (I - Qm Qm^H) X, applied twice (CGS2) — a single
-        # pass leaks ~eps * s_max_level into the remainder, which would
-        # floor every later level at that leak.
-        for _ in range(2):
-            proj = za.einsum("ji,jk->ik", qm.conj(), xc)
-            xc = xc - za.einsum("ij,jk->ik", qm, proj)
-
-        return xc, (qm.re, qm.im, s * maskf)
-
-    _, (q_re, q_im, ss) = jax.lax.scan(
-        level_body, x, jnp.arange(levels), length=levels
-    )
-    return GramBands(za.Z(q_re, q_im), ss)
+    return _gram_level_scan(x, levels, band_rel, eig_fn)
 
 
 def _select_complete_basis(bands: GramBands):
@@ -888,6 +883,12 @@ def gram_topband(
     n = y.shape[-2]
     dt = y.re.dtype
     cut = float(cut)
+    if cut <= 0.0:
+        # the certificate compares a PSD norm against the cut: with
+        # cut <= 0 it is unsatisfiable and the dispatcher would burn the
+        # whole escalation ladder before falling back — fail loudly
+        raise ValueError("topband engine requires a positive cut "
+                         f"(got {cut}); use the exact engine instead")
 
     lam = _spectral_norm_sq(y)  # lambda_max estimate (matmuls)
     v0_re = _random_real_basis(n, k, dt)
@@ -927,8 +928,25 @@ def gram_topband(
             y = y - za.einsum("ij,jk->ik", uu, proj)
         lam = lock
 
-    # certificate: nothing above the cut survives in the remainder
-    ok = _spectral_norm_sq(y, iters=12) < cut
+    # certificate: nothing above the cut survives in the remainder.
+    # Estimated with a BLOCK Rayleigh-Ritz, not a single power vector:
+    # a single vector's Rayleigh quotient is a weighted mean, so a
+    # dense shelf of eigenvalues just below an above-cut outlier
+    # dilutes its weight and can under-estimate the outlier below the
+    # cut — falsely certifying completeness and silently dropping a
+    # retained mode.  The block absorbs the shelf into its lower Ritz
+    # directions; its top Ritz value converges at (lam_{q+1}/lam_1)^2t.
+    # No margin on the cut itself: continuous KL spectra generically
+    # leave the remainder top just BELOW the cut, and any margin there
+    # would escalate forever on perfectly complete bands.  (q, iters)
+    # sized so a 500-fold shelf at 0.86x the outlier is resolved —
+    # amplitude gain (lam1/shelf)^iters must beat the sqrt(n_shelf)
+    # initial-overlap disadvantage.  An outlier masked by a shelf
+    # *closer* than ~(sqrt(n)/gain) remains boundary fuzz: the same
+    # knife-edge class the reference's threshold subsetting tie-breaks
+    # by eigh rounding.  Cost: 2*iters (n, K)(K, q) matmuls — noise
+    # next to the filter stages.
+    ok = _spectral_norm_sq_block(y, q=16, iters=32) < cut
 
     theta = jnp.concatenate(thetas)  # descending across+within levels
     u = za.Z(
@@ -1066,6 +1084,29 @@ def _spectral_norm_sq(a: za.Z, iters: int = 8) -> jnp.ndarray:
     return lam
 
 
+def _spectral_norm_sq_block(a: za.Z, q: int = 8, iters: int = 12) -> jnp.ndarray:
+    """lambda_max(A A^H) by block subspace iteration + Rayleigh-Ritz.
+
+    Sharper from below than :func:`_spectral_norm_sq` when a dense
+    shelf of slightly smaller eigenvalues dilutes a single power
+    vector's Rayleigh quotient: the q-column block captures the shelf
+    in its lower Ritz directions, so the TOP Ritz value converges at
+    ratio (lambda_{q+1}/lambda_1)^(2*iters).  Matmuls + one (q, q)
+    eigh only; used by the top-band completeness certificate.
+    """
+    n = a.shape[-2]
+    q = int(min(q, n))
+    v = za.Z(_random_real_basis(n, q, a.dtype), jnp.zeros((n, q), a.dtype))
+    for _ in range(iters):
+        w = za.einsum("ji,jk->ik", a.conj(), v)  # A^H V
+        v = za.einsum("ij,jk->ik", a, w)  # (A A^H) V
+        v = _chol_qr_zblock(v)
+    b = za.einsum("ji,jk->ik", a.conj(), v)  # A^H V, (K, q)
+    h = _herm(za.einsum("ji,jk->ik", b.conj(), b))  # V^H (A A^H) V
+    w, _ = za.eigh(h)  # ascending
+    return w[-1]
+
+
 def pencil_solve_qr(
     a_signal: za.Z,
     noise_rows: za.Z,
@@ -1123,6 +1164,45 @@ def _thermal_noise_rows(a_fg: za.Z, nc) -> za.Z:
     )
 
 
+def _doublekl_stage1_floor(a_fg, nc1, fg_floor, fg_reg_rel, dt):
+    """Stage-1 identity floor shared by the exact and top-band engines.
+
+    The floor is the reference's *suppressed* radiometer noise
+    (kltransform._noise_power with use_thermal=False: Tsys -> 1 mK)
+    when the caller knows it (otherwise a relative foreground floor),
+    plus the reference's relative foreground regulariser — its dense
+    path adds fg_reg_rel * max|F_ij| to the diagonal
+    (/root/reference/drift/core/kltransform.py:289-290), and for a PSD
+    F the max entry sits on the diagonal = the max row norm^2 of A_f.
+    """
+    if nc1 is None:
+        nc1 = fg_floor * _spectral_norm_sq(a_fg) + jnp.asarray(1e-30, dt)
+    return nc1 + fg_reg_rel * jnp.max(jnp.sum(a_fg.abs2(), axis=-1))
+
+
+def _doublekl_stage2_rows(a_signal, a_fg, p, n):
+    """Stage-2 pencil factors on the kept subspace, shared by both engines.
+
+    Returns (p^H A_s, noise rows [A_f^H p ; p ; delta I]).  The
+    kept-mode diagonal of N' is >= 1 (stage-1 noise normalisation), so
+    the 1e-4 delta keeps dropped columns nonsingular at ~1e-8 relative
+    effect on genuine eigenvalues.
+    """
+    dt = a_signal.dtype
+    bs = za.einsum("ji,jk->ik", p.conj(), a_signal)  # p^H A_s
+    fp = za.einsum("ja,jc->ac", a_fg.conj(), p)  # A_f^H p, (K, n)
+    gr = za.Z(
+        jnp.concatenate([fp.re, p.re], axis=-2),
+        jnp.concatenate([fp.im, p.im], axis=-2),
+    )
+    delta = jnp.asarray(1e-4, dt) * jnp.eye(n, dtype=dt)
+    gr = za.Z(
+        jnp.concatenate([gr.re, delta], axis=-2),
+        jnp.concatenate([gr.im, jnp.zeros_like(delta)], axis=-2),
+    )
+    return bs, gr
+
+
 def doublekl_solve_qr(
     a_signal: za.Z,
     a_fg: za.Z,
@@ -1164,10 +1244,7 @@ def doublekl_solve_qr(
     # path adds fg_reg_rel * max|F_ij| to the diagonal
     # (/root/reference/drift/core/kltransform.py:289-290), and for a PSD
     # F the max entry sits on the diagonal = the max row norm^2 of A_f.
-    if nc1 is None:
-        nc1 = fg_floor * _spectral_norm_sq(a_fg) + jnp.asarray(1e-30, dt)
-    reg = fg_reg_rel * jnp.max(jnp.sum(a_fg.abs2(), axis=-1))
-    nc1 = nc1 + reg
+    nc1 = _doublekl_stage1_floor(a_fg, nc1, fg_floor, fg_reg_rel, dt)
     kl1 = pencil_solve_qr(
         a_signal,
         _thermal_noise_rows(a_fg, nc1),
@@ -1179,21 +1256,7 @@ def doublekl_solve_qr(
     p = za.Z(kl1.evecs.re * keep[None, :], kl1.evecs.im * keep[None, :])
 
     # ---- stage 2: S/(nc I + F) on the kept subspace ----
-    bs = za.einsum("ji,jk->ik", p.conj(), a_signal)  # p^H A_s
-    fp = za.einsum("ja,jc->ac", a_fg.conj(), p)  # A_f^H p, (K, n)
-    # noise rows: [A_f^H p ; p ; delta I]
-    gr = za.Z(
-        jnp.concatenate([fp.re, p.re], axis=-2),
-        jnp.concatenate([fp.im, p.im], axis=-2),
-    )
-    # kept-mode diagonal of N' is >= 1 (stage-1 noise normalisation), so a
-    # 1e-4 diagonal keeps dropped columns nonsingular at ~1e-8 relative
-    # effect on genuine eigenvalues.
-    delta = jnp.asarray(1e-4, dt) * jnp.eye(n, dtype=dt)
-    gr = za.Z(
-        jnp.concatenate([gr.re, delta], axis=-2),
-        jnp.concatenate([gr.im, jnp.zeros_like(delta)], axis=-2),
-    )
+    bs, gr = _doublekl_stage2_rows(a_signal, a_fg, p, n)
 
     kl2 = pencil_solve_qr(bs, gr, sig_levels=sig_levels, band_rel=band_rel)
 
@@ -1242,10 +1305,7 @@ def doublekl_solve_qr_topband(
         k2 = k
 
     # ---- stage 1: S/F, band = the kept modes ----
-    if nc1 is None:
-        nc1 = fg_floor * _spectral_norm_sq(a_fg) + jnp.asarray(1e-30, dt)
-    reg = fg_reg_rel * jnp.max(jnp.sum(a_fg.abs2(), axis=-1))
-    nc1 = nc1 + reg
+    nc1 = _doublekl_stage1_floor(a_fg, nc1, fg_floor, fg_reg_rel, dt)
     kl1, ok1 = pencil_solve_qr_topband(
         a_signal,
         _thermal_noise_rows(a_fg, nc1),
@@ -1258,17 +1318,7 @@ def doublekl_solve_qr_topband(
     p = za.Z(kl1.evecs.re * keep[None, :], kl1.evecs.im * keep[None, :])
 
     # ---- stage 2: S/(nc I + F) on the kept subspace ----
-    bs = za.einsum("ji,jk->ik", p.conj(), a_signal)
-    fp = za.einsum("ja,jc->ac", a_fg.conj(), p)
-    gr = za.Z(
-        jnp.concatenate([fp.re, p.re], axis=-2),
-        jnp.concatenate([fp.im, p.im], axis=-2),
-    )
-    delta = jnp.asarray(1e-4, dt) * jnp.eye(n, dtype=dt)
-    gr = za.Z(
-        jnp.concatenate([gr.re, delta], axis=-2),
-        jnp.concatenate([gr.im, jnp.zeros_like(delta)], axis=-2),
-    )
+    bs, gr = _doublekl_stage2_rows(a_signal, a_fg, p, n)
 
     kl2, ok2 = pencil_solve_qr_topband(bs, gr, cut=cut, k=k2, levels=levels)
 

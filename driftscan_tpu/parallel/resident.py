@@ -487,10 +487,6 @@ def _auto_mbatch(tel, hbm_budget_gb=4.0):
 _BUCKET_MIN_SAVING = 2
 
 
-def _round_up(x: int, q: int) -> int:
-    return ((max(int(x), 1) + q - 1) // q) * q
-
-
 def _quant_frac(x: int, full: int) -> int:
     """Smallest power-of-two *fraction* of ``full`` that is >= x.
 
@@ -505,8 +501,9 @@ def _quant_frac(x: int, full: int) -> int:
     return q
 
 
-def _analytic_dof_bound(tel, nm):
-    """Host-side upper-profile of the per-m pencil dimension.
+def _analytic_dof_bound(tel, nm, m_lo=0):
+    """Host-side upper-profile of the per-m pencil dimension for the
+    window ``[m_lo, m_lo + nm)``.
 
     Uses the per-(baseline, freq) band limits (teles.max_lm) to bound
     active rows; only used to decide whether the measured bucketing pass
@@ -526,7 +523,7 @@ def _analytic_dof_bound(tel, nm):
     mmax_a = np.ceil(np.asarray(mmax_a) * tel.l_boost).reshape(
         tel.npairs, tel.nfreq
     )
-    ms = np.arange(nm)[:, None, None]  # (nm, 1, 1)
+    ms = (m_lo + np.arange(nm))[:, None, None]  # (nm, 1, 1)
     # rows with support at (m, f): pairs whose band reaches m (plus the
     # conjugate block), capped by the l-range and the padded mode count
     pair_rows = 2 * (mmax_a[None] >= ms).sum(axis=1)  # (nm, F)
@@ -637,9 +634,15 @@ def product_all_resident(
         if multi:
             bucket = False
         else:
-            prof = _analytic_dof_bound(tel, nm).astype(np.float64)
+            prof = _analytic_dof_bound(tel, nm, m_lo).astype(np.float64)
             n_full = float(F * S)
             bucket = float((prof**3).sum()) < 0.5 * nm * n_full**3
+    elif bucket and multi:
+        raise ValueError(
+            "bucket=True is unsupported on a multi-device mesh: compacted "
+            "chunk batch sizes are not device-divisible; use bucket=False "
+            "(the auto default for meshes)"
+        )
 
     noisew_h = np.asarray(noisew)
     ls_h = np.asarray(ls)

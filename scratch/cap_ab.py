@@ -21,13 +21,13 @@ def sweep(tag, **kw):
                           nfreq=tel.nfreq, nl=nl, **kw)
     mv = jnp.asarray(np.arange(8, 16, dtype=np.int32))
     st = time.time()
-    ev, _ = f(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv)
+    ev, *_ = f(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv)
     ev0 = np.asarray(ev)
     tc = time.time() - st
     best = np.inf
     for _ in range(3):
         st = time.time()
-        ev, _ = f(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv)
+        ev, *_ = f(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv)
         _ = float(np.asarray(ev).ravel()[0])
         best = min(best, time.time() - st)
     print(f"{tag}: compile {tc:.1f}s steady {best*1e3:.0f} ms, finite={np.isfinite(ev0).all()}", flush=True)

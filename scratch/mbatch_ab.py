@@ -47,12 +47,12 @@ for mb in (8, 16, 32):
     f = functools.partial(resident._spectrum_batch, npairs=tel.npairs,
                           nfreq=tel.nfreq, nl=nl)
     st = time.time()
-    ev, _ = f(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv)
+    ev, *_ = f(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv)
     np.asarray(ev); tc = time.time() - st
     best = np.inf
     for _ in range(3):
         st = time.time()
-        ev, _ = f(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv)
+        ev, *_ = f(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv)
         _ = float(np.asarray(ev).ravel()[0])
         best = min(best, time.time() - st)
     print(f"spectrum mbatch={mb}: compile {tc:.1f}s steady {best*1e3:.0f} ms ({best/mb*1e3:.1f} ms/m)", flush=True)

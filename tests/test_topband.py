@@ -269,3 +269,28 @@ def test_filter_precision_flag_preserves_solution():
     e1 = np.asarray(res1.evals, np.float64)
     assert int((e0 > 0).sum()) == nret
     np.testing.assert_allclose(e1, e0, rtol=1e-12, atol=0)
+
+
+def test_block_norm_estimator_sees_through_shelf():
+    """A dense shelf just below an above-cut outlier dilutes the
+    single-vector power estimate below the cut (the false-certify
+    scenario); the block Rayleigh-Ritz estimator the certificate uses
+    must resolve the outlier."""
+    import jax.numpy as jnp
+
+    from driftscan_tpu.ops import zarray as za
+
+    rng = np.random.default_rng(7)
+    n = 512
+    lam = np.full(n, 1e-6)
+    lam[0] = 1.05  # the outlier the certificate must not miss
+    lam[1:501] = 0.90  # the diluting shelf
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    y = za.Z(jnp.asarray(q * np.sqrt(lam)[None, :]), jnp.zeros((n, n)))
+
+    single = float(fpencil._spectral_norm_sq(y, iters=12))
+    block = float(fpencil._spectral_norm_sq_block(y, q=16, iters=32))
+    cut = 1.0
+    assert single < cut  # documents the failure mode being guarded
+    assert block > cut
+    np.testing.assert_allclose(block, 1.05, rtol=1e-2)
