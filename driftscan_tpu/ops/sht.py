@@ -252,8 +252,6 @@ def _chunk_size(nring: int, maxlen: int, nm: int, budget_bytes=None) -> int:
     nside the default-size phase program also stresses the remote AOT
     compiler, and a smaller chunk compiles far faster.
     """
-    import os
-
     if budget_bytes is None:
         budget_bytes = int(
             float(os.environ.get("DRIFTSCAN_TPU_SHT_MCHUNK_MB", "1024")) * 2**20
@@ -284,6 +282,14 @@ def _split_xs(xs):
 
 
 _LEGENDRE_DEV_CACHE = {}
+
+
+@functools.lru_cache(maxsize=1)
+def _legendre_chunk_jit():
+    """One shared jitted wrapper for table builds: a fresh ``jax.jit``
+    per build would retrace (and recompile below the persistent-cache
+    floor) on every m-window of a streaming run."""
+    return jax.jit(_legendre_chunk, static_argnames=("lmax",))
 
 
 def clear_legendre_cache():
@@ -333,8 +339,6 @@ def _legendre_table(geom, lmax: int, mmax: int, rdtype, m_start: int = 0):
     whole budget returns None (callers fall back to the in-scan
     recurrence).
     """
-    import os
-
     nm = mmax + 1
     mc = _chunk_size(geom.nring, geom.maxlen, nm)
     nchunks = (nm + mc - 1) // mc
@@ -343,7 +347,10 @@ def _legendre_table(geom, lmax: int, mmax: int, rdtype, m_start: int = 0):
     if nbytes > budget:
         return None
 
-    key = (geom.nside, lmax, mmax, int(m_start), np.dtype(rdtype).name)
+    # mc is env-dependent (DRIFTSCAN_TPU_SHT_MCHUNK_MB, read per call):
+    # it must be part of the key or an in-process budget change returns
+    # a table whose leading chunk dim mismatches the scan's m_chunks
+    key = (geom.nside, lmax, mmax, int(m_start), mc, np.dtype(rdtype).name)
     tab = _LEGENDRE_DEV_CACHE.get(key)
     if tab is not None:
         # LRU: refresh position on hit so reused tables survive eviction.
@@ -363,7 +370,7 @@ def _legendre_table(geom, lmax: int, mmax: int, rdtype, m_start: int = 0):
         )
         cos_t = jnp.asarray(geom.cos_theta)
         sin_t = jnp.asarray(geom.sin_theta)
-        fn = jax.jit(_legendre_chunk, static_argnames=("lmax",))
+        fn = _legendre_chunk_jit()
         chunks = [
             fn(
                 m_start + jnp.arange(c * mc, (c + 1) * mc, dtype=jnp.int64),
@@ -381,9 +388,9 @@ def _legendre_table(geom, lmax: int, mmax: int, rdtype, m_start: int = 0):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nside", "lmax", "mmax", "neg_m", "real_field", "ring_padded"),
+    static_argnames=("nside", "lmax", "mmax", "neg_m", "ring_padded"),
 )
-def _analysis(maps, g, nside: int, lmax: int, mmax: int, neg_m: bool, real_field: bool, lam_table=None, ring_padded: bool = False):
+def _analysis(maps, g, nside: int, lmax: int, mmax: int, neg_m: bool, lam_table=None, ring_padded: bool = False):
     """Core forward SHT.
 
     Parameters
@@ -670,25 +677,11 @@ def _analysis_split(
     cap_tj = jnp.concatenate([g.twoj_h[:ncap_n], g.twoj_h[belt_hi:]], axis=0)
     cap_n2 = jnp.concatenate([g.n2[:ncap_n], g.n2[belt_hi:]], axis=0)
     cap_mask = jnp.concatenate([maskr[:ncap_n], maskr[belt_hi:]], axis=0)
-    int64_belt = (2 * J) ** 2 > np.iinfo(np.int32).max
-
-    def _belt_tables(mv):
-        """cos/sin((m * pi * (2j + par)) / J mod 2pi), (2, mc, J)."""
-        n2b = 2 * J
-        mmod = (mv % n2b).astype(jnp.int64 if int64_belt else jnp.int32)
-        tj = jnp.arange(J, dtype=mmod.dtype) * 2
-        cs, ss = [], []
-        for par in (1, 0):  # belt parity alternates pi/J, 0, pi/J, ...
-            r = (mmod[:, None] * (tj[None, :] + par)) % n2b
-            ang = r.astype(rdtype) * rdtype.type(np.pi / J)
-            cs.append(jnp.cos(ang))
-            ss.append(jnp.sin(ang))
-        return cs, ss
 
     def chunk_fn(_, xs):
         mv, lam_xs = _split_xs(xs)
 
-        cs_b, ss_b = _belt_tables(mv)
+        cs_b, ss_b = _belt_phase_tables(mv, J, rdtype)
         cap_phase = _phase_angle_tables(
             cap_tj, cap_n2, mv, rdtype,
             promote=(8 * nside - 1) ** 2 > np.iinfo(np.int32).max,
@@ -800,7 +793,20 @@ def _belt_phase_tables(mv, J, rdtype):
     return cs, ss
 
 
-def _phase_unproject(t_c, t_s, mv, g, nside: int, rdtype):
+def _cap_arrays(g, nside: int, rdtype):
+    """m-invariant polar-cap geometry (rows outside the belt), hoisted
+    out of the per-chunk scan bodies: the concatenations are ~33 MB of
+    int32 at nside 1024 and must not be re-materialised per m-chunk."""
+    ncap_n = nside - 1
+    belt_hi = 3 * nside
+    maskr = g.mask.astype(rdtype)
+    cap_tj = jnp.concatenate([g.twoj_h[:ncap_n], g.twoj_h[belt_hi:]], axis=0)
+    cap_n2 = jnp.concatenate([g.n2[:ncap_n], g.n2[belt_hi:]], axis=0)
+    cap_mask = jnp.concatenate([maskr[:ncap_n], maskr[belt_hi:]], axis=0)
+    return cap_tj, cap_n2, cap_mask
+
+
+def _phase_unproject(t_c, t_s, mv, g, nside: int, rdtype, cap=None):
     """out[b, r, j] = sum_m t_c[b,m,r] cos(m phi_rj) + t_s[b,m,r] sin(..).
 
     The synthesis-side phase stage, belt/cap split exactly like the
@@ -828,9 +834,9 @@ def _phase_unproject(t_c, t_s, mv, g, nside: int, rdtype):
         out = out.at[:, belt_lo + off : belt_hi : 2].set(blk)
 
     if ncap_n > 0:
-        cap_tj = jnp.concatenate([g.twoj_h[:ncap_n], g.twoj_h[belt_hi:]], axis=0)
-        cap_n2 = jnp.concatenate([g.n2[:ncap_n], g.n2[belt_hi:]], axis=0)
-        cap_mask = jnp.concatenate([maskr[:ncap_n], maskr[belt_hi:]], axis=0)
+        cap_tj, cap_n2, cap_mask = (
+            cap if cap is not None else _cap_arrays(g, nside, rdtype)
+        )
         cap_phase = _phase_angle_tables(
             cap_tj, cap_n2, mv, rdtype,
             promote=(8 * nside - 1) ** 2 > np.iinfo(np.int32).max,
@@ -876,6 +882,7 @@ def _synthesis_real_split(a_re, a_im, g, nside: int, lmax: int, mmax: int, lam_t
         return jnp.moveaxis(x.reshape(B, lmax + 1, nchunks, mc), 2, 0)
 
     re_chunks, im_chunks = to_chunks(a_re), to_chunks(a_im)
+    cap = _cap_arrays(g, nside, rdtype)  # hoisted: m-invariant
 
     def chunk_fn(acc, xs):
         if len(xs) == 4:
@@ -888,7 +895,7 @@ def _synthesis_real_split(a_re, a_im, g, nside: int, lmax: int, mmax: int, lam_t
         weight = jnp.where(mv == 0, 1.0, 2.0).astype(rdtype)[None, :, None]
         # Re(T e^{i m phi}) = T.re * cos - T.im * sin
         contrib = _phase_unproject(
-            t_re * weight, -(t_im * weight), mv, g, nside, rdtype
+            t_re * weight, -(t_im * weight), mv, g, nside, rdtype, cap=cap
         )
         return acc + contrib, None
 
@@ -942,6 +949,7 @@ def _synthesis_complex_split(
     chunks = (
         pos_chunks(p_re), pos_chunks(p_im), neg_chunks(n_re), neg_chunks(n_im)
     )
+    cap = _cap_arrays(g, nside, rdtype)  # hoisted: m-invariant
 
     def chunk_fn(acc, xs):
         if len(xs) == 6:
@@ -957,10 +965,10 @@ def _synthesis_complex_split(
         # T+ e^{i m phi} + T- e^{-i m phi}
         acc_re, acc_im = acc
         acc_re = acc_re + _phase_unproject(
-            tp_re + tn_re, -(tp_im - tn_im), mv, g, nside, rdtype
+            tp_re + tn_re, -(tp_im - tn_im), mv, g, nside, rdtype, cap=cap
         )
         acc_im = acc_im + _phase_unproject(
-            tp_im + tn_im, tp_re - tn_re, mv, g, nside, rdtype
+            tp_im + tn_im, tp_re - tn_re, mv, g, nside, rdtype, cap=cap
         )
         return (acc_re, acc_im), None
 
@@ -1152,21 +1160,21 @@ def analysis(
     )
     g = geom_arrays(nside)
     pos, neg = _analysis(
-        flat, g, nside, lmax, mmax, neg_m, real_field, lam,
+        flat, g, nside, lmax, mmax, neg_m, lam,
         ring_padded=ring_padded,
     )
 
     for _ in range(iters):
         if neg_m:
             resid = flat - _synthesis_complex(pos, neg, g, nside, lmax, mmax, lam)
-            dpos, dneg = _analysis(resid, g, nside, lmax, mmax, True, real_field, lam)
+            dpos, dneg = _analysis(resid, g, nside, lmax, mmax, True, lam)
             pos = pos + dpos
             neg = neg + dneg
         else:
             resid = flat - _synthesis_real(pos, g, nside, lmax, mmax, lam).astype(
                 flat.dtype
             )
-            dpos, _ = _analysis(resid, g, nside, lmax, mmax, False, real_field, lam)
+            dpos, _ = _analysis(resid, g, nside, lmax, mmax, False, lam)
             pos = pos + dpos
 
     pos = pos.reshape(lead + (lmax + 1, mmax + 1))

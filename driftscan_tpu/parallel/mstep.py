@@ -53,6 +53,9 @@ class ProductStepResult(NamedTuple):
     nmodes: jnp.ndarray  # (M, F) retained mode counts
     evals: jnp.ndarray  # (M, F*S) KL eigenvalues (ascending, 0-padded)
     evecs: jnp.ndarray  # (M, F*S, F*S) KL modes (rows)
+    # per-m completeness certificate of the top-band KL engine (always
+    # True on the exact path) — see ProductStepResultSplit.klok
+    klok: jnp.ndarray
 
 
 class ProductStepResultSplit(NamedTuple):
@@ -161,6 +164,13 @@ def kl_product_step_split(
         svmask = (sig > sig.max() * svcut).astype(dt_r)
         ut = za.Z(ut_re * svmask[:, :, None], ut_im * svmask[:, :, None])
         bsvd = za.Z(bs_re * svmask[:, :, None], bs_im * svmask[:, :, None])
+        # nmodes must count what actually survives in ut/beam_svd: the
+        # per-frequency gram floor AND the global svcut.  sig is sorted
+        # descending per frequency, so the svcut mask is a prefix and
+        # min() composes the two counts exactly.
+        nmodes = jnp.minimum(
+            nmodes, jnp.sum(svmask, axis=-1).astype(nmodes.dtype)
+        )
 
         # --- factored covariance projection + KL pencil ---
         if s_cap and s_cap < S:
@@ -263,10 +273,11 @@ def kl_product_step(
         nmodes=r.nmodes,
         evals=r.evals,
         evecs=mk(r.evecs_re, r.evecs_im),
+        klok=r.klok,
     )
 
 
-def _shardings(mesh, result_cls):
+def _shardings(mesh):
     ax = mesh.axis_names[0]
     shard = NamedSharding(mesh, P(ax))
     repl = NamedSharding(mesh, P())
@@ -282,7 +293,7 @@ def jit_product_step_split(npol: int, nl: int, mesh=None, **kwargs):
     fn = functools.partial(kl_product_step_split, npol=npol, nl=nl, **kwargs)
     if mesh is None:
         return jax.jit(fn)
-    shard, repl = _shardings(mesh, ProductStepResultSplit)
+    shard, repl = _shardings(mesh)
     return jax.jit(
         fn,
         in_shardings=(shard, shard, repl, repl, repl, shard),
@@ -295,13 +306,13 @@ def jit_product_step(npol: int, nl: int, mesh=None, **kwargs):
     fn = functools.partial(kl_product_step, npol=npol, nl=nl, **kwargs)
     if mesh is None:
         return jax.jit(fn)
-    shard, repl = _shardings(mesh, ProductStepResult)
+    shard, repl = _shardings(mesh)
     return jax.jit(
         fn,
         in_shardings=(shard, repl, repl, repl, shard),
         out_shardings=ProductStepResult(
             ut=shard, beam_svd=shard, sig=shard, nmodes=shard, evals=shard,
-            evecs=shard,
+            evecs=shard, klok=shard,
         ),
     )
 
