@@ -317,6 +317,194 @@ def jit_product_step(npol: int, nl: int, mesh=None, **kwargs):
     )
 
 
+def band_factor_table(clbands, out_dtype=np.float32, l_chunk=64,
+                      rank_rtol=1e-15):
+    """Host-side, once per run: factor each band's temperature C_l.
+
+    The quadratic-estimator Fisher needs every band's angular power
+    spectrum projected into the KL basis.  Keeping the band covariances
+    *factored* (C_a,l = L_a,l L_a,l^H per multipole, rank-compacted) lets
+    the device accumulate the projected covariance C_a = (G L_a)(G L_a)^H
+    over l-chunks without ever forming the dense ill-conditioned blocks —
+    the same design as the KL pencil factors (ops/fpencil.py).
+
+    Parameters
+    ----------
+    clbands : iterable of (nl, F, F) real arrays
+        Per-band angular spectra (rows of ``PSEstimation.clarray``); an
+        iterable so callers can stream bands at production scale instead
+        of materialising the full (nbands, nl, F, F) array.
+    l_chunk
+        The device kernel's l-chunk length; the l axis is zero-padded to
+        a multiple of it.
+    rank_rtol
+        Per-block relative eigenvalue cut for the rank compaction
+        (``fpencil.factor_cl``).  Unlike the KL pencil factors — whose
+        near-floor eigenvalues are sensitive to absolute covariance
+        perturbations — the Fisher depends on the band covariances only
+        through retained-mode traces, so a relative cut of ``eps`` biases
+        F_ab by O(eps): cuts up to ~1e-6 are safely inside the 3e-2
+        Fisher tier and directly shrink the table's device footprint.
+
+    Returns
+    -------
+    band_lt : (nbands, nlp, F, Kmax) real array
+        Factor table for :func:`fisher_step_split`; per-band widths are
+        zero-padded to the largest rank-compacted width.
+    """
+    facs = []
+    for c in clbands:
+        c = np.asarray(c, dtype=np.float64)
+        # (1, 1, nl, F, F) -> (nl, 1, F, K): temperature-only band block
+        facs.append(
+            fpencil.factor_cl(
+                c[None, None], out_dtype=out_dtype, rank_rtol=rank_rtol
+            )[:, 0]
+        )
+    if not facs:
+        raise ValueError("no bands given")
+    kmax = max(f.shape[-1] for f in facs)
+    nl, F = facs[0].shape[0], facs[0].shape[1]
+    nlp = ((nl + l_chunk - 1) // l_chunk) * l_chunk
+    out = np.zeros((len(facs), nlp, F, kmax), dtype=out_dtype)
+    for bi, f in enumerate(facs):
+        out[bi, :nl, :, : f.shape[-1]] = f
+    return out
+
+
+def fisher_step_split(
+    evals,
+    evecs_re,
+    evecs_im,
+    beam_re,
+    beam_im,
+    band_lt,
+    ps_threshold: float,
+    fisher_k: int,
+    npol: int,
+    nl: int,
+    s_cap: int = 0,
+    l_chunk: int = 64,
+    f_idx=None,
+):
+    """Per-m Fisher matrices from the product step's KL modes, on device.
+
+    F_ab[m] = sum_ij w_i w_j C_a[i, j] C_b[j, i] with inverse-covariance
+    weights w = 1/(1 + lambda) over the KL modes retained at
+    ``ps_threshold`` — the reference's exact quadratic-estimator Fisher
+    (/root/reference/drift/core/psestimation.py:775-815), restructured so
+    the band covariances stay factored: C_a = (G L_a)(G L_a)^H
+    accumulated over l-chunks, where G is the retained KL modes rotated
+    to the temperature sky basis (the file path's
+    ``psestimation._sky_modes_t``) and L_a the per-l band factors
+    (:func:`band_factor_table`).  Everything is matmuls.
+
+    Parameters
+    ----------
+    evals, evecs_re, evecs_im
+        The product step's KL outputs: (M, n) eigenvalues ascending with
+        exact zeros padding the *front*, and (M, n, n) eigenvector planes
+        with rows = modes aligned to the eigenvalues — so the retained
+        modes are the trailing ``fisher_k`` rows, a contiguous slice (no
+        gather).  The caller must verify (on host, from the fetched
+        spectra) that no m retains more than ``fisher_k`` modes.
+    beam_re, beam_im : (M, F, S, npol*nl)
+        The product step's sky->SVD beams (modes sorted per frequency, so
+        the top-``s_cap`` slice matches the KL pencil's compaction).
+    band_lt : (nbands, nlp, F, K) real
+        Band factor table; ``nlp`` a multiple of ``l_chunk``.
+    ps_threshold
+        KL retention threshold for the estimator (must be > 0: padded
+        batch slots carry exact-zero eigenvalues and must drop out).
+    f_idx : (F_compact,) int, optional
+        Compacted-frequency gather indices (the resident dispatcher's
+        bucketing); applied to the band table on device.  Padding slots
+        need no mask: their beams are zeroed upstream, so G vanishes
+        there and the duplicated factor rows multiply zero.
+
+    Returns
+    -------
+    (fisher_re, fisher_im) : (M, nbands, nbands)
+        Per-m Fisher matrices; sum over m on the host.  Padded m slots
+        (all-zero eigenvalues) contribute exact zeros.
+    """
+    if ps_threshold <= 0:
+        raise ValueError("ps_threshold must be > 0 (padding-slot contract)")
+    dt = beam_re.dtype
+    band_lt = jnp.asarray(band_lt, dtype=dt)
+    if f_idx is not None:
+        band_lt = jnp.take(band_lt, f_idx, axis=2)
+    nbands, nlp = band_lt.shape[0], band_lt.shape[1]
+    if nlp % l_chunk:
+        raise ValueError("band_lt l axis must be a multiple of l_chunk")
+    nchunk = nlp // l_chunk
+
+    def one_m(ev, v_re, v_im, bm_re, bm_im):
+        F, S = bm_re.shape[0], bm_re.shape[1]
+        s_kl = s_cap if (s_cap and s_cap < S) else S
+        n = ev.shape[0]
+        kf = min(fisher_k, n)
+        ev_k = ev[n - kf :]
+        w = jnp.where(
+            ev_k > ps_threshold, 1.0 / (1.0 + ev_k), jnp.zeros((), dt)
+        ).astype(dt)
+        v3 = za.Z(
+            v_re[n - kf :].reshape(kf, F, s_kl),
+            v_im[n - kf :].reshape(kf, F, s_kl),
+        )
+        # temperature rows of the sky->SVD beam, zero-padded to nlp
+        pad = ((0, 0), (0, 0), (0, nlp - nl))
+        bt = za.Z(
+            jnp.pad(bm_re[:, :s_kl].reshape(F, s_kl, npol, nl)[:, :, 0], pad),
+            jnp.pad(bm_im[:, :s_kl].reshape(F, s_kl, npol, nl)[:, :, 0], pad),
+        )
+
+        def body(carry, i):
+            c_re, c_im = carry
+            l0 = i * l_chunk
+            bc = za.Z(
+                jax.lax.dynamic_slice_in_dim(bt.re, l0, l_chunk, axis=2),
+                jax.lax.dynamic_slice_in_dim(bt.im, l0, l_chunk, axis=2),
+            )
+            lt = jax.lax.dynamic_slice_in_dim(band_lt, l0, l_chunk, axis=1)
+            # G[k, f, l] = sum_s V[k, f, s] B[f, s, l] — file-layout rows,
+            # no extra conjugation (matches psestimation._sky_modes_t)
+            g_re = jnp.einsum("kfs,fsl->kfl", v3.re, bc.re) - jnp.einsum(
+                "kfs,fsl->kfl", v3.im, bc.im
+            )
+            g_im = jnp.einsum("kfs,fsl->kfl", v3.re, bc.im) + jnp.einsum(
+                "kfs,fsl->kfl", v3.im, bc.re
+            )
+            # Y[b, l, k, K] = sum_f G[k, f, l] L_b[l, f, K] (L real)
+            y_re = jnp.einsum("kfl,blfK->blkK", g_re, lt)
+            y_im = jnp.einsum("kfl,blfK->blkK", g_im, lt)
+            # C_b += Y Y^H, summing the (l, K) factor axes
+            c_re = (
+                c_re
+                + jnp.einsum("blkK,blqK->bkq", y_re, y_re)
+                + jnp.einsum("blkK,blqK->bkq", y_im, y_im)
+            )
+            c_im = (
+                c_im
+                + jnp.einsum("blkK,blqK->bkq", y_im, y_re)
+                - jnp.einsum("blkK,blqK->bkq", y_re, y_im)
+            )
+            return (c_re, c_im), None
+
+        zero = jnp.zeros((nbands, kf, kf), dt)
+        (c_re, c_im), _ = jax.lax.scan(body, (zero, zero), jnp.arange(nchunk))
+        # F_ab = sum_ij (w_i C_a[i,j] w_j) conj(C_b[i,j])  (C_b Hermitian)
+        d_re = (c_re * w[None, :, None] * w[None, None, :]).reshape(nbands, -1)
+        d_im = (c_im * w[None, :, None] * w[None, None, :]).reshape(nbands, -1)
+        cb_re = c_re.reshape(nbands, -1)
+        cb_im = c_im.reshape(nbands, -1)
+        f_re = d_re @ cb_re.T + d_im @ cb_im.T
+        f_im = d_im @ cb_re.T - d_re @ cb_im.T
+        return f_re, f_im
+
+    return jax.vmap(one_m)(evals, evecs_re, evecs_im, beam_re, beam_im)
+
+
 def btm_forward_step(alm, beam):
     """The m-mode forward model: sky alm -> visibilities for a batch of m.
 

@@ -424,6 +424,104 @@ def _spectrum_batch(
     return res.evals, res.nmodes, res.klok
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "npairs", "nfreq", "nl", "npol", "fg_levels", "sig_levels",
+        "fg_k_cap", "sig_k_cap", "band_rel", "method", "s_cap", "nfreq_full",
+        "kl_cut", "kl_top_k", "kl_levels",
+        "ps_threshold", "fisher_k", "fisher_lchunk",
+    ),
+)
+def _fisher_batch(
+    pos_re,
+    pos_im,
+    neg_re,
+    neg_im,
+    noisew,
+    ls,
+    lf,
+    mv,
+    band_lt,
+    npairs: int,
+    nfreq: int,
+    nl: int,
+    npol: int = 1,
+    fg_levels: int = 8,
+    sig_levels: int = 2,
+    fg_k_cap: int = 0,
+    sig_k_cap: int = 0,
+    band_rel: float = 3e-2,
+    method: str = "qr",
+    s_cap: int = 0,
+    nfreq_full: int = 0,
+    kl_cut: float = 0.0,
+    kl_top_k: int = 0,
+    kl_levels: int = 5,
+    ps_threshold: float = 0.1,
+    fisher_k: int = 128,
+    fisher_lchunk: int = 64,
+    f_idx=None,
+    fmask=None,
+    m_lo=None,
+):
+    """Product batch + per-m quadratic-estimator Fisher in one program.
+
+    Runs the full product step and immediately contracts each m's
+    retained KL modes against the factored band covariances
+    (:func:`mstep.fisher_step_split`) — the KL eigenvectors and SVD
+    beams stay inside the XLA program and never reach the host, exactly
+    like the spectrum pass.  Returns
+    (evals, nmodes, klok, fisher_re, fisher_im); the caller sums the
+    per-m Fisher blocks and must check no m retained more than
+    ``fisher_k`` modes (the kernel's static mode-slice).
+    """
+    res = _resident_batch.__wrapped__(
+        pos_re,
+        pos_im,
+        neg_re,
+        neg_im,
+        noisew,
+        ls,
+        lf,
+        mv,
+        npairs=npairs,
+        nfreq=nfreq,
+        nl=nl,
+        npol=npol,
+        fg_levels=fg_levels,
+        sig_levels=sig_levels,
+        fg_k_cap=fg_k_cap,
+        sig_k_cap=sig_k_cap,
+        band_rel=band_rel,
+        method=method,
+        s_cap=s_cap,
+        nfreq_full=nfreq_full,
+        kl_cut=kl_cut,
+        kl_top_k=kl_top_k,
+        kl_levels=kl_levels,
+        f_idx=f_idx,
+        fmask=fmask,
+        m_lo=m_lo,
+    )
+    f_re, f_im = mstep.fisher_step_split(
+        res.evals,
+        res.evecs_re,
+        res.evecs_im,
+        res.beam_re,
+        res.beam_im,
+        band_lt,
+        ps_threshold=ps_threshold,
+        fisher_k=fisher_k,
+        npol=npol,
+        nl=nl,
+        s_cap=s_cap,
+        l_chunk=fisher_lchunk,
+        f_idx=f_idx,
+    )
+    return res.evals, res.nmodes, res.klok, f_re, f_im
+
+
 # One y-Gram deflation level resolves eigenvalues to ~n*eps(f32) of the
 # top absolutely; with retained modes cut at eval ~0.1 a single level is
 # accurate (rel <~ 1e-3) whenever the batch's top whitened eigenvalue
@@ -435,6 +533,12 @@ _SIG1_TOP_BOUND = 1.0
 # is paid once per shape, not once per dispatch.
 _TB_STATE = {}
 
+# Working Fisher mode-slice width (the static retained-mode cap of the
+# fused product+Fisher kernel), remembered globally: the kernel clamps
+# it to each chunk's pencil dimension, so one monotone value serves
+# every shape while bounding recompiles to the escalation count.
+_FISHER_K = [0]
+
 
 def _run_topband(run, mv, extra, nw, lsd, lfd, n_chunk, kl_cut, exact_levels):
     """One chunk through the top-band KL engine with escalation.
@@ -444,6 +548,9 @@ def _run_topband(run, mv, extra, nw, lsd, lfd, n_chunk, kl_cut, exact_levels):
     certificate redispatches the chunk with (2k, levels+1).  Past
     k = n/2 the filtered engine no longer wins over the exact eigh —
     fall back to it (``exact_levels=None`` keeps its adaptive default).
+
+    Returns (evals, nmodes, fisher) — fisher is None unless the ``run``
+    closure dispatches the fused product+Fisher kernel.
     """
     k, lv = _TB_STATE.get(
         n_chunk, (_quant_frac(max(n_chunk // 8, 8), n_chunk), 5)
@@ -455,13 +562,13 @@ def _run_topband(run, mv, extra, nw, lsd, lfd, n_chunk, kl_cut, exact_levels):
             kl_top_k=int(min(k, n_chunk)),
             kl_levels=int(lv),
         )
-        ev, nmo, okf = run(mv, 1, kw, nw, lsd, lfd)
+        ev, nmo, okf, fish = run(mv, 1, kw, nw, lsd, lfd)
         if bool(np.asarray(okf).all()):
             _TB_STATE[n_chunk] = (k, lv)
-            return np.asarray(ev), nmo
+            return np.asarray(ev), nmo, fish
         k, lv = 2 * k, lv + 1
-    ev, nmo, _ = run(mv, exact_levels, extra, nw, lsd, lfd)
-    return np.asarray(ev), nmo
+    ev, nmo, _, fish = run(mv, exact_levels, extra, nw, lsd, lfd)
+    return np.asarray(ev), nmo, fish
 
 
 def _auto_mbatch(tel, hbm_budget_gb=4.0):
@@ -558,6 +665,7 @@ def product_all_resident(
     tel, pos, neg, ls, lf, noisew, mbatch=None, max_m=None, mesh=None,
     sig_k_cap=0, sig_levels=None, bucket=None, m_range=None,
     topband=False, kl_cut=0.1,
+    band_lt=None, ps_threshold=0.1, fisher_k=None, fisher_lchunk=64,
 ):
     """Run the SVD+KL product step over every m from resident BTMs.
 
@@ -607,6 +715,17 @@ def product_all_resident(
     more deflation level), falling back to the exact engine at
     basis width n/2.  The working (k, levels) is remembered per chunk
     shape across windows.
+
+    ``band_lt`` (a factor table from :func:`mstep.band_factor_table`)
+    additionally computes the quadratic-estimator Fisher matrix in the
+    same fused dispatch — the Fisher phase of the pipeline
+    (/root/reference/drift/core/psestimation.py:463-512) without the KL
+    eigenvectors ever leaving the device.  ``ps_threshold`` is the
+    estimator's KL retention cut (> 0); ``fisher_k`` the initial static
+    retained-mode cap (auto-escalated ×2, remembered across windows,
+    whenever a chunk's spectrum retains more modes).  The return gains a
+    third element: the (nbands, nbands) complex Fisher summed over the
+    window's m-modes.
     """
     if m_range is not None:
         m_lo, m_hi = int(m_range[0]), int(m_range[1])
@@ -669,27 +788,45 @@ def product_all_resident(
 
     adaptive = sig_levels is None
 
+    fisher = band_lt is not None
+    if fisher:
+        if float(ps_threshold) <= 0:
+            raise ValueError("ps_threshold must be > 0 for the Fisher pass")
+        band_dev = jnp.asarray(band_lt, dtype=dt)
+        if _FISHER_K[0] == 0:
+            _FISHER_K[0] = int(fisher_k) if fisher_k else max(
+                32, _quant_frac(F * S // 8, F * S)
+            )
+        elif fisher_k:
+            _FISHER_K[0] = max(_FISHER_K[0], int(fisher_k))
+
     def run(mv, levels, extra=None, nw=noisew, lsd=ls, lfd=lf):
         kwargs = {} if levels is None else {"sig_levels": levels}
         if extra:
             kwargs.update(extra)
-        return _spectrum_batch(
-            pos.re,
-            pos.im,
-            neg.re,
-            neg.im,
-            nw,
-            lsd,
-            lfd,
-            place_mv(mv),
+        common = dict(
             npairs=tel.npairs,
             nfreq=kwargs.pop("nfreq", F),
             nl=nl,
             npol=npol,
             sig_k_cap=sig_k_cap,
             m_lo=m_static,
-            **kwargs,
         )
+        if not fisher:
+            ev, nmo, okf = _spectrum_batch(
+                pos.re, pos.im, neg.re, neg.im, nw, lsd, lfd,
+                place_mv(mv), **common, **kwargs,
+            )
+            return ev, nmo, okf, None
+        ev, nmo, okf, f_re, f_im = _fisher_batch(
+            pos.re, pos.im, neg.re, neg.im, nw, lsd, lfd,
+            place_mv(mv), band_dev,
+            ps_threshold=float(ps_threshold),
+            fisher_k=int(_FISHER_K[0]),
+            fisher_lchunk=int(fisher_lchunk),
+            **common, **kwargs,
+        )
+        return ev, nmo, okf, (f_re, f_im)
 
     # ---- sizing pass: true per-(m, freq) mode counts ----
     counts = None
@@ -708,6 +845,11 @@ def product_all_resident(
         counts = np.concatenate(rows)  # (nm, F) int, row i <-> m_lo + i
 
     evals, nmodes = [], []
+    fish_total = (
+        np.zeros((np.asarray(band_lt).shape[0],) * 2, np.complex128)
+        if fisher
+        else None
+    )
     s = 0
     while s < nm:
         if counts is not None:
@@ -764,17 +906,36 @@ def product_all_resident(
 
         mv = np.full(mb, -1, np.int32)
         mv[: len(ms)] = ms
-        if topband:
-            ev, nmo = _run_topband(
-                run, mv, extra, nw, lsd, lfd, fq * sq, kl_cut,
-                None if adaptive else sig_levels,
-            )
-        else:
-            ev, nmo, _ = run(mv, 1 if adaptive else sig_levels, extra, nw, lsd, lfd)
-            ev = np.asarray(ev)
-            if adaptive and ev.max() > _SIG1_TOP_BOUND:
-                ev, nmo, _ = run(mv, None, extra, nw, lsd, lfd)  # deepen
+        while True:
+            if topband:
+                ev, nmo, fish = _run_topband(
+                    run, mv, extra, nw, lsd, lfd, fq * sq, kl_cut,
+                    None if adaptive else sig_levels,
+                )
+            else:
+                ev, nmo, _, fish = run(
+                    mv, 1 if adaptive else sig_levels, extra, nw, lsd, lfd
+                )
                 ev = np.asarray(ev)
+                if adaptive and ev.max() > _SIG1_TOP_BOUND:
+                    ev, nmo, _, fish = run(mv, None, extra, nw, lsd, lfd)
+                    ev = np.asarray(ev)
+            if not fisher:
+                break
+            # the kernel's mode slice is static: if any m retained more
+            # modes than it, escalate (remembered) and redo the chunk
+            retained = int(
+                (np.asarray(ev)[: len(ms)] > ps_threshold).sum(axis=1).max()
+            )
+            if retained <= min(_FISHER_K[0], fq * sq) or _FISHER_K[0] >= fq * sq:
+                break
+            _FISHER_K[0] = 2 * _FISHER_K[0]
+        if fisher:
+            f_re, f_im = fish
+            fish_total += (
+                np.asarray(f_re)[: len(ms)].sum(axis=0)
+                + 1j * np.asarray(f_im)[: len(ms)].sum(axis=0)
+            )
         ev = ev[: len(ms)]
         nmo = np.asarray(nmo)[: len(ms)]
 
@@ -790,4 +951,6 @@ def product_all_resident(
         evals.append(ev)
         nmodes.append(nmo)
         s += mb
+    if fisher:
+        return np.concatenate(evals), np.concatenate(nmodes), fish_total
     return np.concatenate(evals), np.concatenate(nmodes)

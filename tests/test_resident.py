@@ -392,12 +392,12 @@ def test_run_topband_escalation_ladder():
         k = (kw or {}).get("kl_top_k")
         calls.append((k, (kw or {}).get("kl_levels"), sig_levels))
         ok = np.asarray([k is not None and k >= 2 * k0])
-        return ev, nmo, ok
+        return ev, nmo, ok, None
 
     saved = dict(resident._TB_STATE)
     resident._TB_STATE.clear()
     try:
-        out, _ = resident._run_topband(
+        out, _, _ = resident._run_topband(
             run_ok_second, None, {}, None, None, None, n, 0.1, None
         )
         np.testing.assert_array_equal(out, ev)
@@ -417,10 +417,10 @@ def test_run_topband_escalation_ladder():
         def run_never_ok(mv, sig_levels, kw, nw, lsd, lfd):
             calls.append(((kw or {}).get("kl_top_k"), sig_levels))
             return ev, nmo, np.asarray([kw is not None and "kl_top_k" in kw
-                                        and False])
+                                        and False]), None
         calls.clear()
         resident._TB_STATE.clear()
-        out, _ = resident._run_topband(
+        out, _, _ = resident._run_topband(
             run_never_ok, None, {"x": 1}, None, None, None, n, 0.1, 2
         )
         np.testing.assert_array_equal(out, ev)
