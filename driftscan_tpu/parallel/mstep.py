@@ -21,6 +21,7 @@ the dense ill-conditioned matrix — the key to f32/TPU numerical safety
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -372,6 +373,17 @@ def band_factor_table(clbands, out_dtype=np.float32, l_chunk=64,
     return out
 
 
+# Matmul precision of the Fisher contraction einsums.  The Fisher tier
+# is rel 3e-2 (BASELINE.md) and the contraction is a plain quadratic
+# form — no deflation, no cancellation across decades — so bf16x3
+# ("high", eps ~ 5e-7 per pass with f32 accumulation across l-chunks)
+# is far inside the tier at half the MXU passes of the library's
+# "highest" default.  None inherits the global default; module state
+# (read at trace time) so an on-chip A/B can flip it like the topband
+# filter switch (fpencil._FILTER_PRECISION).
+_FISHER_PRECISION = os.environ.get("DRIFTSCAN_TPU_FISHER_PRECISION") or None
+
+
 def fisher_step_split(
     evals,
     evecs_re,
@@ -459,6 +471,9 @@ def fisher_step_split(
             jnp.pad(bm_im[:, :s_kl].reshape(F, s_kl, npol, nl)[:, :, 0], pad),
         )
 
+        prec = _FISHER_PRECISION
+        ein = functools.partial(jnp.einsum, precision=prec)
+
         def body(carry, i):
             c_re, c_im = carry
             l0 = i * l_chunk
@@ -469,25 +484,25 @@ def fisher_step_split(
             lt = jax.lax.dynamic_slice_in_dim(band_lt, l0, l_chunk, axis=1)
             # G[k, f, l] = sum_s V[k, f, s] B[f, s, l] — file-layout rows,
             # no extra conjugation (matches psestimation._sky_modes_t)
-            g_re = jnp.einsum("kfs,fsl->kfl", v3.re, bc.re) - jnp.einsum(
+            g_re = ein("kfs,fsl->kfl", v3.re, bc.re) - ein(
                 "kfs,fsl->kfl", v3.im, bc.im
             )
-            g_im = jnp.einsum("kfs,fsl->kfl", v3.re, bc.im) + jnp.einsum(
+            g_im = ein("kfs,fsl->kfl", v3.re, bc.im) + ein(
                 "kfs,fsl->kfl", v3.im, bc.re
             )
             # Y[b, l, k, K] = sum_f G[k, f, l] L_b[l, f, K] (L real)
-            y_re = jnp.einsum("kfl,blfK->blkK", g_re, lt)
-            y_im = jnp.einsum("kfl,blfK->blkK", g_im, lt)
+            y_re = ein("kfl,blfK->blkK", g_re, lt)
+            y_im = ein("kfl,blfK->blkK", g_im, lt)
             # C_b += Y Y^H, summing the (l, K) factor axes
             c_re = (
                 c_re
-                + jnp.einsum("blkK,blqK->bkq", y_re, y_re)
-                + jnp.einsum("blkK,blqK->bkq", y_im, y_im)
+                + ein("blkK,blqK->bkq", y_re, y_re)
+                + ein("blkK,blqK->bkq", y_im, y_im)
             )
             c_im = (
                 c_im
-                + jnp.einsum("blkK,blqK->bkq", y_im, y_re)
-                - jnp.einsum("blkK,blqK->bkq", y_re, y_im)
+                + ein("blkK,blqK->bkq", y_im, y_re)
+                - ein("blkK,blqK->bkq", y_re, y_im)
             )
             return (c_re, c_im), None
 

@@ -1,9 +1,13 @@
 """North-star run: 256 freqs x mmax ~1000, polarised cylinder (BASELINE.md).
 
-Full BTM + SVD + KL product generation on one chip, device-resident,
-with the bucketed dispatcher compacting the high-m pencils (the 400-800
-MHz band thins linearly in frequency above m ~ 503).  Logs per-phase
-wall-clock and writes a JSON record for the design doc.
+Full BTM + SVD + KL + Fisher product generation on one chip,
+device-resident, with the bucketed dispatcher compacting the high-m
+pencils (the 400-800 MHz band thins linearly in frequency above
+m ~ 503).  The Fisher phase is fused into the product dispatch
+(resident Fisher, factored band covariances); the band factor table is
+cached at /tmp/ns_band_lt.npz (scratch/ns_bands_probe.py NS_BANDS_ALL=1
+builds it host-side).  Logs per-phase wall-clock and writes a JSON
+record for the design doc.
 """
 import json, os, sys, time
 sys.path.insert(0, "/root/repo")
@@ -95,6 +99,54 @@ _sp = None if SMOKE else bench.resolve_sht_precision()
 rec["sht_precision"] = _sp or "highest"
 log(f"SHT matmul precision: {rec['sht_precision']}")
 
+# Fisher phase (BASELINE.md north star includes it): fused into the
+# product dispatch via the factored band covariances.  NS_FISHER=0
+# disables; a missing/unbuildable band table degrades to fisher-off
+# rather than losing the headline run.
+NS_FISHER = os.environ.get("NS_FISHER", "1") == "1"
+band_lt = None
+if NS_FISHER:
+    _blt_cache = "/tmp/ns_smoke_band_lt.npz" if SMOKE else "/tmp/ns_band_lt.npz"
+    try:
+        if os.path.exists(_blt_cache):
+            band_lt = np.load(_blt_cache)["band_lt"]
+        else:
+            from driftscan_tpu.core import psestimation, skymodel
+
+            st = time.time()
+            nb = 3 if SMOKE else 10
+            edges_k = np.linspace(0.0, 0.4, nb + 1)
+            cr = skymodel.Corr21cm()
+            cr.ps_2d = False
+
+            def _band_cls():
+                for ks, ke in zip(edges_k[:-1], edges_k[1:]):
+                    bf = psestimation.bandfunc_2d_polar(ks, ke, 0.0, np.pi / 2)
+                    crt = skymodel.Corr21cm(
+                        ps=(lambda k, mu, f=bf: cr.ps_vv(k) * f(k, mu)),
+                        redshift=1.5,
+                    )
+                    crt.ps_2d = True
+                    yield skymodel.im21cm_model(
+                        tel.lmax, tel.frequencies, tel.num_pol_sky,
+                        cr=crt, temponly=True,
+                    )
+
+            band_lt = mstep.band_factor_table(
+                _band_cls(), out_dtype=np.float32, rank_rtol=1e-9
+            )
+            np.savez(_blt_cache, band_lt=band_lt, k_edges=edges_k)
+            log(f"band factor table built {time.time()-st:.1f}s")
+    except Exception as exc:  # pragma: no cover - defensive for the run
+        log(f"fisher band table unavailable ({exc!r}); fisher disabled")
+        band_lt = None
+        NS_FISHER = False
+rec["fisher"] = bool(NS_FISHER and band_lt is not None)
+if band_lt is not None:
+    rec["fisher_bands"] = int(band_lt.shape[0])
+    log(f"fisher: {band_lt.shape[0]} bands, table "
+        f"{band_lt.nbytes/2**20:.0f} MiB {band_lt.shape}")
+
 # The full (l, m) tables are 66 GB here (nu*npol*nl*nm, 4 f32 planes) —
 # over the 15.75 GB HBM — so the run streams m-windows: each window's
 # BTM costs its share of the SHT (the m-chunk scan just starts at m0)
@@ -108,20 +160,26 @@ evs, nmods = [], []
 # tens of minutes on any client death) must not cost completed windows
 _ckpt_dir = "/tmp/ns_smoke_windows" if SMOKE else "/tmp/ns_windows"
 os.makedirs(_ckpt_dir, exist_ok=True)
+fish_total = (
+    np.zeros((band_lt.shape[0],) * 2, np.complex128) if rec["fisher"] else None
+)
 for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
     ck = (f"{_ckpt_dir}/w{wi:02d}_{m0}_{m1}_{rec['engine']}"
-          f"_{rec['sht_precision']}.npz")
+          f"_{rec['sht_precision']}_f{int(rec['fisher'])}.npz")
     if os.path.exists(ck):
         try:
             z = np.load(ck)
             ev_r, nmo_r = z["ev"], z["nmo"]
             tb_r, tp_r = float(z["tb"]), float(z["tp"])
+            fish_r = z["fish"] if rec["fisher"] else None
         except Exception as exc:  # corrupt/partial file: recompute
             log(f"window {wi+1}/{W}: bad checkpoint ({exc!r}); recomputing")
             os.unlink(ck)
         else:
             evs.append(ev_r); nmods.append(nmo_r)
             t_btm += tb_r; t_prod += tp_r
+            if fish_r is not None:
+                fish_total += fish_r
             log(f"window {wi+1}/{W} m=[{m0},{m1}): restored from checkpoint")
             continue
     st = time.time()
@@ -133,10 +191,19 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
     sht.clear_legendre_cache()
     t_btm += tb
     st = time.time()
-    ev, nmo = resident.product_all_resident(
-        tel, pos, neg, ls, lf, noisew, bucket=True, m_range=(int(m0), int(m1)),
-        topband=NS_TOPBAND, kl_cut=0.1,
+    fkw = (
+        dict(band_lt=band_lt, ps_threshold=0.1) if rec["fisher"] else {}
     )
+    out = resident.product_all_resident(
+        tel, pos, neg, ls, lf, noisew, bucket=True, m_range=(int(m0), int(m1)),
+        topband=NS_TOPBAND, kl_cut=0.1, **fkw,
+    )
+    if rec["fisher"]:
+        ev, nmo, fish = out
+        fish_total += fish
+    else:
+        ev, nmo = out
+        fish = None
     tp = time.time() - st
     t_prod += tp
     del pos, neg
@@ -144,7 +211,8 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
     nmods.append(nmo)
     # write-then-rename: a SIGINT (bench preemption) mid-write must not
     # leave a partial npz that poisons every later resume
-    np.savez(ck + ".tmp.npz", ev=ev, nmo=nmo, tb=tb, tp=tp)
+    extra_ck = {"fish": fish} if fish is not None else {}
+    np.savez(ck + ".tmp.npz", ev=ev, nmo=nmo, tb=tb, tp=tp, **extra_ck)
     os.replace(ck + ".tmp.npz", ck)
     log(f"window {wi+1}/{W} m=[{m0},{m1}): btm {tb:.1f}s product {tp:.1f}s")
 evals = np.concatenate(evs)
@@ -159,6 +227,15 @@ if NS_TOPBAND:
     # converged (basis width, levels) per pencil dimension — records how
     # hard the certificate had to escalate at north-star conditioning
     rec["topband_state"] = {str(k): list(v) for k, v in resident._TB_STATE.items()}
+if fish_total is not None:
+    rec["fisher_finite"] = bool(np.isfinite(fish_total).all())
+    rec["fisher_k"] = int(resident._FISHER_K[0])
+    rec["fisher_diag"] = [float(x) for x in np.real(np.diag(fish_total))]
+    _fish_path = ("/tmp/ns_smoke_fisher.npz" if SMOKE
+                  else "/root/repo/doc/northstar_fisher.npz")
+    np.savez(_fish_path, fisher=fish_total)
+    log(f"fisher saved to {_fish_path}; diag head "
+        f"{np.real(np.diag(fish_total))[:3]}")
 log(f"TOTAL: btm {t_btm:.1f}s product {t_prod:.1f}s; rate "
     f"{rec['rate_m_per_s']} m/s; finite={rec['finite']} "
     f"max_eval={rec['max_eval']:.3g} retained={rec['retained_modes']}")

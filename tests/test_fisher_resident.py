@@ -167,6 +167,70 @@ def test_fisher_step_mode_slice():
     )
 
 
+def test_fisher_step_compacted_frequencies():
+    """The bucketed dispatcher's f_idx band-table gather is exact.
+
+    Emulates a compacted chunk: the full problem has 3 frequencies but
+    the chunk's active set is {0, 2} with one duplicated padding slot
+    whose beams are zeroed (the dispatcher's fmask) — the Fisher must
+    equal the same computation with the band table pre-gathered on the
+    host and no padding slot.
+    """
+    rng = np.random.default_rng(3)
+    M, Ff, T, npol, nl = 2, 3, 5, 1, 6
+    act = np.array([0, 2])
+    beam_c = rng.standard_normal((M, 3, T, nl)) + 1j * rng.standard_normal(
+        (M, 3, T, nl)
+    )
+    beam_c[:, 1] = 0.0  # slot 1 is the zeroed padding duplicate
+    noisew = np.ones((3, T))
+    a = rng.standard_normal((nl, 3, 2))
+    cl_s = np.einsum("lfk,lgk->lfg", a, a)[None, None] * 5.0
+    cl_f = np.eye(3)[None, None, None] * np.ones((nl, 1, 1)) * 1e-3
+    # compact the covariance tables to the chunk layout (slot 1 = dup of 2)
+    f_idx = np.array([0, 2, 2], np.int32)
+    ls, lf = mstep.prepare_cl_factors(
+        cl_s[:, :, :, f_idx][:, :, :, :, f_idx],
+        cl_f[:, :, :, f_idx][:, :, :, :, f_idx],
+        out_dtype=np.float64,
+    )
+    mv = np.array([1, 2], np.int32)
+    res = mstep.kl_product_step_split(
+        np.ascontiguousarray(beam_c.real),
+        np.ascontiguousarray(beam_c.imag),
+        noisew,
+        ls,
+        lf,
+        mv,
+        npol=npol,
+        nl=nl,
+    )
+    # full-F band table, gathered on device via f_idx
+    clb_full = [np.einsum("lfk,lgk->lfg",
+                          rng.standard_normal((nl, Ff, 2)),
+                          rng.standard_normal((nl, Ff, 2)))
+                for _ in range(2)]
+    clb_full = [0.5 * (c + c.transpose(0, 2, 1)) + 3 * np.eye(Ff)[None]
+                for c in clb_full]
+    band_full = mstep.band_factor_table(clb_full, out_dtype=np.float64)
+    got = mstep.fisher_step_split(
+        res.evals, res.evecs_re, res.evecs_im, res.beam_re, res.beam_im,
+        band_full, ps_threshold=0.05, fisher_k=3 * T, npol=npol, nl=nl,
+        f_idx=np.asarray(f_idx),
+    )
+    # same thing with the gather done on the host
+    band_pre = band_full[:, :, f_idx]
+    want = mstep.fisher_step_split(
+        res.evals, res.evecs_re, res.evecs_im, res.beam_re, res.beam_im,
+        band_pre, ps_threshold=0.05, fisher_k=3 * T, npol=npol, nl=nl,
+    )
+    assert np.abs(np.asarray(want[0])).max() > 0
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               rtol=1e-12, atol=1e-14)
+
+
 # ---------------------------------------------------------------------
 # end to end vs the file pipeline
 # ---------------------------------------------------------------------
