@@ -410,7 +410,11 @@ def fisher_phase(tel, pos, neg, ls, lf, noisew, nbands=4, nm_fisher=None):
     nm = tel.mmax + 1
     mbatch = min(4, resident._auto_mbatch(tel))
     if nm_fisher is None:
-        nm_fisher = min(nm, 4 * mbatch)
+        # Full m coverage by default: the north-star metric is
+        # BTM+SVD+KL+Fisher (BASELINE.md:32-34), so the Fisher wall must
+        # be a measurement, not an extrapolation.  BENCH_FISHER_M caps
+        # it for quick runs.
+        nm_fisher = int(os.environ.get("BENCH_FISHER_M", "0")) or nm
 
     clb = jnp.asarray(_fisher_bands(tel, nbands))  # (B, L, F, F)
     dt = pos.re.dtype
@@ -581,25 +585,31 @@ def _acquire_device(timeout_s: float = 600.0) -> bool:
 def _device_answers(timeout_s: float = 420.0) -> bool:
     """True iff the accelerator answers a tiny matmul within the timeout.
 
-    The axon tunnel can wedge for hours after any client death; a probe
-    in a daemon thread never holds a claim, so a hung backend init can't
-    hang the bench — it reports honestly instead (the driver records
-    the JSON line either way).
+    The axon tunnel can wedge for hours after any client death.  The
+    probe runs in a SEPARATE process (not a thread): round 2's rc=134
+    was a daemon thread left blocked inside a wedged TPU client, which
+    aborted the parent interpreter at teardown ("FATAL: exception not
+    rethrown") *after* the honest failure JSON had printed.  A child
+    process can be SIGKILLed without touching the parent, which has not
+    initialised any backend yet on this path.
     """
-    import threading
+    import subprocess
 
-    ok = []
-
-    def work():
-        import jax.numpy as jnp
-
-        x = jnp.ones((64, 64), jnp.float32)
-        ok.append(float(np.asarray((x @ x).sum())))
-
-    t = threading.Thread(target=work, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok)
+    code = (
+        "import jax.numpy as jnp, numpy as np;"
+        "x = jnp.ones((64, 64), jnp.float32);"
+        "print(float(np.asarray((x @ x).sum())))"
+    )
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return res.returncode == 0 and res.stdout.strip() != ""
 
 
 def _last_known_good():
@@ -613,9 +623,15 @@ def _last_known_good():
         try:
             with open(path) as f:
                 rec = json.load(f)
-            if rec.get("value"):
-                best = f"{os.path.basename(path)}: {rec['value']} {rec.get('unit', '')}"
-        except (OSError, ValueError):
+            # The driver nests the bench's JSON line under "parsed"
+            # (see BENCH_r01.json); accept a bare record too.
+            inner = rec.get("parsed", rec) or {}
+            if inner.get("value"):
+                best = (
+                    f"{os.path.basename(path)}: "
+                    f"{inner['value']} {inner.get('unit', '')}"
+                )
+        except (OSError, ValueError, AttributeError):
             continue
     return best or "none recorded"
 
@@ -665,13 +681,20 @@ def main():
     total = t_btm + t_prod
     mm_per_sec = nm / total
 
-    # Fisher leg (device band projection + pair traces on a subset of m)
+    # Fisher leg (device band projection + pair traces, all m by default).
+    # Second headline: m/s over ALL FOUR phases (BTM+SVD+KL+Fisher), the
+    # BASELINE.md north-star metric.  Kept separate from the primary so
+    # round-to-round comparability of `value` is preserved.
     fisher_m_per_s = None
+    with_fisher = None
+    t_f = None
     try:
         pos, neg, ls, lf, noisew = state
         t_f, nm_f = fisher_phase(tel, pos, neg, ls, lf, noisew)
         fisher_m_per_s = nm_f / t_f
         _log(f"fisher phase: {t_f:.1f}s for {nm_f} m -> {fisher_m_per_s:.2f} m/s")
+        if nm_f >= nm:
+            with_fisher = nm / (t_btm + t_prod + t_f)
     except Exception as exc:  # diagnostic leg, never fails the bench
         _log(f"fisher leg failed: {exc!r}")
     del state
@@ -758,6 +781,12 @@ def main():
             **(
                 {"fisher_m_per_s": round(fisher_m_per_s, 2)}
                 if fisher_m_per_s
+                else {}
+            ),
+            **({"t_fisher_s": round(t_f, 2)} if t_f else {}),
+            **(
+                {"m_per_s_with_fisher": round(with_fisher, 3)}
+                if with_fisher
                 else {}
             ),
             # compile/warm-up split (cold unless the persistent

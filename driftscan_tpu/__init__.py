@@ -37,3 +37,16 @@ jax.config.update(
 )
 
 __version__ = "0.1.0"
+
+# Register the native bitshuffle+LZ4 HDF5 filter plugin on import: any
+# process that merely *reads* compressed products (downstream consumers,
+# test parents) needs the filter on HDF5's plugin path, not only the
+# writers (the reference has the same requirement through the bitshuffle
+# package, drift/core/beamtransfer.py:26-32).  Best-effort: absence of
+# the built plugin only disables the codec, never the import.
+try:
+    from .ops import bitshuffle as _bitshuffle
+
+    _bitshuffle.register()
+except Exception:  # pragma: no cover - never block package import
+    pass

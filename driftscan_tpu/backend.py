@@ -22,18 +22,98 @@ import jax
 
 _COMPLEX_OK_PLATFORMS = {"cpu", "gpu", "cuda", "rocm"}
 
+# Backend-init failure is cached for a short TTL only: a probe made while
+# the accelerator is unreachable must not pin CPU semantics for the whole
+# process (the device may come back; jax retries init on the next call).
+_PLATFORM_FAIL_TTL_S = 60.0
+_platform_fail_until = 0.0
+
 
 @lru_cache(maxsize=1)
-def split_complex() -> bool:
+def _cached_platform() -> str:
+    # raises on init failure — lru_cache does not cache exceptions, so
+    # only a *successful* probe is remembered
+    return jax.default_backend()
+
+
+def backend_platform():
+    """Default backend platform, or None when backend init fails.
+
+    Capability probes must FAIL SOFT: pure host work (covariance builds,
+    factor caches) calls them only to pick dtypes/paths, and a dead
+    accelerator tunnel must not abort it (round 2 lost six north-star
+    attempts to exactly this — skymodel.py probing ``device_f32_only``
+    raised UNAVAILABLE out of host-only math).  Callers get None and
+    should assume CPU semantics; the answer is un-cached so the probe
+    recovers once the device appears.
+    """
+    global _platform_fail_until
+    import time
+
+    if time.time() < _platform_fail_until:
+        return None
+    try:
+        return _cached_platform()
+    except Exception:
+        _platform_fail_until = time.time() + _PLATFORM_FAIL_TTL_S
+        return None
+
+
+def device_available() -> bool:
+    """True iff the default backend initialised (fail-soft, TTL-cached).
+
+    Host-only stages use this to route one-off builds to host BLAS when
+    the accelerator is unreachable, instead of crashing on a jnp call.
+    """
+    return backend_platform() is not None
+
+
+def _soft_cached(fn):
+    """Cache ``fn()`` only once the backend platform is known.
+
+    Keeps the ``cache_clear()`` API of the lru_cache originals.  While
+    the backend is unreachable the value is recomputed every call (env
+    overrides still apply), so nothing wrong gets pinned.
+    """
+    cache = {}
+
+    def wrapper():
+        if "v" in cache:
+            return cache["v"]
+        val, cacheable = fn()
+        if cacheable:
+            cache["v"] = val
+        return val
+
+    def cache_clear():
+        cache.clear()
+        # _cached_platform may be monkeypatched to a bare function in tests
+        clear = getattr(_cached_platform, "cache_clear", None)
+        if clear is not None:
+            clear()
+        global _platform_fail_until
+        _platform_fail_until = 0.0
+
+    wrapper.cache_clear = cache_clear
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
+@_soft_cached
+def split_complex():
     """True if the hot paths should use the split-complex implementation."""
     env = os.environ.get("DRIFTSCAN_TPU_SPLIT_COMPLEX")
     if env is not None:
-        return env not in ("0", "false", "False")
-    return jax.default_backend() not in _COMPLEX_OK_PLATFORMS
+        return env not in ("0", "false", "False"), True
+    plat = backend_platform()
+    if plat is None:
+        return False, False  # CPU semantics while the device is absent
+    return plat not in _COMPLEX_OK_PLATFORMS, True
 
 
-@lru_cache(maxsize=1)
-def device_f32_only() -> bool:
+@_soft_cached
+def device_f32_only():
     """True if device math should be forced to f32 planes.
 
     On runtimes that emulate f64 as a float32 pair, fused f64 programs
@@ -44,8 +124,11 @@ def device_f32_only() -> bool:
     """
     env = os.environ.get("DRIFTSCAN_TPU_DEVICE_F64")
     if env is not None:
-        return env in ("0", "false", "False")
-    return split_complex()
+        return env in ("0", "false", "False"), True
+    plat = backend_platform()
+    if plat is None:
+        return False, False
+    return plat not in _COMPLEX_OK_PLATFORMS, True
 
 
 def device_real(x):
@@ -58,13 +141,16 @@ def device_real(x):
     return x
 
 
-@lru_cache(maxsize=1)
-def has_device_fft() -> bool:
+@_soft_cached
+def has_device_fft():
     """True if the default backend implements FFT (complex-capable)."""
     env = os.environ.get("DRIFTSCAN_TPU_DEVICE_FFT")
     if env is not None:
-        return env not in ("0", "false", "False")
-    return jax.default_backend() in _COMPLEX_OK_PLATFORMS
+        return env not in ("0", "false", "False"), True
+    plat = backend_platform()
+    if plat is None:
+        return True, False  # CPU semantics (numpy FFT path works host-side)
+    return plat in _COMPLEX_OK_PLATFORMS, True
 
 
 # Largest transform length served by the matmul DFT on complex-free
@@ -119,6 +205,11 @@ def _matmul_dft(x, axis: int, inverse: bool):
 
 def _fft_impl(x, axis: int, inverse: bool):
     import numpy as np
+
+    if backend_platform() is None:
+        # accelerator unreachable: host numpy keeps host-only prep alive
+        op = np.fft.ifft if inverse else np.fft.fft
+        return op(np.asarray(x), axis=axis)
 
     if has_device_fft():
         import jax.numpy as jnp

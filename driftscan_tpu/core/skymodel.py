@@ -273,7 +273,7 @@ class Corr21cm:
 
         from .. import backend
 
-        if backend.device_f32_only():
+        if backend.device_f32_only() or not backend.device_available():
             # Remote-attached f32-pair accelerators: the f64 quadrature
             # matmul would ship ~(nk x nf^2) * 8 bytes each way over the
             # slow host link and run as emulated dd-f64; host BLAS dgemm

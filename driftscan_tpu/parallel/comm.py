@@ -152,13 +152,30 @@ def parallel_map(func: Callable, lst: Sequence) -> List:
         return [v for _, v in local]
 
     # pragma: no cover - requires multi-host run
-    if not local:
-        raise RuntimeError(
-            "parallel_map with more processes than items is not supported "
-            "multi-process (cannot infer the result shape)"
-        )
-    proto = np.asarray(local[0][1])
-    full = np.zeros((len(lst),) + proto.shape, dtype=proto.dtype)
+    if not lst:
+        return []
+    # Spare processes (size > len(lst)) idle instead of aborting, matching
+    # caput's parallel_map semantics: round-robin puts item 0 on process 0,
+    # which shares the result shape/dtype through a fixed-size metadata
+    # allreduce (structure-uniform, so idle processes can participate
+    # without holding any item).
+    _MAXD = 5
+    meta = np.zeros(3 + _MAXD, dtype=np.int64)
+    if rank() == 0:
+        p0 = np.asarray(local[0][1])
+        if p0.ndim > _MAXD:
+            raise ValueError(
+                f"parallel_map results limited to {_MAXD} dims, got {p0.ndim}"
+            )
+        meta[0] = p0.ndim
+        meta[1] = ord(p0.dtype.kind)
+        meta[2] = p0.dtype.itemsize
+        meta[3 : 3 + p0.ndim] = p0.shape
+    meta = np.asarray(allreduce(meta))
+    ndim = int(meta[0])
+    proto_shape = tuple(int(x) for x in meta[3 : 3 + ndim])
+    proto_dtype = np.dtype(f"{chr(int(meta[1]))}{int(meta[2])}")
+    full = np.zeros((len(lst),) + proto_shape, dtype=proto_dtype)
     for i, v in local:
         full[i] = v
     full = allreduce(full)

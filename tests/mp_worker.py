@@ -50,6 +50,13 @@ def main():
         comm.parallel_map(lambda x: np.array([x * 2.0, x + 0.5]), list(range(5)))
     )
 
+    # over-partition: more processes than items must idle the spares, not
+    # abort (caput semantics; reference drift/pipeline/timestream.py:246
+    # calls this with m-lists that can be shorter than the comm size)
+    out["pmap_short"] = np.asarray(
+        comm.parallel_map(lambda x: np.array([x + 1.0]), [41.0])
+    )
+
     # collect_m_arrays through the kltransform wrapper
     from driftscan_tpu.core import kltransform
 

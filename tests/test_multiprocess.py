@@ -75,6 +75,12 @@ def test_parallel_map_full_everywhere(worker_results):
         np.testing.assert_allclose(res["pmap"], want)
 
 
+def test_parallel_map_more_processes_than_items(worker_results):
+    """Spare processes idle (caput semantics) instead of raising."""
+    for res in worker_results:
+        np.testing.assert_allclose(res["pmap_short"], [[42.0]])
+
+
 def test_collect_m_array(worker_results):
     want = np.repeat(np.arange(6.0)[:, None], 3, axis=1)
     for res in worker_results:

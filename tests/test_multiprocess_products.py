@@ -18,6 +18,11 @@ import h5py
 import numpy as np
 import pytest
 
+# The parent reads bitshuffle+LZ4-compressed products the workers wrote:
+# importing driftscan_tpu registers the native filter plugin with HDF5
+# (the documented consumer requirement, ops/bitshuffle.py:28-35).
+import driftscan_tpu  # noqa: F401
+
 NPROC = 2
 
 CONFIG = """
@@ -143,6 +148,20 @@ def test_kl_spectrum_match(product_dirs):
     assert ev_mp.shape == ev_sp.shape
     scale = max(np.abs(ev_sp).max(), 1e-30)
     np.testing.assert_allclose(ev_mp, ev_sp, rtol=1e-5, atol=1e-8 * scale)
+
+
+def test_mapmake_match(product_dirs):
+    """Map-making under 2 processes == single process (noiseless sim, so
+    the only differences would come from the process partitioning of the
+    parallel_map/mpirange loops in pipeline/timestream.py)."""
+    out_mp, out_sp = product_dirs
+    base_mp = os.path.dirname(out_mp)
+    base_sp = os.path.dirname(out_sp)
+    for name in ("map_full.hdf5", "map_svd.hdf5"):
+        m_sp = _read(os.path.join(base_sp, "sp_ts", name), "map")
+        m_mp = _read(os.path.join(base_mp, "mp_ts", name), "map")
+        scale = max(np.abs(m_sp).max(), 1e-30)
+        np.testing.assert_allclose(m_mp, m_sp, rtol=1e-6, atol=1e-8 * scale)
 
 
 def test_fisher_match(product_dirs):
