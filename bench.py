@@ -74,6 +74,31 @@ def build_telescope():
     return cylinder.UnpolarisedCylinderTelescope.from_config(params)
 
 
+def build_pol_telescope():
+    """Small polarised cylinder for the on-chip polarised leg.
+
+    Exercises the npol=4 triple-SVD polarisation filtering
+    (reference beamtransfer.py:730-929) end to end on the device at a
+    scale that adds ~a minute to the bench, not tens of minutes.
+    """
+    from driftscan_tpu.telescope import cylinder
+
+    return cylinder.PolarisedCylinderTelescope.from_config(
+        dict(
+            num_freq=4,
+            freq_start=400.0,
+            freq_end=450.0,
+            freq_mode="edge",
+            num_cylinders=2,
+            cylinder_width=6.0,
+            num_feeds=4,
+            feed_spacing=1.5,
+            tsys=50.0,
+            single_precision=True,
+        )
+    )
+
+
 def btm_phase(tel, max_units=None):
     """Compute BTMs for all (or max_units) fb units; returns (tarray, s, n)."""
     bl = np.arange(tel.npairs)
@@ -678,13 +703,14 @@ def main():
 
     t_btm, t_prod, state = resident_phases(tel)
     _log(f"BTM phase: {t_btm:.1f}s; product phase: {t_prod:.1f}s")
-    total = t_btm + t_prod
-    mm_per_sec = nm / total
+    mm_per_sec = nm / (t_btm + t_prod)
 
     # Fisher leg (device band projection + pair traces, all m by default).
-    # Second headline: m/s over ALL FOUR phases (BTM+SVD+KL+Fisher), the
-    # BASELINE.md north-star metric.  Kept separate from the primary so
-    # round-to-round comparability of `value` is preserved.
+    # The PRIMARY headline spans ALL FOUR phases (BTM+SVD+KL+Fisher) —
+    # the BASELINE.md:32-34 north-star metric; the three-phase rate is
+    # kept in the detail as `m_per_s_btm_svd_kl` for round-to-round
+    # comparison with BENCH_r01/r02.  If the Fisher leg fails, the
+    # headline falls back to the three-phase rate and says so.
     fisher_m_per_s = None
     with_fisher = None
     t_f = None
@@ -695,9 +721,36 @@ def main():
         _log(f"fisher phase: {t_f:.1f}s for {nm_f} m -> {fisher_m_per_s:.2f} m/s")
         if nm_f >= nm:
             with_fisher = nm / (t_btm + t_prod + t_f)
-    except Exception as exc:  # diagnostic leg, never fails the bench
+    except Exception as exc:  # falls back to the three-phase headline
         _log(f"fisher leg failed: {exc!r}")
     del state
+
+    # Polarised leg (BENCH_POL=0 disables): a small polarised cylinder
+    # through the same resident BTM+product path — the npol=4 triple-SVD
+    # filtering measured on chip.  Never fails the bench.
+    pol_detail = None
+    if os.environ.get("BENCH_POL", "1") == "1" and platform != "cpu":
+        try:
+            tel_p = build_pol_telescope()
+            nm_p = tel_p.mmax + 1
+            _log(
+                f"polarised leg: nm={nm_p} nfb={tel_p.npairs * tel_p.nfreq} "
+                f"npol={tel_p.num_pol_sky}"
+            )
+            t_btm_p, t_prod_p, state_p = resident_phases(tel_p)
+            del state_p
+            pol_detail = {
+                "pol_m_per_s": round(nm_p / (t_btm_p + t_prod_p), 3),
+                "pol_nm": nm_p,
+                "pol_t_btm_s": round(t_btm_p, 2),
+                "pol_t_product_s": round(t_prod_p, 2),
+            }
+            _log(
+                f"polarised leg: btm {t_btm_p:.1f}s product {t_prod_p:.1f}s "
+                f"-> {pol_detail['pol_m_per_s']} m/s"
+            )
+        except Exception as exc:
+            _log(f"polarised leg failed: {exc!r}")
 
     # CPU comparison on a subset of the same work, extrapolated.  The
     # backend override is always restored (try/finally) so a failing CPU
@@ -725,22 +778,49 @@ def main():
                 # at 0.7-1.6 mm/s across runs; 3 repeats pin it down.
                 reps = int(os.environ.get("BENCH_CPU_REPEATS", "3"))
                 btms, prods = [], []
+                _st = None
                 for _ in range(reps):
+                    del _st
                     t_btm_sub, t_prod_sub, _st = resident_phases(
                         tel_c, max_m=nsub, max_units=n_units
                     )
-                    del _st
                     btms.append(t_btm_sub)
                     prods.append(t_prod_sub)
                 t_btm_cpu = float(np.median(btms)) * nfb_total / n_done
                 t_prod_cpu = float(np.median(prods)) * nm / nsub
 
+                # Fisher subset on the last repeat's state, extrapolated,
+                # so the headline ratio compares the same four phases.
+                t_f_cpu = None
+                if with_fisher is not None:
+                    try:
+                        nf_sub = max(4, nsub // 4)
+                        pos_c, neg_c, ls_c, lf_c, nw_c = _st
+                        t_f_sub, nf_done = fisher_phase(
+                            tel_c, pos_c, neg_c, ls_c, lf_c, nw_c,
+                            nm_fisher=nf_sub,
+                        )
+                        t_f_cpu = t_f_sub * nm / nf_done
+                    except Exception as exc:
+                        _log(f"CPU fisher subset failed: {exc!r}")
+                del _st
+
                 cpu_rate = nm / (t_btm_cpu + t_prod_cpu)
-                vs_baseline = mm_per_sec / cpu_rate
-                _log(
-                    f"CPU leg (median of {reps}): btm {t_btm_cpu:.1f}s, "
-                    f"product {t_prod_cpu:.1f}s (extrap) -> {cpu_rate:.3f} mm/s"
-                )
+                if with_fisher is not None and t_f_cpu is not None:
+                    cpu_rate4 = nm / (t_btm_cpu + t_prod_cpu + t_f_cpu)
+                    vs_baseline = with_fisher / cpu_rate4
+                    _log(
+                        f"CPU leg (median of {reps}): btm {t_btm_cpu:.1f}s, "
+                        f"product {t_prod_cpu:.1f}s, fisher {t_f_cpu:.1f}s "
+                        f"(extrap) -> {cpu_rate4:.3f} mm/s (4-phase)"
+                    )
+                else:
+                    vs_baseline = mm_per_sec / cpu_rate
+                    _log(
+                        f"CPU leg (median of {reps}): btm {t_btm_cpu:.1f}s, "
+                        f"product {t_prod_cpu:.1f}s (extrap) "
+                        f"-> {cpu_rate:.3f} mm/s"
+                    )
         except Exception as exc:  # CPU leg is best-effort
             _log(f"CPU baseline leg failed: {exc!r}")
             vs_baseline = None
@@ -758,10 +838,14 @@ def main():
     peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "0")) or (
         197.0 / 3.0 if platform not in ("cpu",) else None
     )
+    phases4 = with_fisher is not None
     out = {
-        "metric": "m-modes/sec/chip (BTM+SVD+KL, unpolarised cylinder, "
-        f"nm={nm}, nfb={nfb_total})",
-        "value": round(mm_per_sec, 3),
+        "metric": (
+            "m-modes/sec/chip ("
+            + ("BTM+SVD+KL+Fisher" if phases4 else "BTM+SVD+KL; fisher leg failed")
+            + f", unpolarised cylinder, nm={nm}, nfb={nfb_total})"
+        ),
+        "value": round(with_fisher if phases4 else mm_per_sec, 3),
         "unit": "m-modes/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "detail": {
@@ -769,6 +853,8 @@ def main():
             # steady-state phase walls (post warm-up)
             "t_btm_s": round(t_btm, 2),
             "t_product_s": round(t_prod, 2),
+            # three-phase rate, comparable with BENCH_r01/r02 headlines
+            "m_per_s_btm_svd_kl": round(mm_per_sec, 3),
             # analytic product-phase flop rate (eigh-dominated: QDWH-eig
             # runs far below matmul peak on any platform), plus its MFU
             # against the nominal f32-equivalent chip peak
@@ -784,11 +870,7 @@ def main():
                 else {}
             ),
             **({"t_fisher_s": round(t_f, 2)} if t_f else {}),
-            **(
-                {"m_per_s_with_fisher": round(with_fisher, 3)}
-                if with_fisher
-                else {}
-            ),
+            **(pol_detail or {}),
             # compile/warm-up split (cold unless the persistent
             # compilation cache in .jax_cache is populated)
             **_PHASES,

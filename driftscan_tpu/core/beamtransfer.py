@@ -86,6 +86,18 @@ class BeamTransfer(config.Reader):
     # Noise-weight the beam matrix before SVD compression.
     noise_weight = True
 
+    # Device-resident BTM generation (single-process runs): compute the
+    # full (l, m) tables on device (parallel.resident.btm_resident),
+    # fetch them ONCE and write the identical beam.hdf5 layout, then
+    # serve `beam_m` from memory so the SVD stage skips the beam.hdf5
+    # read-back entirely.  "auto" uses it when the tables fit the
+    # configured budgets; "always"/"never" force it.  Multi-process runs
+    # and over-budget problems use the chunked streaming path
+    # (reference beamtransfer.py:502-676 semantics).
+    resident = config.Property(proptype=str, default="auto")
+    resident_hbm_gb = config.Property(proptype=float, default=10.0)
+    resident_host_gb = config.Property(proptype=float, default=8.0)
+
     # ====== internal filenames ======
 
     @property
@@ -105,6 +117,11 @@ class BeamTransfer(config.Reader):
     @property
     def _telescope_pickle(self):
         return pickle.dumps(self.telescope)
+
+    # In-memory m-major BTM tables (set by the resident generate path):
+    # (pos_m, neg_m) host complex arrays, truncated exactly like the
+    # files, serving `beam_m` without the HDF5 read-back.
+    _mem_beam = None
 
     def __init__(self, directory, telescope=None):
         self.directory = directory
@@ -158,8 +175,42 @@ class BeamTransfer(config.Reader):
             fi_file = None
 
         ind = np.ix_(*ind_list)
-        bf[ind] = _load_beam_f(self._mfile(mi), "beam_m", fi_file)
+        if self._mem_beam is not None:
+            block = self._mem_mblock(mi)
+            bf[ind] = block if fi_file is None else block[fi_file]
+        else:
+            bf[ind] = _load_beam_f(self._mfile(mi), "beam_m", fi_file)
         return bf
+
+    def _mem_mblock(self, mi):
+        """File-layout block (nf_inc, 2, nb_inc, np_inc, nl - mi) for m
+        from the in-memory tables (same values as the beam.hdf5 dataset:
+        the tables are stored post-truncation)."""
+        tel = self.telescope
+        nl = tel.lmax + 1
+        nf_inc = len(tel.included_freq)
+        nb_inc = len(tel.included_baseline)
+        np_inc = len(tel.included_pol)
+        pos_m, neg_m = self._mem_beam
+
+        def org(x):
+            # (nu, np_inc, nl - mi) -> (nf_inc, nb_inc, np_inc, nl - mi)
+            return x.reshape(nb_inc, nf_inc, np_inc, nl - mi).transpose(
+                1, 0, 2, 3
+            )
+
+        blk = np.zeros(
+            (nf_inc, 2, nb_inc, np_inc, nl - mi), dtype=np.complex128
+        )
+        blk[:, 0] = org(pos_m[mi][:, :np_inc, mi:])
+        if mi > 0:
+            # Reference packing B(-m) = (-1)^m conj(B(m)) applied at
+            # read time (beamtransfer.py:620-624 in the reference); the
+            # raw negative-m coefficients are stored unpacked.
+            blk[:, 1] = org(
+                (-1) ** mi * np.conj(neg_m[mi - 1][:, :np_inc, mi:])
+            )
+        return blk
 
     # ====== pseudo-inverse beams ======
 
@@ -241,6 +292,116 @@ class BeamTransfer(config.Reader):
                     os.makedirs(dirname)
         comm.barrier()
 
+    def _use_resident(self):
+        """True when the device-resident BTM generate should be used.
+
+        Single-process only (multi-process runs keep the chunked
+        streaming path); "auto" additionally requires the (l, m) tables
+        to fit the device and host budgets.
+        """
+        if self.resident == "never" or comm.size() != 1:
+            return False
+        tel = self.telescope
+        if tel.mmax > tel.lmax:
+            # resident tables are indexed by m <= lmax
+            return False
+        if self.resident == "always":
+            return True
+        nl = tel.lmax + 1
+        nu = len(tel.included_freq) * len(tel.included_baseline)
+        npol = tel.num_pol_sky
+        elems = nu * npol * nl * (2 * nl + 1)
+        esz = 4 if getattr(tel, "single_precision", False) else 8
+        dev_gb = elems * esz * 2 / 2**30  # re+im planes
+        host_gb = elems * 16 * 2 / 2**30  # c128 m-major copy + transient
+        return dev_gb <= self.resident_hbm_gb and host_gb <= self.resident_host_gb
+
+    def _generate_mfiles_resident(self, regen=False):
+        """Device-resident BTM generate: one fetch, identical files.
+
+        Computes the full (l, m) tables with
+        :func:`parallel.resident.btm_resident` (the bench's hot path),
+        fetches them once, applies the same bit truncation as the
+        chunked writer, writes the identical per-m beam.hdf5 layout and
+        keeps the tables in memory so `beam_m` (and therefore the SVD
+        stage) never reads beam.hdf5 back.  Closes the gap between the
+        file-based CLI pipeline and the resident bench (the reference's
+        deliverable is the file pipeline, beamtransfer.py:447-676).
+        """
+        st = time.time()
+        tel = self.telescope
+        from ..parallel import resident
+
+        freq_inc = tel.included_freq
+        bl_inc = tel.included_baseline
+        nf_inc, nb_inc = len(freq_inc), len(bl_inc)
+        nl = tel.lmax + 1
+        nm = tel.mmax + 1
+
+        # Unit ordering: baseline-major (u = b * nf_inc + f), matching
+        # _mem_mblock's reshape.
+        blg, fig = [
+            x.ravel() for x in np.meshgrid(bl_inc, freq_inc, indexing="ij")
+        ]
+        pos, neg = resident.btm_resident(tel, blg, fig)
+
+        # One host fetch, m-major (contiguous full-l rows for truncation).
+        def fetch(z):
+            arr = np.asarray(z.re).astype(np.complex128)
+            arr += 1j * np.asarray(z.im)
+            return np.ascontiguousarray(arr.transpose(3, 0, 1, 2))
+
+        pos_m = fetch(pos)  # (nm_cols=nl+1 -> only first nm used, nu, npol, nl)
+        neg_m = fetch(neg)  # (nl, nu, npol, nl), col j <-> m = j + 1
+        del pos, neg
+
+        if self.truncate:
+            # Same row layout as the chunked writer: full-l rows per
+            # (m, unit, pol); sign/conj packing preserves magnitudes so
+            # truncating the raw tables is bit-identical to truncating
+            # the packed blocks.
+            truncate.bit_truncate_max_complex(
+                pos_m.reshape(-1, pos_m.shape[-1]),
+                self.truncate_rel,
+                self.truncate_maxl,
+            )
+            truncate.bit_truncate_max_complex(
+                neg_m.reshape(-1, neg_m.shape[-1]),
+                self.truncate_rel,
+                self.truncate_maxl,
+            )
+
+        self._mem_beam = (pos_m, neg_m)
+        logger.info(
+            "resident BTM tables computed + fetched in %.1f s", time.time() - st
+        )
+
+        wt = time.time()
+        for mi in range(nm):
+            if os.path.exists(self._mfile(mi)) and not regen:
+                logger.info("m index %i. File exists. Skipping...", mi)
+                continue
+            blk = self._mem_mblock(mi)
+            tmpfile = self._mfile(mi) + ".tmp"
+            with h5py.File(tmpfile, "w") as f:
+                f.create_dataset(
+                    "beam_m",
+                    data=blk,
+                    chunks=(1, 2, min(10, nb_inc), blk.shape[3], nl - mi),
+                    dtype=np.complex128,
+                    **self._comp_kwargs(np.complex128),
+                )
+                f.attrs["m"] = mi
+                f.attrs["frequencies"] = tel.frequencies
+            os.replace(tmpfile, self._mfile(mi))
+
+        open(self.directory + "/beam_m/COMPLETED", "a").close()
+        logger.info(
+            "=== BTM generation (resident) took %f s (write %.1f s) ===",
+            time.time() - st,
+            time.time() - wt,
+        )
+
     def _generate_mfiles(self, regen=False):
         """Compute BTMs fb-batched and write them m-ordered.
 
@@ -251,6 +412,10 @@ class BeamTransfer(config.Reader):
         if os.path.exists(self.directory + "/beam_m/COMPLETED") and not regen:
             if comm.rank0():
                 logger.info("m-files already generated")
+            return
+
+        if self._use_resident():
+            self._generate_mfiles_resident(regen)
             return
 
         st = time.time()

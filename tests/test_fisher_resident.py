@@ -18,6 +18,10 @@ import pytest
 from driftscan_tpu.core import manager
 from driftscan_tpu.parallel import mstep, resident
 
+# Bench-scale suite: excluded from the default fast tier (see pyproject.toml)
+pytestmark = pytest.mark.slow
+
+
 
 # ---------------------------------------------------------------------
 # first principles

@@ -13,6 +13,10 @@ import jax.numpy as jnp
 
 from driftscan_tpu.ops import fpencil, zarray as za
 
+# Bench-scale suite: excluded from the default fast tier (see pyproject.toml)
+pytestmark = pytest.mark.slow
+
+
 
 def _random_factor(rng, n, k, s_low, s_high, dtype=np.complex128):
     """A (n, k) complex factor with log-spaced *column* norms.

@@ -11,6 +11,10 @@ import pytest
 
 from driftscan_tpu.core import manager
 
+# Bench-scale suite: excluded from the default fast tier (see pyproject.toml)
+pytestmark = pytest.mark.slow
+
+
 
 SKIP_FREQ = [0, 2]
 SKIP_BASELINES = [1, 3]

@@ -23,6 +23,10 @@ import pytest
 # (the documented consumer requirement, ops/bitshuffle.py:28-35).
 import driftscan_tpu  # noqa: F401
 
+# Bench-scale suite: excluded from the default fast tier (see pyproject.toml)
+pytestmark = pytest.mark.slow
+
+
 NPROC = 2
 
 CONFIG = """

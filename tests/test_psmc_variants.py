@@ -14,6 +14,10 @@ import pytest
 
 from driftscan_tpu.core import manager
 
+# Bench-scale suite: excluded from the default fast tier (see pyproject.toml)
+pytestmark = pytest.mark.slow
+
+
 CONFIG = """
 config:
     beamtransfers:      Yes

@@ -1,11 +1,16 @@
 """The device-resident product path must reproduce the host-staged one."""
 
 import numpy as np
+import pytest
 
 import driftscan_tpu.backend as backend
 from driftscan_tpu.ops import zarray as za
 from driftscan_tpu.parallel import mstep, resident
 from driftscan_tpu.telescope import cylinder
+
+# Bench-scale suite: excluded from the default fast tier (see pyproject.toml)
+pytestmark = pytest.mark.slow
+
 
 
 def _tel(**kw):

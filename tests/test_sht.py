@@ -8,6 +8,10 @@ import jax.numpy as jnp
 
 from driftscan_tpu.ops import healpix, sht
 
+# Bench-scale suite: excluded from the default fast tier (see pyproject.toml)
+pytestmark = pytest.mark.slow
+
+
 NSIDE = 16
 LMAX = 16
 

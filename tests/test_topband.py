@@ -14,6 +14,10 @@ import pytest
 from driftscan_tpu.ops import fpencil
 from driftscan_tpu.ops import zarray as za
 
+# Bench-scale suite: excluded from the default fast tier (see pyproject.toml)
+pytestmark = pytest.mark.slow
+
+
 CUT = 0.1
 
 
