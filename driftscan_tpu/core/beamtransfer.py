@@ -238,25 +238,38 @@ class BeamTransfer(config.Reader):
 
     # ====== SVD beam loading ======
 
+    # In-memory SVD products (filled by the batched SVD writer when the
+    # resident generate is active): {m: {dset_name: array}} holding the
+    # same complex128 values the svd.hdf5 files store, so the KL stage
+    # in the same process skips the file read-back.
+    _mem_svd = None
+
+    def _svd_mem(self, mi, name, fi=None):
+        if self._mem_svd is not None:
+            ent = self._mem_svd.get(mi)
+            if ent is not None and name in ent:
+                return ent[name] if fi is None else ent[name][fi]
+        return _load_beam_f(self._svdfile(mi), name, fi)
+
     @util.cache_last
     def beam_svd(self, mi: int, fi: Optional[int] = None) -> np.ndarray:
         """SVD beam matrix (sky -> SVD basis), (nfreq, svd_len, npol, lmax+1)."""
-        return _load_beam_f(self._svdfile(mi), "beam_svd", fi)
+        return self._svd_mem(mi, "beam_svd", fi)
 
     @util.cache_last
     def invbeam_svd(self, mi: int, fi: Optional[int] = None) -> np.ndarray:
         """Pseudo-inverse SVD beam, (nfreq, npol, lmax+1, svd_len)."""
-        return _load_beam_f(self._svdfile(mi), "invbeam_svd", fi)
+        return self._svd_mem(mi, "invbeam_svd", fi)
 
     @util.cache_last
     def beam_ut(self, mi: int, fi: Optional[int] = None) -> np.ndarray:
         """Telescope -> SVD projection (U^H), (nfreq, svd_len, ntel)."""
-        return _load_beam_f(self._svdfile(mi), "beam_ut", fi)
+        return self._svd_mem(mi, "beam_ut", fi)
 
     @util.cache_last
     def beam_singularvalues(self, mi: int) -> np.ndarray:
         """Singular values, (nfreq, svd_len)."""
-        return _load_beam_f(self._svdfile(mi), "singularvalues")
+        return self._svd_mem(mi, "singularvalues")
 
     # ====== generation ======
 
@@ -617,25 +630,58 @@ class BeamTransfer(config.Reader):
 
         ut_out = ut * noisew[np.newaxis, :, np.newaxis, :]
 
+        # Cache the products in memory when the resident generate is
+        # active (and the whole set fits the host budget): the KL stage
+        # in this process then skips the svd.hdf5 read-back.
+        cache = self._mem_beam is not None and self._svd_cache_fits()
+        if cache and self._mem_svd is None:
+            self._mem_svd = {}
+
         for i, mi in enumerate(m_chunk):
             logger.info("m index %i. Writing SVD file: %s", mi, self._svdfile(mi))
+            bsvd_i = np.asarray(
+                beam[i].reshape(nfreq, self.svd_len, npol, nl)
+            ).astype(np.complex128)
+            ibsvd_i = None
+            if ibeam is not None:
+                ibsvd_i = np.asarray(
+                    ibeam[i].reshape(nfreq, npol, nl, self.svd_len)
+                ).astype(np.complex128)
+            ut_i = np.asarray(ut_out[i]).astype(np.complex128)
+            sig_i = np.asarray(sig[i]).astype(np.float64)
+
             tmpfile = self._svdfile(mi) + ".tmp"
             with h5py.File(tmpfile, "w") as fs:
                 dset_bsvd, dset_ibsvd, dset_ut, dset_sig = self._svd_dsets(
                     fs, skip_svd_inv
                 )
-                dset_bsvd[:] = beam[i].reshape(nfreq, self.svd_len, npol, nl)
+                dset_bsvd[:] = bsvd_i
                 if dset_ibsvd is not None:
-                    dset_ibsvd[:] = ibeam[i].reshape(
-                        nfreq, npol, nl, self.svd_len
-                    )
-                dset_ut[:] = ut_out[i]
-                dset_sig[:] = sig[i]
+                    dset_ibsvd[:] = ibsvd_i
+                dset_ut[:] = ut_i
+                dset_sig[:] = sig_i
 
                 fs.attrs["baselines"] = tel.baselines
                 fs.attrs["m"] = mi
                 fs.attrs["frequencies"] = tel.frequencies
             os.replace(tmpfile, self._svdfile(mi))
+
+            if cache:
+                ent = {
+                    "beam_svd": bsvd_i,
+                    "beam_ut": ut_i,
+                    "singularvalues": sig_i,
+                }
+                if ibsvd_i is not None:
+                    ent["invbeam_svd"] = ibsvd_i
+                self._mem_svd[mi] = ent
+
+    def _svd_cache_fits(self):
+        """True when the full SVD-product set fits the host budget."""
+        tel = self.telescope
+        nfreq, npol, nl = tel.nfreq, tel.num_pol_sky, tel.lmax + 1
+        per_m = nfreq * self.svd_len * (2 * npol * nl + self.ntel + 1) * 16
+        return (tel.mmax + 1) * per_m <= self.resident_host_gb * 2**30
 
     def _svd_dsets(self, fs, skip_svd_inv):
         """Create the four SVD datasets with the reference's layout."""

@@ -80,6 +80,19 @@ def test_resident_full_generate_svd_spectrum(tmp_path):
         sb = bt_res.beam_singularvalues(mi)
         assert np.allclose(sa, sb, rtol=1e-3, atol=1e-6 * max(sa.max(), 1e-30))
 
+    # The SVD-product memory cache holds exactly what the files hold.
+    assert bt_res._mem_svd is not None
+    bt_reload = BeamTransfer(str(tmp_path / "resident"), telescope=tel)
+    assert bt_reload._mem_svd is None
+    mi = tel.mmax // 2
+    for name in ("beam_svd", "invbeam_svd", "beam_ut"):
+        np.testing.assert_array_equal(
+            getattr(bt_res, name)(mi), getattr(bt_reload, name)(mi)
+        )
+    np.testing.assert_array_equal(
+        bt_res.beam_singularvalues(mi), bt_reload.beam_singularvalues(mi)
+    )
+
 
 def test_use_resident_gate():
     tel = _tel()
