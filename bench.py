@@ -620,7 +620,18 @@ def _device_answers(timeout_s: float = 420.0) -> bool:
     """
     import subprocess
 
-    code = (
+    # A CPU-pinned bench (tests) must NOT let the probe child touch the
+    # real accelerator: the axon runtime serves one client, and a second
+    # client's probe can wedge the holder's claim.  The JAX_PLATFORMS
+    # env var is overridden by the axon plugin, so the pin must happen
+    # inside the child via jax.config before first device use.
+    pin = ""
+    try:
+        if jax.config.jax_platforms == "cpu":
+            pin = "import jax; jax.config.update('jax_platforms', 'cpu');"
+    except AttributeError:
+        pass
+    code = pin + (
         "import jax.numpy as jnp, numpy as np;"
         "x = jnp.ones((64, 64), jnp.float32);"
         "print(float(np.asarray((x @ x).sum())))"

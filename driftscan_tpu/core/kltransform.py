@@ -486,8 +486,33 @@ class KLTransform(config.Reader):
             total = (np.abs(v) ** 2).sum(axis=0) + 1e-300
             keep = support > 0.5 * total
             if keep.sum() != ndof:
-                # Fall back to the per-m path for this m if the padding
-                # separation is ambiguous.
+                # The pencil's zero eigenvalue is degenerate between the
+                # svcut-padded unit directions and any genuine
+                # zero-signal modes, so eigh may return an arbitrary
+                # mixed basis for that cluster and the global support
+                # count miscounts (observed on-chip at mid scale, where
+                # split-complex f32 widens the cluster).  With a
+                # positive subset cut only above-threshold modes are
+                # ever written: classify those alone, and report the
+                # full spectrum from the top-ndof eigenvalues (the
+                # dropped n-ndof values are the ~0 duplicates of the
+                # padding directions).
+                strict = w > self.threshold
+                if (
+                    self.subset
+                    and self.threshold > 0
+                    and int(strict.sum()) <= ndof
+                    and bool(keep[strict].all())
+                ):
+                    evals_full = np.sort(np.asarray(w))[-ndof:]
+                    evals = w[strict]
+                    evecs = v[:, strict][idx, :].T.conj()
+                    self._write_ev_file(
+                        mi, ndof, evals, evecs, evals_full=evals_full
+                    )
+                    continue
+                # A genuinely mixed above-threshold column (or a full
+                # eigenbasis request): fall back to the per-m path.
                 logger.warning(
                     "m index %i: padded-mode separation ambiguous "
                     "(%i of %i); falling back to per-m transform.",
@@ -502,8 +527,14 @@ class KLTransform(config.Reader):
             evecs = v[:, keep][idx, :].T.conj()  # rows modes, compact coords
             self._write_ev_file(mi, ndof, evals, evecs)
 
-    def _write_ev_file(self, mi, ndof, evals, evecs):
-        """Write one m's eigenfile (evals ascending-sorted here)."""
+    def _write_ev_file(self, mi, ndof, evals, evecs, evals_full=None):
+        """Write one m's eigenfile (evals ascending-sorted here).
+
+        `evals_full`, if given, supplies the full-spectrum diagnostic
+        dataset separately from the (possibly already subset) evals —
+        used by the batched path when only above-threshold columns are
+        unambiguously classified.
+        """
         order = np.argsort(evals)
         evals = evals[order]
         evecs = evecs[order]
@@ -514,7 +545,10 @@ class KLTransform(config.Reader):
             f.attrs["SUBSET"] = self.subset
 
             evalsf = np.zeros(ndof, dtype=np.float64)
-            if evals.size != 0:
+            if evals_full is not None:
+                src = np.sort(np.asarray(evals_full, dtype=np.float64))
+                evalsf[-src.size :] = src
+            elif evals.size != 0:
                 evalsf[-evals.size :] = evals
             f.create_dataset("evals_full", data=evalsf)
 
