@@ -9,6 +9,7 @@ and the dish array's jinc (Airy) beam
 """
 
 import numpy as np
+import pytest
 
 from driftscan_tpu.telescope import disharray, focalplane, gmrt
 
@@ -73,6 +74,7 @@ class TestFocalPlane:
             fi, fj = t.uniquepairs[i]
             assert fi == fj
 
+    @pytest.mark.slow
     def test_square_vs_gaussian_beam(self):
         tg = self._make(square_beam=False)
         ts = self._make(square_beam=True)

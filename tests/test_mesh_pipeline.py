@@ -140,6 +140,7 @@ kltransform:
     assert seen["mesh"].devices.size == len(jax.devices())
 
 
+@pytest.mark.slow
 def test_kl_factored_topband_sharded_over_mesh(mesh8):
     """The retained-band batched solve shards over the mesh and agrees
     with its own unsharded run and with the exact engine's retained

@@ -115,6 +115,7 @@ def test_product_step_vs_dense_pencil():
         np.testing.assert_allclose(ev[sel], ev_ref[sel], rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_product_step_split_matches_native():
     """Split planes and the native-complex wrapper agree exactly (the
     wrapper routes through the same split implementation)."""

@@ -85,6 +85,7 @@ def test_noisepower_scaling():
     np.testing.assert_allclose(np1 / np2, 4.0)
 
 
+@pytest.mark.slow
 def test_transfer_matrices_forward_model():
     """The end-to-end physics check: project a random band-limited sky
     through the transfer matrices and compare with the direct numerical
