@@ -255,6 +255,26 @@ _AB_DECISION = os.path.join(
 _SHT_AB_DECISION = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "doc", "sht_ab.json"
 )
+_MBATCH_AB_DECISION = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "doc", "mbatch_ab.json"
+)
+
+
+def _mbatch_default():
+    """Headline product-phase m-batch: BENCH_MBATCH env, else the on-chip
+    sweep's accuracy-gated pick (scratch/mbatch_ab.py ->
+    doc/mbatch_ab.json), else None (resident._auto_mbatch).  Only the
+    primary headline telescope uses this — the pick was measured at
+    bench scale and does not transfer to the polarised/CPU legs."""
+    env = os.environ.get("BENCH_MBATCH")
+    if env:
+        return int(env)
+    try:
+        with open(_MBATCH_AB_DECISION) as f:
+            pick = json.load(f).get("mbatch_pick")
+    except (OSError, ValueError):
+        return None
+    return int(pick) if pick else None
 
 
 def resolve_sht_precision():
@@ -322,6 +342,7 @@ def resident_phases(tel, max_m=None, mbatch=None, max_units=None):
 
     if mbatch is None:
         mbatch = resident._auto_mbatch(tel)
+    _PHASES.setdefault("mbatch", int(mbatch))
 
     cl_s, cl_n, noisew, _ = _covariances(tel)
     ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)
@@ -712,7 +733,7 @@ def main():
     nfb_total = tel.npairs * tel.nfreq
     _log(f"telescope ready: nm={nm} nfb={nfb_total} platform={platform}")
 
-    t_btm, t_prod, state = resident_phases(tel)
+    t_btm, t_prod, state = resident_phases(tel, mbatch=_mbatch_default())
     _log(f"BTM phase: {t_btm:.1f}s; product phase: {t_prod:.1f}s")
     mm_per_sec = nm / (t_btm + t_prod)
 

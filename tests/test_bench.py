@@ -110,3 +110,25 @@ def test_resolve_sht_precision(tmp_path, monkeypatch):
     monkeypatch.setattr(sht, "_SHT_PRECISION", "default")
     monkeypatch.setenv("DRIFTSCAN_TPU_SHT_PRECISION", "default")
     assert bench.resolve_sht_precision() == "default"
+
+
+def test_mbatch_default_resolution(tmp_path, monkeypatch):
+    """Env pins the headline m-batch; otherwise the sweep record decides."""
+    import bench
+
+    rec = tmp_path / "mbatch_ab.json"
+    monkeypatch.setattr(bench, "_MBATCH_AB_DECISION", str(rec))
+    monkeypatch.delenv("BENCH_MBATCH", raising=False)
+
+    # no record, no env -> auto (None)
+    assert bench._mbatch_default() is None
+
+    rec.write_text(json.dumps({"mbatch_pick": 32}))
+    assert bench._mbatch_default() == 32
+
+    # a sweep with no accuracy-passing setting records null -> auto
+    rec.write_text(json.dumps({"mbatch_pick": None}))
+    assert bench._mbatch_default() is None
+
+    monkeypatch.setenv("BENCH_MBATCH", "16")
+    assert bench._mbatch_default() == 16
