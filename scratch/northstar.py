@@ -82,10 +82,16 @@ log(f"covariances {rec['t_cov_s']}s (factor widths: signal {ls.shape[-1]}, fg {l
 bl = np.arange(tel.npairs); fi = np.arange(tel.nfreq)
 blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
 
-# KL engine for the product phase: the certified top-band engine
-# (matmuls only; per-chunk completeness certificate with exact-eigh
-# fallback) unless NS_TOPBAND=0 asks for the exact engine throughout.
-NS_TOPBAND = os.environ.get("NS_TOPBAND", "1") == "1"
+# KL engine for the product phase.  The on-chip A/B at bench scale
+# (doc/topband_ab.json) failed the top-band engine's accuracy gate:
+# retained-mode sets diverge from the exact engine (max rel 0.24 at the
+# band edge; the filter-precision sweep even flipped a retained mode to
+# zero), so the flagship run follows the same accuracy-gated adoption
+# rule as the bench and defaults to the exact engine.  NS_TOPBAND=1
+# opts back in (certificates + exact fallback still apply); the
+# telescope here is feed-sparse (S = 2*npairs is small), so the exact
+# QDWH eigh stays affordable at 256 freqs.
+NS_TOPBAND = os.environ.get("NS_TOPBAND", "0") == "1"
 rec["engine"] = "topband" if NS_TOPBAND else "exact"
 log(f"product engine: {rec['engine']}")
 
