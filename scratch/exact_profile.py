@@ -1,0 +1,249 @@
+#!/usr/bin/env python
+"""Stage-level on-chip profile of the exact KL pencil at bench scale.
+
+The round-1 bench ran the product phase at 6.5 s (one QDWH eigh per m);
+the round-2 exact engine — which FIXED the spectrum (r01's path returns
+max_ev 0.016 where the validated pencil returns 0.84 on the same
+inputs) — runs the same phase at ~58 s.  This profiles where those
+~250 ms/m go, stage by stage (synthetic inputs of the true shapes; every
+stage is fixed-iteration so timing is shape-driven), and A/Bs the two
+cheap recovery levers:
+
+* global matmul precision `default` vs the library's pinned `highest`
+  for the whole spectrum batch (accuracy-gated on retained evals);
+* `bucket=True` for the full product phase (per-m dof compaction).
+
+Writes doc/exact_profile.json.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+if os.environ.get("AB_CPU"):  # flow check without the chip
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import _tpu_pidfile  # script dir is sys.path[0]
+
+    _tpu_pidfile.register()
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import bench
+from driftscan_tpu.ops import fpencil
+from driftscan_tpu.ops import zarray as za
+from driftscan_tpu.parallel import mstep, resident
+
+
+def sync(x):
+    leaves = jax.tree.leaves(x)
+    return float(np.asarray(leaves[0]).ravel()[0])
+
+
+def t(f, *a, n=3):
+    out = f(*a)
+    sync(out)
+    best = np.inf
+    for _ in range(n):
+        st = time.time()
+        out = f(*a)
+        sync(out)
+        best = min(best, time.time() - st)
+    return best
+
+
+def main():
+    rec = {"stages_ms": {}}
+    tel = bench.build_telescope()
+    cl_s, cl_n, noisew, _ = bench._covariances(tel)
+    ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)
+    bl, fi = np.arange(tel.npairs), np.arange(tel.nfreq)
+    blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+    st = time.time()
+    pos, neg = resident.btm_resident(tel, blg, fig)
+    sync(pos.re.sum())
+    print(f"btm {time.time()-st:.0f}s", flush=True)
+
+    nl = tel.lmax + 1
+    F, S = tel.nfreq, min(nl, 2 * tel.npairs)
+    npol = tel.num_pol_sky
+    n = F * S * npol
+    Ks, Kf = nl * ls.shape[-1], nl * lf.shape[-1]
+    mb = 8
+    rec.update(n=n, Ks=Ks, Kf=Kf, mb=mb, nm=tel.mmax + 1)
+    print(f"n={n} Ks={Ks} Kf={Kf}", flush=True)
+
+    dt = pos.re.dtype
+    nw = jnp.asarray(noisew, dtype=dt)
+    lsj = jnp.asarray(ls, dtype=dt)
+    lfj = jnp.asarray(lf, dtype=dt)
+    mv = jnp.asarray(np.arange(8, 8 + mb, dtype=np.int32))
+    base = functools.partial(
+        resident._spectrum_batch,
+        npairs=tel.npairs, nfreq=tel.nfreq, nl=nl, npol=npol,
+    )
+
+    dt_ref = t(lambda: base(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv,
+                            sig_levels=2))
+    rec["batch_ms_sig2"] = round(dt_ref * 1e3, 1)
+    ev_ref = np.asarray(
+        base(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv,
+             sig_levels=2)[0]
+    )
+    print(f"batch mb={mb} exact(sig_levels=2): {dt_ref*1e3:.0f} ms", flush=True)
+
+    # ---- synthetic per-stage probes (shapes of the real batch) ----
+    rng = np.random.default_rng(0)
+
+    def zrand(*shape):
+        return za.Z(
+            jnp.asarray(rng.standard_normal(shape), dt),
+            jnp.asarray(rng.standard_normal(shape), dt),
+        )
+
+    bsyn = zrand(mb, F, S, npol, nl)
+    a_s = zrand(mb, n, Ks)
+    a_f = zrand(mb, n, Kf) * jnp.asarray(1e-3, dt)
+    y = zrand(mb, n, Ks)
+
+    def probe(name, fn, *args):
+        f = jax.jit(fn)
+        ms = t(lambda: f(*args)) * 1e3
+        rec["stages_ms"][name] = round(ms, 1)
+        print(f"stage {name}: {ms:.0f} ms", flush=True)
+
+    probe(
+        "beam_factor_sig",
+        jax.vmap(lambda br, bi: fpencil.beam_factor(za.Z(br, bi), lsj)),
+        bsyn.re, bsyn.im,
+    )
+    probe(
+        "beam_factor_fg",
+        jax.vmap(lambda br, bi: fpencil.beam_factor(za.Z(br, bi), lfj)),
+        bsyn.re, bsyn.im,
+    )
+
+    def noise_qr(fr, fi_):
+        rows = fpencil._thermal_noise_rows(za.Z(fr, fi_), 1.0)
+        return fpencil._noise_r_factor(rows)
+
+    probe("noise_qr", jax.vmap(noise_qr), a_f.re, a_f.im)
+
+    r_e = jax.vmap(noise_qr)(a_f.re, a_f.im)
+    probe(
+        "tri_solve_y",
+        jax.vmap(
+            lambda r, sre, sim: fpencil._solve_tri_interleaved(
+                r, za.Z(sre, sim), adjoint=True
+            )
+        ),
+        r_e, a_s.re, a_s.im,
+    )
+
+    for lv in (1, 2):
+        probe(
+            f"gram_bands_l{lv}",
+            jax.vmap(
+                lambda yre, yim, lv=lv: fpencil.gram_bands(
+                    za.Z(yre, yim), levels=lv
+                ).s
+            ),
+            y.re, y.im,
+        )
+
+    # r01-equivalent single dense eigh of the (n, n) Gram
+    g = zrand(mb, n, n)
+    probe(
+        "dense_eigh_n",
+        jax.vmap(lambda gre, gim: za.eigh(za.Z(gre, gim))[0]),
+        g.re, g.im,
+    )
+
+    # ---- lever 1: global matmul precision (accuracy-gated) ----
+    resident._spectrum_batch.clear_cache()
+    with jax.default_matmul_precision("default"):
+        dt_d = t(lambda: base(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj,
+                              mv, sig_levels=2))
+        ev_d = np.asarray(
+            base(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv,
+                 sig_levels=2)[0]
+        )
+    resident._spectrum_batch.clear_cache()
+    keep = ev_ref > 0.1
+    sets_equal = bool(((ev_d > 0.1) == keep).all())
+    rel = (
+        float((np.abs(ev_d[keep] - ev_ref[keep]) / ev_ref[keep]).max())
+        if keep.any()
+        else 0.0
+    )
+    rec["batch_ms_default_prec"] = round(dt_d * 1e3, 1)
+    rec["default_prec_rel"] = rel
+    rec["default_prec_sets_equal"] = sets_equal
+    print(f"batch default-precision: {dt_d*1e3:.0f} ms rel={rel:.2e} "
+          f"sets_equal={sets_equal}", flush=True)
+
+    # ---- lever 3: big m-batch at pinned depth ----
+    # the mbatch sweep's rel ~5e-3 across batch sizes is the adaptive
+    # sig_levels boundary moving with batch composition; pinning the
+    # depth should make results batch-size-independent
+    mb2 = min(64, tel.mmax + 1 - 8)
+    mv64 = jnp.asarray(np.arange(8, 8 + mb2, dtype=np.int32))
+    dt64 = t(lambda: base(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv64,
+                          sig_levels=2))
+    ev64 = np.asarray(
+        base(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv64,
+             sig_levels=2)[0]
+    )
+    rel64 = (
+        float((np.abs(ev64[:mb][keep] - ev_ref[keep])
+               / ev_ref[keep]).max())
+        if keep.any()
+        else 0.0
+    )
+    rec["batch64_ms_sig2"] = round(dt64 * 1e3, 1)
+    rec["batch64_per_m_ms"] = round(dt64 * 1e3 / mb2, 1)
+    rec["batch64_rel_vs_mb8"] = rel64
+    print(f"batch mb={mb2} sig2: {dt64*1e3:.0f} ms "
+          f"({dt64*1e3/mb2:.0f} ms/m) rel_vs_mb8={rel64:.2e}", flush=True)
+
+    # ---- lever 2: bucketed full phase ----
+    nm = tel.mmax + 1
+    for bucket in (False, True):
+        resident.product_all_resident(
+            tel, pos, neg, ls, lf, noisew, max_m=mb, bucket=bucket
+        )
+        st = time.time()
+        ev, _ = resident.product_all_resident(
+            tel, pos, neg, ls, lf, noisew, bucket=bucket
+        )
+        dtb = time.time() - st
+        key = "phase_s_bucket" if bucket else "phase_s_flat"
+        rec[key] = round(dtb, 2)
+        if bucket:
+            kb = ev_full_flat > 0.1
+            rec["bucket_sets_equal"] = bool(((ev > 0.1) == kb).all())
+            rec["bucket_rel"] = (
+                float((np.abs(ev[kb] - ev_full_flat[kb])
+                       / ev_full_flat[kb]).max())
+                if kb.any()
+                else 0.0
+            )
+        else:
+            ev_full_flat = ev
+        print(f"full phase bucket={bucket}: {dtb:.1f} s", flush=True)
+
+    with open("/root/repo/doc/exact_profile.json", "w") as f:
+        json.dump(rec, f, indent=1)
+    print("record written to /root/repo/doc/exact_profile.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
