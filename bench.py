@@ -737,22 +737,54 @@ def main():
     _log(f"BTM phase: {t_btm:.1f}s; product phase: {t_prod:.1f}s")
     mm_per_sec = nm / (t_btm + t_prod)
 
-    # Fisher leg (device band projection + pair traces, all m by default).
-    # The PRIMARY headline spans ALL FOUR phases (BTM+SVD+KL+Fisher) —
-    # the BASELINE.md:32-34 north-star metric; the three-phase rate is
-    # kept in the detail as `m_per_s_btm_svd_kl` for round-to-round
-    # comparison with BENCH_r01/r02.  If the Fisher leg fails, the
-    # headline falls back to the three-phase rate and says so.
+    # Fisher leg: FUSED into the product dispatch (the north-star path —
+    # factored band covariances ride the same batch as the KL solve, so
+    # the eigenvectors never leave the device and the SVD+KL work is not
+    # re-paid; resident.product_all_resident band_lt,
+    # tests/test_fisher_resident.py pins it against the dense
+    # quadratic-estimator).  The PRIMARY headline spans ALL FOUR phases
+    # (BTM+SVD+KL+Fisher) — the BASELINE.md:32-34 north-star metric: one
+    # fused pass produces spectra AND the Fisher, so the 4-phase wall is
+    # t_btm + t_fused.  The three-phase rate is kept in the detail as
+    # `m_per_s_btm_svd_kl` for round-to-round comparison.  If the Fisher
+    # leg fails, the headline falls back to the three-phase rate and
+    # says so.
     fisher_m_per_s = None
     with_fisher = None
     t_f = None
     try:
+        from driftscan_tpu.parallel import mstep, resident
+
         pos, neg, ls, lf, noisew = state
-        t_f, nm_f = fisher_phase(tel, pos, neg, ls, lf, noisew)
-        fisher_m_per_s = nm_f / t_f
-        _log(f"fisher phase: {t_f:.1f}s for {nm_f} m -> {fisher_m_per_s:.2f} m/s")
-        if nm_f >= nm:
-            with_fisher = nm / (t_btm + t_prod + t_f)
+        clb = _fisher_bands(tel)
+        band_lt = mstep.band_factor_table(
+            iter(clb), out_dtype=np.float32, rank_rtol=1e-9
+        )
+        mb = _mbatch_default() or resident._auto_mbatch(tel)
+        _log("fused product+fisher warm-up compile...")
+        wt = time.time()
+        resident.product_all_resident(
+            tel, pos, neg, ls, lf, noisew, mbatch=mb, max_m=min(mb, nm),
+            band_lt=band_lt, ps_threshold=0.1,
+        )
+        _PHASES.setdefault("t_fisher_warmup_s", round(time.time() - wt, 2))
+        _log("fused product+fisher steady pass...")
+        st = time.time()
+        ev_f, _nm, fish = resident.product_all_resident(
+            tel, pos, neg, ls, lf, noisew, mbatch=mb,
+            band_lt=band_lt, ps_threshold=0.1,
+        )
+        t_fused = time.time() - st
+        if not np.isfinite(fish).all():
+            raise RuntimeError("non-finite fused Fisher")
+        t_f = max(t_fused - t_prod, 0.0)  # incremental Fisher cost
+        fisher_m_per_s = nm / t_fused
+        _log(
+            f"fused product+fisher: {t_fused:.1f}s for {nm} m "
+            f"(fisher increment {t_f:.1f}s)"
+        )
+        with_fisher = nm / (t_btm + t_fused)
+        _PHASES.setdefault("t_product_fisher_fused_s", round(t_fused, 2))
     except Exception as exc:  # falls back to the three-phase headline
         _log(f"fisher leg failed: {exc!r}")
     del state
@@ -821,30 +853,46 @@ def main():
                 t_btm_cpu = float(np.median(btms)) * nfb_total / n_done
                 t_prod_cpu = float(np.median(prods)) * nm / nsub
 
-                # Fisher subset on the last repeat's state, extrapolated,
-                # so the headline ratio compares the same four phases.
-                t_f_cpu = None
+                # Fused product+fisher subset on the last repeat's state,
+                # extrapolated — the same fused pass as the chip headline
+                # so the ratio compares the same four phases.
+                t_fused_cpu = None
                 if with_fisher is not None:
                     try:
+                        from driftscan_tpu.parallel import mstep, resident
+
                         nf_sub = max(4, nsub // 4)
                         pos_c, neg_c, ls_c, lf_c, nw_c = _st
-                        t_f_sub, nf_done = fisher_phase(
-                            tel_c, pos_c, neg_c, ls_c, lf_c, nw_c,
-                            nm_fisher=nf_sub,
+                        clb_c = _fisher_bands(tel_c)
+                        blt_c = mstep.band_factor_table(
+                            iter(clb_c), out_dtype=np.float32, rank_rtol=1e-9
                         )
-                        t_f_cpu = t_f_sub * nm / nf_done
+                        mb_c = resident._auto_mbatch(tel_c)
+                        resident.product_all_resident(
+                            tel_c, pos_c, neg_c, ls_c, lf_c, nw_c,
+                            mbatch=mb_c, max_m=min(mb_c, nf_sub),
+                            band_lt=blt_c, ps_threshold=0.1,
+                        )
+                        st = time.time()
+                        resident.product_all_resident(
+                            tel_c, pos_c, neg_c, ls_c, lf_c, nw_c,
+                            mbatch=mb_c, max_m=nf_sub,
+                            band_lt=blt_c, ps_threshold=0.1,
+                        )
+                        t_fused_cpu = (time.time() - st) * nm / nf_sub
                     except Exception as exc:
-                        _log(f"CPU fisher subset failed: {exc!r}")
+                        _log(f"CPU fused fisher subset failed: {exc!r}")
                 del _st
 
                 cpu_rate = nm / (t_btm_cpu + t_prod_cpu)
-                if with_fisher is not None and t_f_cpu is not None:
-                    cpu_rate4 = nm / (t_btm_cpu + t_prod_cpu + t_f_cpu)
+                if with_fisher is not None and t_fused_cpu is not None:
+                    cpu_rate4 = nm / (t_btm_cpu + t_fused_cpu)
                     vs_baseline = with_fisher / cpu_rate4
                     _log(
                         f"CPU leg (median of {reps}): btm {t_btm_cpu:.1f}s, "
-                        f"product {t_prod_cpu:.1f}s, fisher {t_f_cpu:.1f}s "
-                        f"(extrap) -> {cpu_rate4:.3f} mm/s (4-phase)"
+                        f"product {t_prod_cpu:.1f}s, fused prod+fisher "
+                        f"{t_fused_cpu:.1f}s (extrap) -> "
+                        f"{cpu_rate4:.3f} mm/s (4-phase)"
                     )
                 else:
                     vs_baseline = mm_per_sec / cpu_rate
