@@ -258,23 +258,50 @@ _SHT_AB_DECISION = os.path.join(
 _MBATCH_AB_DECISION = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "doc", "mbatch_ab.json"
 )
+_EXACT_PROFILE_DECISION = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "doc", "exact_profile.json"
+)
+
+
+def _read_pick(path, key):
+    try:
+        with open(path) as f:
+            return json.load(f).get(key)
+    except (OSError, ValueError):
+        return None
 
 
 def _mbatch_default():
-    """Headline product-phase m-batch: BENCH_MBATCH env, else the on-chip
-    sweep's accuracy-gated pick (scratch/mbatch_ab.py ->
-    doc/mbatch_ab.json), else None (resident._auto_mbatch).  Only the
-    primary headline telescope uses this — the pick was measured at
-    bench scale and does not transfer to the polarised/CPU legs."""
+    """Headline product-phase (m-batch, sig_levels): BENCH_MBATCH env,
+    else the stage profiler's pinned-depth pick (doc/exact_profile.json
+    — batch-size-independent at sig_levels=2), else the adaptive-depth
+    sweep's pick (doc/mbatch_ab.json), else (None, None) = auto.  Only
+    the primary headline telescope uses this — the picks were measured
+    at bench scale and do not transfer to the polarised/CPU legs."""
     env = os.environ.get("BENCH_MBATCH")
     if env:
-        return int(env)
-    try:
-        with open(_MBATCH_AB_DECISION) as f:
-            pick = json.load(f).get("mbatch_pick")
-    except (OSError, ValueError):
-        return None
-    return int(pick) if pick else None
+        return int(env), None
+    pinned = _read_pick(_EXACT_PROFILE_DECISION, "mbatch_pinned_pick")
+    if pinned:
+        return int(pinned), 2
+    pick = _read_pick(_MBATCH_AB_DECISION, "mbatch_pick")
+    return (int(pick) if pick else None), None
+
+
+def _product_precision_default():
+    """Matmul-precision tier for the product/fused phases only (the SHT
+    keeps its own A/B'd pick): BENCH_EXACT_PRECISION env (empty string
+    disables), else the stage profiler's accuracy-gated pick."""
+    env = os.environ.get("BENCH_EXACT_PRECISION")
+    if env is not None:
+        return env or None
+    return _read_pick(_EXACT_PROFILE_DECISION, "exact_prec_pick")
+
+
+def _prec_ctx(p):
+    import contextlib
+
+    return jax.default_matmul_precision(p) if p else contextlib.nullcontext()
 
 
 def resolve_sht_precision():
@@ -325,14 +352,24 @@ def _engine_defaults():
     return out
 
 
-def resident_phases(tel, max_m=None, mbatch=None, max_units=None):
+def resident_phases(
+    tel,
+    max_m=None,
+    mbatch=None,
+    max_units=None,
+    sig_levels=None,
+    product_precision=None,
+):
     """Device-resident BTM + product phases; returns (t_btm, t_prod).
 
     Timings force execution with a scalar reduction fetch (the remote
     runtime's block_until_ready is not a reliable fence), so only O(1)
     bytes cross the link inside the timed regions.  ``max_units``
     restricts the BTM phase to a strided unit subset (for the
-    extrapolated CPU baseline leg).
+    extrapolated CPU baseline leg).  ``sig_levels`` pins the whitened-
+    signal depth (None = adaptive); ``product_precision`` wraps ONLY the
+    product phase in that matmul-precision tier (the BTM/SHT keeps its
+    own A/B'd pick).
     """
     from driftscan_tpu.parallel import mstep, resident
 
@@ -392,21 +429,25 @@ def resident_phases(tel, max_m=None, mbatch=None, max_units=None):
     topband = eng["topband"]
 
     _log(f"product warm-up compile (mbatch={mbatch}, sig_k_cap={sig_k_cap}, "
-         f"topband={topband})...")
+         f"topband={topband}, sig_levels={sig_levels}, "
+         f"prec={product_precision})...")
+    kw = dict(sig_k_cap=sig_k_cap, topband=topband)
+    if sig_levels is not None:
+        kw["sig_levels"] = sig_levels
     wt = time.time()
-    resident.product_all_resident(
-        tel, pos, neg, ls, lf, noisew, mbatch=mbatch, max_m=min(mbatch, nm),
-        sig_k_cap=sig_k_cap, topband=topband,
-    )
-    _PHASES.setdefault("t_product_warmup_s", round(time.time() - wt, 2))
+    with _prec_ctx(product_precision):
+        resident.product_all_resident(
+            tel, pos, neg, ls, lf, noisew, mbatch=mbatch,
+            max_m=min(mbatch, nm), **kw,
+        )
+        _PHASES.setdefault("t_product_warmup_s", round(time.time() - wt, 2))
 
-    _log("product steady pass...")
-    st = time.time()
-    evals, nmodes = resident.product_all_resident(
-        tel, pos, neg, ls, lf, noisew, mbatch=mbatch, max_m=nm,
-        sig_k_cap=sig_k_cap, topband=topband,
-    )
-    t_prod = time.time() - st
+        _log("product steady pass...")
+        st = time.time()
+        evals, nmodes = resident.product_all_resident(
+            tel, pos, neg, ls, lf, noisew, mbatch=mbatch, max_m=nm, **kw,
+        )
+        t_prod = time.time() - st
 
     if not np.isfinite(evals).all():
         raise RuntimeError("non-finite KL eigenvalues in bench product phase")
@@ -733,7 +774,15 @@ def main():
     nfb_total = tel.npairs * tel.nfreq
     _log(f"telescope ready: nm={nm} nfb={nfb_total} platform={platform}")
 
-    t_btm, t_prod, state = resident_phases(tel, mbatch=_mbatch_default())
+    mb_pick, sig_pick = _mbatch_default()
+    prec_pick = _product_precision_default()
+    if prec_pick:
+        _PHASES.setdefault("product_precision", prec_pick)
+    if sig_pick is not None:
+        _PHASES.setdefault("sig_levels_pinned", sig_pick)
+    t_btm, t_prod, state = resident_phases(
+        tel, mbatch=mb_pick, sig_levels=sig_pick, product_precision=prec_pick
+    )
     _log(f"BTM phase: {t_btm:.1f}s; product phase: {t_prod:.1f}s")
     mm_per_sec = nm / (t_btm + t_prod)
 
@@ -760,21 +809,26 @@ def main():
         band_lt = mstep.band_factor_table(
             iter(clb), out_dtype=np.float32, rank_rtol=1e-9
         )
-        mb = _mbatch_default() or resident._auto_mbatch(tel)
+        mb = mb_pick or resident._auto_mbatch(tel)
+        fkw = dict(band_lt=band_lt, ps_threshold=0.1)
+        if sig_pick is not None:
+            fkw["sig_levels"] = sig_pick
         _log("fused product+fisher warm-up compile...")
         wt = time.time()
-        resident.product_all_resident(
-            tel, pos, neg, ls, lf, noisew, mbatch=mb, max_m=min(mb, nm),
-            band_lt=band_lt, ps_threshold=0.1,
-        )
-        _PHASES.setdefault("t_fisher_warmup_s", round(time.time() - wt, 2))
-        _log("fused product+fisher steady pass...")
-        st = time.time()
-        ev_f, _nm, fish = resident.product_all_resident(
-            tel, pos, neg, ls, lf, noisew, mbatch=mb,
-            band_lt=band_lt, ps_threshold=0.1,
-        )
-        t_fused = time.time() - st
+        with _prec_ctx(prec_pick):
+            resident.product_all_resident(
+                tel, pos, neg, ls, lf, noisew, mbatch=mb,
+                max_m=min(mb, nm), **fkw,
+            )
+            _PHASES.setdefault(
+                "t_fisher_warmup_s", round(time.time() - wt, 2)
+            )
+            _log("fused product+fisher steady pass...")
+            st = time.time()
+            ev_f, _nm, fish = resident.product_all_resident(
+                tel, pos, neg, ls, lf, noisew, mbatch=mb, **fkw,
+            )
+            t_fused = time.time() - st
         if not np.isfinite(fish).all():
             raise RuntimeError("non-finite fused Fisher")
         t_f = max(t_fused - t_prod, 0.0)  # incremental Fisher cost

@@ -240,6 +240,31 @@ def main():
             ev_full_flat = ev
         print(f"full phase bucket={bucket}: {dtb:.1f} s", flush=True)
 
+    # ---- accuracy-gated picks for the bench (env always wins there) ----
+    # precision: retained sets equal AND rel <= 1e-4 AND >5% faster
+    rec["exact_prec_pick"] = (
+        "default"
+        if (
+            sets_equal
+            and rel <= 1e-4
+            and dt_d < 0.95 * dt_ref
+        )
+        else None
+    )
+    # pinned-depth big batch: per-m results must be batch-size
+    # independent at sig_levels=2 AND the big batch must beat the small
+    # one per m
+    rec["mbatch_pinned_pick"] = (
+        int(mb2)
+        if (rel64 <= 1e-4 and dt64 / mb2 < 0.95 * dt_ref / mb)
+        else None
+    )
+    print(
+        f"picks: exact_prec={rec['exact_prec_pick']} "
+        f"mbatch_pinned={rec['mbatch_pinned_pick']}",
+        flush=True,
+    )
+
     with open("/root/repo/doc/exact_profile.json", "w") as f:
         json.dump(rec, f, indent=1)
     print("record written to /root/repo/doc/exact_profile.json", flush=True)

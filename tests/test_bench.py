@@ -113,22 +113,48 @@ def test_resolve_sht_precision(tmp_path, monkeypatch):
 
 
 def test_mbatch_default_resolution(tmp_path, monkeypatch):
-    """Env pins the headline m-batch; otherwise the sweep record decides."""
+    """Env pins the headline m-batch; otherwise the records decide
+    (pinned-depth profiler pick beats the adaptive sweep pick)."""
     import bench
 
     rec = tmp_path / "mbatch_ab.json"
+    prof = tmp_path / "exact_profile.json"
     monkeypatch.setattr(bench, "_MBATCH_AB_DECISION", str(rec))
+    monkeypatch.setattr(bench, "_EXACT_PROFILE_DECISION", str(prof))
     monkeypatch.delenv("BENCH_MBATCH", raising=False)
 
-    # no record, no env -> auto (None)
-    assert bench._mbatch_default() is None
+    # no record, no env -> auto
+    assert bench._mbatch_default() == (None, None)
 
     rec.write_text(json.dumps({"mbatch_pick": 32}))
-    assert bench._mbatch_default() == 32
+    assert bench._mbatch_default() == (32, None)
+
+    # pinned-depth pick wins over the adaptive sweep's
+    prof.write_text(json.dumps({"mbatch_pinned_pick": 64}))
+    assert bench._mbatch_default() == (64, 2)
 
     # a sweep with no accuracy-passing setting records null -> auto
+    prof.write_text(json.dumps({"mbatch_pinned_pick": None}))
     rec.write_text(json.dumps({"mbatch_pick": None}))
-    assert bench._mbatch_default() is None
+    assert bench._mbatch_default() == (None, None)
 
     monkeypatch.setenv("BENCH_MBATCH", "16")
-    assert bench._mbatch_default() == 16
+    assert bench._mbatch_default() == (16, None)
+
+
+def test_product_precision_resolution(tmp_path, monkeypatch):
+    """Env pins the product matmul tier; otherwise the profiler's gated
+    pick; empty env string disables adoption."""
+    import bench
+
+    prof = tmp_path / "exact_profile.json"
+    monkeypatch.setattr(bench, "_EXACT_PROFILE_DECISION", str(prof))
+    monkeypatch.delenv("BENCH_EXACT_PRECISION", raising=False)
+
+    assert bench._product_precision_default() is None
+    prof.write_text(json.dumps({"exact_prec_pick": "default"}))
+    assert bench._product_precision_default() == "default"
+    monkeypatch.setenv("BENCH_EXACT_PRECISION", "")
+    assert bench._product_precision_default() is None
+    monkeypatch.setenv("BENCH_EXACT_PRECISION", "high")
+    assert bench._product_precision_default() == "high"
