@@ -17,7 +17,7 @@ os.environ.setdefault("DRIFTSCAN_TPU_LEGENDRE_CACHE_GB", "2.0")
 # 2 units per chunk at nside 1024 (~1.6 GB of pixel temporaries per
 # polarised unit): halves the per-chunk host dispatch overhead vs
 # take=1 while staying inside HBM next to the 4.15 GB window tables
-os.environ.setdefault("DRIFTSCAN_TPU_SHT_BUDGET_GB", "6.0")
+os.environ.setdefault("DRIFTSCAN_TPU_SHT_BUDGET_GB", "4.5")
 import numpy as np, jax, jax.numpy as jnp
 
 # NS_SMOKE=1: tiny-telescope CPU rehearsal of this script's *logic*
@@ -157,7 +157,11 @@ if band_lt is not None:
 # over the 15.75 GB HBM — so the run streams m-windows: each window's
 # BTM costs its share of the SHT (the m-chunk scan just starts at m0)
 # plus a re-run of the pixel-space beam products.
-W = 3 if SMOKE else 16
+# 20 windows (not 16): the first real window-1 compile OOM'd at 16.37 G
+# vs 15.75 G HBM (2026-08-19, beam-bank kernel next to the window
+# tables); 66 GB / 20 = 3.3 GB tables + the 4.5 GB SHT chunk budget
+# leaves ~1.5 GB of the overshoot as headroom
+W = 3 if SMOKE else 20
 edges = np.linspace(0, nm, W + 1).astype(int)
 rec["m_windows"] = W
 t_btm = t_prod = 0.0
