@@ -131,11 +131,38 @@ def main():
         bsyn.re, bsyn.im,
     )
 
-    def noise_qr(fr, fi_):
+    probe(
+        "beam_factor_compact_sig",
+        jax.vmap(
+            lambda br, bi: fpencil.beam_factor_compact(za.Z(br, bi), lsj)
+        ),
+        bsyn.re, bsyn.im,
+    )
+
+    from driftscan_tpu.ops import linalg as dlinalg
+
+    bw = zrand(mb, F, 2 * tel.npairs, npol * nl)
+    probe(
+        "triple_svd",
+        jax.vmap(
+            lambda br, bi: dlinalg.triple_svd_split_batched(
+                br, bi, npol=npol, nl=nl, polsvcut=1e-4
+            )[4]
+        ),
+        bw.re, bw.im,
+    )
+
+    def noise_qr(fr, fi_, rounds=None):
         rows = fpencil._thermal_noise_rows(za.Z(fr, fi_), 1.0)
-        return fpencil._noise_r_factor(rows)
+        aug = za.interleave(rows)
+        return fpencil.chol_qr_r(aug, rounds=rounds)
 
     probe("noise_qr", jax.vmap(noise_qr), a_f.re, a_f.im)
+    probe(
+        "noise_qr_r4",
+        jax.vmap(lambda fr, fi_: noise_qr(fr, fi_, rounds=4)),
+        a_f.re, a_f.im,
+    )
 
     r_e = jax.vmap(noise_qr)(a_f.re, a_f.im)
     probe(
