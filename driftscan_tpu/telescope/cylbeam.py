@@ -150,15 +150,15 @@ def _beam_device_kernel(
     t = (x - kx0) * inv_step
     i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, fx.shape[0] - 2)
     frac = t - i0.astype(t.dtype)
-    # One gather of (fx[i], fx[i+1]) pairs instead of two element
-    # gathers (measured 246 -> 69 ms at 12.6M px eager).  The pair axis
-    # must be MAJOR in the gather output: a minor-axis pair ([npix, 2],
-    # T(8,128) tiling) pads 2 -> 128 — a 64x expansion that alone OOMs
-    # the north-star beam bank at nside 1024 (16.00G for a 256M gather,
-    # doc/northstar_run.log 2026-08-19); [2, npix] pads 2 -> 8 only.
-    tab2 = jnp.stack([fx, jnp.roll(fx, -1)], axis=0)
-    pair = jnp.take(tab2, i0, axis=1)
-    ew = pair[0] * (1.0 - frac) + pair[1] * frac
+    # Two 1-D element gathers, NOT one pair gather: any gather whose
+    # output carries the 2-wide pair axis materialises [npix, 2] (XLA
+    # emits offset dims minor, then transposes), and T(8,128) tiling
+    # pads 2 -> 128 — a 64x expansion that alone plans 16.00G at nside
+    # 1024 and OOM'd every north-star window-1 compile
+    # (doc/northstar_run.log 2026-08-19).  1-D outputs tile flat.
+    ew0 = jnp.take(fx, i0)
+    ew1 = jnp.take(fx, i0 + 1)
+    ew = ew0 * (1.0 - frac) + ew1 * frac
     ns = kernels.beam_exptan(cart @ yhat, fwhm_ns)
     amp = ew * ns * horizon
     if not polarised:
