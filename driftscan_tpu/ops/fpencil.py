@@ -625,11 +625,17 @@ def chol_qr_r(aug_e: jnp.ndarray, rounds: int | None = None) -> jnp.ndarray:
         r_k = jnp.swapaxes(L, -1, -2)
         r_total = r_k if r_total is None else r_k @ r_total
         if k < rounds - 1:
-            # G <- G R_k^{-1}  (solve R_k^T X^T = G^T, R_k^T lower)
-            gt = jax.scipy.linalg.solve_triangular(
-                jnp.swapaxes(r_k, -1, -2), jnp.swapaxes(g, -1, -2), lower=True
+            # G <- G R_k^{-1} via the explicit small inverse: XLA's blocked
+            # triangular solve against the tall G materialises a ladder of
+            # partial-result temps (one (rows_done, tall) buffer per 128-row
+            # block — ~14 GB at north-star scale), while the (n, n) solve
+            # against I plus one tall MXU matmul holds only ~2 copies of G.
+            # Stable exactly as in _chol_qr_r_split: every solved round is
+            # shifted, capping cond(R_k) at ~sqrt(1/shift_rel).
+            rinv = jax.scipy.linalg.solve_triangular(
+                r_k, jnp.broadcast_to(eye, r_k.shape), lower=False
             )
-            g = jnp.swapaxes(gt, -1, -2)
+            g = g @ rinv
     return r_total
 
 
