@@ -261,6 +261,9 @@ _MBATCH_AB_DECISION = os.path.join(
 _EXACT_PROFILE_DECISION = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "doc", "exact_profile.json"
 )
+_WHITEN_AB_DECISION = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "doc", "whiten_ab.json"
+)
 
 
 def _read_pick(path, key):
@@ -344,6 +347,16 @@ def _engine_defaults():
     sp = resolve_sht_precision()
     if sp:
         out["sht_precision"] = sp
+    # whitening application: adopt the on-chip A/B's accuracy-gated pick
+    # (doc/whiten_ab.json — factored per-round inverses vs tall
+    # triangular solves); env always wins, matching _QR_IMPL's contract.
+    if os.environ.get("DRIFTSCAN_TPU_WHITEN_IMPL") is None:
+        wp = _read_pick(_WHITEN_AB_DECISION, "whiten_pick")
+        if wp:
+            from driftscan_tpu.ops import fpencil
+
+            fpencil._WHITEN_IMPL = wp
+            out["whiten"] = wp
     env = os.environ.get("BENCH_TOPBAND")
     if env is not None:
         out["topband"] = env == "1"

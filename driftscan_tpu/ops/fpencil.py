@@ -569,7 +569,11 @@ def _cholqr_rounds(dtype) -> int:
     return 8 if jnp.finfo(dtype).eps > 1e-10 else 4
 
 
-def chol_qr_r(aug_e: jnp.ndarray, rounds: int | None = None) -> jnp.ndarray:
+def chol_qr_r(
+    aug_e: jnp.ndarray,
+    rounds: int | None = None,
+    return_inv: bool = False,
+) -> jnp.ndarray:
     """Upper-triangular R with ``aug_e ~= Q R`` for a tall real matrix.
 
     XLA's Householder QR is panel-sequential and runs ~60 GFLOP/s on the
@@ -606,6 +610,7 @@ def chol_qr_r(aug_e: jnp.ndarray, rounds: int | None = None) -> jnp.ndarray:
 
     g = aug_e
     r_total = None
+    invs = []
     for k in range(rounds):
         gram = jnp.einsum("...ji,...jk->...ik", g, g)
         gram = 0.5 * (gram + jnp.swapaxes(gram, -1, -2))
@@ -624,7 +629,7 @@ def chol_qr_r(aug_e: jnp.ndarray, rounds: int | None = None) -> jnp.ndarray:
         L = jnp.linalg.cholesky(gram)
         r_k = jnp.swapaxes(L, -1, -2)
         r_total = r_k if r_total is None else r_k @ r_total
-        if k < rounds - 1:
+        if k < rounds - 1 or return_inv:
             # G <- G R_k^{-1} via the explicit small inverse: XLA's blocked
             # triangular solve against the tall G materialises a ladder of
             # partial-result temps (one (rows_done, tall) buffer per 128-row
@@ -635,7 +640,12 @@ def chol_qr_r(aug_e: jnp.ndarray, rounds: int | None = None) -> jnp.ndarray:
             rinv = jax.scipy.linalg.solve_triangular(
                 r_k, jnp.broadcast_to(eye, r_k.shape), lower=False
             )
-            g = g @ rinv
+            if return_inv:
+                invs.append(rinv)
+            if k < rounds - 1:
+                g = g @ rinv
+    if return_inv:
+        return r_total, invs
     return r_total
 
 
@@ -647,7 +657,7 @@ def chol_qr_r(aug_e: jnp.ndarray, rounds: int | None = None) -> jnp.ndarray:
 _QR_IMPL = os.environ.get("DRIFTSCAN_TPU_QR_IMPL", "cholqr")
 
 
-def _chol_qr_r_split(rows: za.Z) -> jnp.ndarray:
+def _chol_qr_r_split(rows: za.Z, return_inv: bool = False) -> jnp.ndarray:
     """R of the noise rows by shifted CholeskyQR in split-complex form.
 
     Exactly :func:`chol_qr_r`'s round schedule, but the tall matrix
@@ -676,6 +686,7 @@ def _chol_qr_r_split(rows: za.Z) -> jnp.ndarray:
 
     g = rows
     r_tot = None  # Z (n, n) upper-triangular complex
+    invs = []
     for k in range(rounds):
         gram = _herm(za.einsum("...ji,...jk->...ik", g.conj(), g))
         if k < rounds - 2:
@@ -700,12 +711,17 @@ def _chol_qr_r_split(rows: za.Z) -> jnp.ndarray:
             if r_tot is None
             else za.einsum("...ij,...jk->...ik", r_k, r_tot)
         )
-        if k < rounds - 1:
+        if k < rounds - 1 or return_inv:
             le_t = jnp.swapaxes(za.interleave(L), -1, -2)  # interleave(L^H)
             rinv = za.deinterleave(
                 jax.scipy.linalg.solve_triangular(le_t, eye2, lower=False)
             )
-            g = za.einsum("...ij,...jk->...ik", g, rinv)
+            if return_inv:
+                invs.append(rinv)
+            if k < rounds - 1:
+                g = za.einsum("...ij,...jk->...ik", g, rinv)
+    if return_inv:
+        return za.interleave(r_tot), invs
     return za.interleave(r_tot)
 
 
@@ -720,6 +736,103 @@ def _noise_r_factor(noise_rows: za.Z) -> jnp.ndarray:
         sign = jnp.where(d < 0, -1.0, 1.0).astype(aug.dtype)
         return r_e * sign[..., :, None]
     return chol_qr_r(aug)
+
+
+# Whitening application: "solve" applies R_total^-H / R_total^-1 by XLA's
+# triangular solve against the tall right-hand sides (the full R carries
+# cond(N)^(1/2), so it is never inverted *as a whole*); "factored" applies
+# the same inverses as the chain of per-round explicit factor inverses
+# R_total^-1 = R_1^-1 .. R_K^-1 — each R_k is shift-capped at
+# cond ~ sqrt(1/shift_rel) by construction, so every factor inversion is
+# stable, and each application is one (n, n)(n, cols) MXU matmul instead
+# of a panel-sequential tall triangular solve (measured ~98 ms/m at bench
+# scale, ~1/3 of the whole product step).  The ill-conditioning of
+# R_total stays distributed across the chain exactly as it is inside the
+# CholeskyQR iteration itself (which whitens G through the same
+# inverses).  Env-overridable; bench adopts the on-chip A/B's
+# accuracy-gated pick (doc/whiten_ab.json) like _QR_IMPL.
+_WHITEN_IMPL = os.environ.get("DRIFTSCAN_TPU_WHITEN_IMPL", "solve")
+
+# Residual-correction steps for the "refined" impl.  One step closes the
+# chain-vs-solve gap to ~5e-4 worst-case at bench conditioning (knife-edge
+# m=1); two put it under the 1e-4 retained-spectrum tier everywhere
+# measured (scratch/whiten_localize.py) at the cost of one more chain
+# application + triangular matmul per whitening.
+_WHITEN_REFINE_STEPS = int(os.environ.get("DRIFTSCAN_TPU_WHITEN_REFINE", "2"))
+
+
+def _noise_white_factors(noise_rows: za.Z):
+    """(r_e, [R_1^-1 .. R_K^-1]) — R and the per-round inverses as za.Z.
+
+    Only defined for the CholeskyQR implementations (householder has no
+    round factors); callers check :func:`_whiten_factored` first.
+    """
+    if _QR_IMPL == "cholqr_split":
+        r_e, invs = _chol_qr_r_split(noise_rows, return_inv=True)
+        return r_e, invs
+    aug = za.interleave(noise_rows)
+    r_e, invs_e = chol_qr_r(aug, return_inv=True)
+    return r_e, [za.deinterleave(inv_e) for inv_e in invs_e]
+
+
+def _whiten_factored() -> bool:
+    return _WHITEN_IMPL in ("factored", "refined") and _QR_IMPL != "householder"
+
+
+def _whiten_apply_factors(invs, b: za.Z, adjoint: bool) -> za.Z:
+    """Apply R_total^-H b (adjoint) or R_total^-1 b through the factors.
+
+    R_total = R_K .. R_1, so R_total^-1 = R_1^-1 .. R_K^-1 (apply the
+    stored inverses right-to-left) and R_total^-H = R_K^-H .. R_1^-H
+    (apply their adjoints left-to-right).
+    """
+    if adjoint:
+        for inv in invs:
+            b = za.einsum("...ji,...jk->...ik", inv.conj(), b)
+    else:
+        for inv in reversed(invs):
+            b = za.einsum("...ij,...jk->...ik", inv, b)
+    return b
+
+
+def _whiten_apply_refined(
+    r_e: jnp.ndarray, invs, b: za.Z, adjoint: bool
+) -> za.Z:
+    """Factored application plus one iterative-refinement step.
+
+    The correction drives the chain's result toward the exact solution
+    of R^H y = b (resp. R v = b) for the *same* R_total the solve path
+    uses, so the two impls agree to the refinement's convergence
+    (residual contraction ~ ||I - M R^H|| per step) rather than to each
+    path's independent rounding — which keeps knife-edge modes of the
+    downstream banded deflation from rerouting.  Cost: one extra chain
+    application plus one triangular matmul (both MXU work).
+    """
+    mat = jnp.swapaxes(r_e, -1, -2) if adjoint else r_e
+    y = _whiten_apply_factors(invs, b, adjoint=adjoint)
+    for _ in range(_WHITEN_REFINE_STEPS):
+        res = b - za.deinterleave(mat @ za.interleave(y))
+        y = y + _whiten_apply_factors(invs, res, adjoint=adjoint)
+    return y
+
+
+def _make_whitener(noise_rows: za.Z):
+    """The whitening application for the active ``_WHITEN_IMPL``.
+
+    Returns ``whiten(b, adjoint)`` computing R^-H b (adjoint) or
+    R^-1 b: "solve" = tall triangular solves against R_total,
+    "factored" = the per-round inverse chain, "refined" = the chain
+    plus one residual correction (see the impl docstrings above).
+    """
+    if _whiten_factored():
+        r_e, invs = _noise_white_factors(noise_rows)
+        if _WHITEN_IMPL == "refined":
+            return lambda b, adj: _whiten_apply_refined(
+                r_e, invs, b, adjoint=adj
+            )
+        return lambda b, adj: _whiten_apply_factors(invs, b, adjoint=adj)
+    r_e = _noise_r_factor(noise_rows)
+    return lambda b, adj: _solve_tri_interleaved(r_e, b, adjoint=adj)
 
 
 # ------------------------------------------------------------------
@@ -995,8 +1108,8 @@ def pencil_solve_qr_topband(
     n = a_signal.shape[-2]
     w = min(levels * k, n)
 
-    r_e = _noise_r_factor(noise_rows)
-    y = _solve_tri_interleaved(r_e, a_signal, adjoint=True)  # R^-H A_s
+    whiten = _make_whitener(noise_rows)
+    y = whiten(a_signal, True)  # R^-H A_s
 
     theta, u, ok = gram_topband(
         y,
@@ -1017,7 +1130,7 @@ def pencil_solve_qr_topband(
         jnp.take(u.re, order, axis=1), jnp.take(u.im, order, axis=1)
     )
 
-    v = _solve_tri_interleaved(r_e, u, adjoint=False)  # R^-1 U, (n, w)
+    v = whiten(u, False)  # R^-1 U, (n, w)
 
     pad = n - w
     evals = jnp.concatenate(
@@ -1131,9 +1244,9 @@ def pencil_solve_qr(
     in_dtype = a_signal.re.dtype
     n = a_signal.shape[-2]
 
-    r_e = _noise_r_factor(noise_rows)
+    whiten = _make_whitener(noise_rows)
 
-    y = _solve_tri_interleaved(r_e, a_signal, adjoint=True)  # R^-H A_s
+    y = whiten(a_signal, True)  # R^-H A_s
 
     if sig_k_cap:
         yb = gram_bands_topk(
@@ -1144,7 +1257,7 @@ def pencil_solve_qr(
     u, sy = _select_complete_basis(yb)
     evals = sy * sy  # descending
 
-    v = _solve_tri_interleaved(r_e, u, adjoint=False)  # R^-1 U
+    v = whiten(u, False)  # R^-1 U
 
     evals = evals[..., ::-1].astype(in_dtype)
     v = za.Z(

@@ -446,6 +446,98 @@ class TestKLSolveQR:
         assert np.abs(c[:kt] / e[:kt] - 1).max() < 1.5e-3
 
 
+class TestFactoredWhitening:
+    """Whitening applied through the per-round factor inverses.
+
+    ``_WHITEN_IMPL = "factored"`` replaces the tall triangular solves
+    R^-H A_s / R^-1 U with chains of (n, n) matmuls against the
+    shift-capped per-round inverses (fpencil._whiten_apply_factors).
+    Each factor has cond ~ sqrt(1/shift_rel) by construction, so the
+    chain must reproduce the solve path's spectrum at bench
+    conditioning (cond(N) ~ 3e11) for both CholeskyQR implementations.
+    """
+
+    def _run(self, qr_impl, whiten="factored"):
+        rng = np.random.default_rng(3)
+        a_s, a_f = TestKLSolveQR()._hard_pencil(rng)
+        ev_ref, _ = fpencil.kl_solve_dense_ref(
+            a_s.astype(np.complex64), a_f.astype(np.complex64)
+        )
+        prev_q, prev_w = fpencil._QR_IMPL, fpencil._WHITEN_IMPL
+        try:
+            fpencil._QR_IMPL = qr_impl
+            fpencil._WHITEN_IMPL = whiten
+            res = jax.jit(lambda s, f: fpencil.kl_solve(s, f, method="qr"))(
+                _split32(a_s), _split32(a_f)
+            )
+        finally:
+            fpencil._QR_IMPL, fpencil._WHITEN_IMPL = prev_q, prev_w
+        n = a_s.shape[0]
+        e = np.sort(ev_ref)[::-1]
+        c = np.sort(np.asarray(res.evals, np.float64))[::-1]
+        np.testing.assert_allclose(c[:32], e[:32], rtol=5e-3)
+        # eigenvectors stay N-orthonormal on the retained block
+        v = (np.asarray(res.evecs.re) + 1j * np.asarray(res.evecs.im)).astype(
+            np.complex128
+        )
+        N = a_f @ a_f.conj().T + np.eye(n)
+        g = v[:, -32:].conj().T @ N @ v[:, -32:]
+        assert np.abs(g - np.eye(32)).max() < 5e-3
+
+    def test_factored_matches_dense_cholqr(self):
+        self._run("cholqr")
+
+    def test_factored_matches_dense_cholqr_split(self):
+        self._run("cholqr_split")
+
+    def test_refined_matches_dense_cholqr(self):
+        self._run("cholqr", whiten="refined")
+
+    def test_refined_matches_dense_cholqr_split(self):
+        self._run("cholqr_split", whiten="refined")
+
+    def test_refined_tracks_solve_closely(self):
+        """The refinement's contract: agree with the solve path itself
+        (not just truth) so banded deflation can't reroute knife-edge
+        modes — worst measured 3e-5 on the real bench pencil
+        (scratch/whiten_localize.py)."""
+        rng = np.random.default_rng(7)
+        a_s, a_f = TestKLSolveQR()._hard_pencil(rng)
+        a_s = a_s * 30.0  # push a band of whitened modes above the 0.1 cut
+        prev_w = fpencil._WHITEN_IMPL
+        try:
+            fpencil._WHITEN_IMPL = "solve"
+            ev_solve = np.asarray(
+                jax.jit(
+                    lambda s, f: fpencil.kl_solve(s, f, method="qr").evals
+                )(_split32(a_s), _split32(a_f)),
+                np.float64,
+            )
+            fpencil._WHITEN_IMPL = "refined"
+            ev_ref = np.asarray(
+                jax.jit(
+                    lambda s, f: fpencil.kl_solve(s, f, method="qr").evals
+                )(_split32(a_s), _split32(a_f)),
+                np.float64,
+            )
+        finally:
+            fpencil._WHITEN_IMPL = prev_w
+        ret = ev_solve > 0.1
+        assert ret.any()
+        denom = np.abs(ev_solve[ret]).max()
+        assert np.abs((ev_solve - ev_ref)[ret]).max() / denom < 1e-4
+
+    def test_factored_falls_back_for_householder(self):
+        # householder has no round factors: _whiten_factored() must gate off
+        prev_q, prev_w = fpencil._QR_IMPL, fpencil._WHITEN_IMPL
+        try:
+            fpencil._QR_IMPL = "householder"
+            fpencil._WHITEN_IMPL = "factored"
+            assert not fpencil._whiten_factored()
+        finally:
+            fpencil._QR_IMPL, fpencil._WHITEN_IMPL = prev_q, prev_w
+
+
 class TestCholQR:
     """The matmul-only shifted-CholeskyQR R factor (the TPU QR replacement).
 
