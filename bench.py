@@ -357,6 +357,14 @@ def _engine_defaults():
 
             fpencil._WHITEN_IMPL = wp
             out["whiten"] = wp
+    # beam_factor lowering: stage profiler's elementwise-gated pick
+    if os.environ.get("DRIFTSCAN_TPU_BEAM_FACTOR_IMPL") is None:
+        bf = _read_pick(_EXACT_PROFILE_DECISION, "beam_factor_pick")
+        if bf:
+            from driftscan_tpu.ops import fpencil
+
+            fpencil._BEAM_FACTOR_IMPL = bf
+            out["beam_factor"] = bf
     env = os.environ.get("BENCH_TOPBAND")
     if env is not None:
         out["topband"] = env == "1"

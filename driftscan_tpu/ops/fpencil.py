@@ -180,6 +180,26 @@ def factor_cl(cl, out_dtype=np.float32, compact_rank=True, rank_rtol=1e-15):
 # ------------------------------------------------------------------
 
 
+# Lowering for :func:`beam_factor`.  The einsum "fapl,lpfk->falk" has
+# BOTH f and l as diagonal (shared, non-contracted) indices, which XLA
+# lowers as a (f*l)-batched (S, p)(p, K) matmul — p is 1 or 4, so the
+# MXU runs at a tiny fraction of a tile and the stage is pure overhead
+# (measured 511 ms per mb=8 batch at bench scale, ~20% of the product
+# step).  "bcast" lowers it as p broadcast multiply-accumulates over the
+# (F, S, nl, K) output — plain VPU/HBM-bandwidth work.  Env-overridable;
+# the stage profiler A/Bs both and the bench adopts its gated pick.
+_BEAM_FACTOR_IMPL = os.environ.get("DRIFTSCAN_TPU_BEAM_FACTOR_IMPL", "einsum")
+
+
+def _beam_factor_bcast_plane(plane: jnp.ndarray, lt: jnp.ndarray) -> jnp.ndarray:
+    """One real plane of the broadcast lowering; lt is (npol, F, nl, K)."""
+    npol = lt.shape[0]
+    out = plane[:, :, 0, :, None] * lt[0][:, None, :, :]
+    for p in range(1, npol):
+        out = out + plane[:, :, p, :, None] * lt[p][:, None, :, :]
+    return out
+
+
 def beam_factor(bsvd: za.Z, L) -> za.Z:
     """Projected covariance factor A = B_svd L, in factored (tall) form.
 
@@ -192,8 +212,13 @@ def beam_factor(bsvd: za.Z, L) -> za.Z:
     F, S = bsvd.re.shape[0], bsvd.re.shape[1]
     K = L.shape[-1]
     nl = L.shape[0]
-    a_re = jnp.einsum("fapl,lpfk->falk", bsvd.re, L, optimize=True)
-    a_im = jnp.einsum("fapl,lpfk->falk", bsvd.im, L, optimize=True)
+    if _BEAM_FACTOR_IMPL == "bcast":
+        lt = jnp.transpose(L, (1, 2, 0, 3))  # (npol, F, nl, K)
+        a_re = _beam_factor_bcast_plane(bsvd.re, lt)
+        a_im = _beam_factor_bcast_plane(bsvd.im, lt)
+    else:
+        a_re = jnp.einsum("fapl,lpfk->falk", bsvd.re, L, optimize=True)
+        a_im = jnp.einsum("fapl,lpfk->falk", bsvd.im, L, optimize=True)
     return za.Z(a_re.reshape(F * S, nl * K), a_im.reshape(F * S, nl * K))
 
 

@@ -139,6 +139,40 @@ def main():
         bsyn.re, bsyn.im,
     )
 
+    # broadcast lowering of the same stage (diagonal f/l einsum avoided)
+    bf_fn = jax.vmap(lambda br, bi: fpencil.beam_factor(za.Z(br, bi), lsj))
+    a_einsum = bf_fn(bsyn.re, bsyn.im)
+    prev_bf = fpencil._BEAM_FACTOR_IMPL
+    fpencil._BEAM_FACTOR_IMPL = "bcast"
+    try:
+        probe(
+            "beam_factor_sig_bcast",
+            jax.vmap(lambda br, bi: fpencil.beam_factor(za.Z(br, bi), lsj)),
+            bsyn.re, bsyn.im,
+        )
+        probe(
+            "beam_factor_fg_bcast",
+            jax.vmap(lambda br, bi: fpencil.beam_factor(za.Z(br, bi), lfj)),
+            bsyn.re, bsyn.im,
+        )
+        a_bcast = jax.vmap(
+            lambda br, bi: fpencil.beam_factor(za.Z(br, bi), lsj)
+        )(bsyn.re, bsyn.im)
+    finally:
+        fpencil._BEAM_FACTOR_IMPL = prev_bf
+    denom = float(np.abs(np.asarray(a_einsum.re)).max()) + 1e-30
+    rec["beam_factor_bcast_rel"] = float(
+        max(
+            np.abs(np.asarray(a_bcast.re) - np.asarray(a_einsum.re)).max(),
+            np.abs(np.asarray(a_bcast.im) - np.asarray(a_einsum.im)).max(),
+        )
+        / denom
+    )
+    print(
+        f"beam_factor bcast elementwise rel {rec['beam_factor_bcast_rel']:.2e}",
+        flush=True,
+    )
+
     from driftscan_tpu.ops import linalg as dlinalg
 
     bw = zrand(mb, F, 2 * tel.npairs, npol * nl)
@@ -321,6 +355,20 @@ def _picks(rec):
             and rec.get("batch64_sets_equal", True)
             and rec["batch64_rel_vs_mb8"] <= _GATE_REL
             and rec["batch64_per_m_ms"] < 0.95 * per_m_ref
+        )
+        else None
+    )
+    # beam_factor lowering: elementwise agreement (far stronger than the
+    # spectrum gate — bit-identical at npol=1 where p has one term) plus
+    # a real stage win on both sides
+    st = rec.get("stages_ms", {})
+    out["beam_factor_pick"] = (
+        "bcast"
+        if (
+            rec.get("beam_factor_bcast_rel", 1.0) <= 1e-6
+            and st.get("beam_factor_sig_bcast", 9e9)
+            + st.get("beam_factor_fg_bcast", 9e9)
+            < 0.95 * (st.get("beam_factor_sig", 0) + st.get("beam_factor_fg", 0))
         )
         else None
     )

@@ -608,6 +608,33 @@ class TestCholQR:
         np.testing.assert_allclose(ev_c[-16:], top, rtol=1e-6, atol=1e-9 * top.max())
 
 
+class TestBeamFactorBcast:
+    """Broadcast lowering of beam_factor matches the einsum lowering."""
+
+    @pytest.mark.parametrize("npol", [1, 4])
+    def test_matches_einsum(self, npol):
+        rng = np.random.default_rng(5)
+        F, S, nl, K = 3, 4, 16, 8
+        b = rng.standard_normal((F, S, npol, nl)) + 1j * rng.standard_normal(
+            (F, S, npol, nl)
+        )
+        L = np.ascontiguousarray(
+            rng.standard_normal((nl, npol, F, K))
+            * np.logspace(0, -2, nl)[:, None, None, None]
+        )
+        bz = za.of(b.astype(np.complex64))
+        want = za.to_numpy(fpencil.beam_factor(bz, jnp.asarray(L, jnp.float32)))
+        prev = fpencil._BEAM_FACTOR_IMPL
+        try:
+            fpencil._BEAM_FACTOR_IMPL = "bcast"
+            got = za.to_numpy(
+                jax.jit(lambda bb: fpencil.beam_factor(bb, jnp.asarray(L, jnp.float32)))(bz)
+            )
+        finally:
+            fpencil._BEAM_FACTOR_IMPL = prev
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-6 * np.abs(want).max())
+
+
 class TestBeamFactorCompact:
     """Width compaction of the projected signal factor (n x n Cholesky)."""
 
