@@ -55,8 +55,20 @@ while true; do
         python scratch/exact_profile.py || continue
     step bench_rehearsal_r3 /tmp/bench_rehearsal_r3.done \
         python bench.py || continue
-    if [ -f /tmp/bench_rehearsal_r3.done ]; then
+    if [ -f /tmp/bench_rehearsal_r3.done ] && [ ! -f doc/bench_rehearsal.json.r3 ]; then
         tail -1 /tmp/bench_rehearsal_r3.log > doc/bench_rehearsal.json
+        cp doc/bench_rehearsal.json doc/bench_rehearsal.json.r3
+    fi
+    # flagship north-star run last (hours; window-checkpointed, so a
+    # relaunch after a crash resumes).  Runs only if its record is
+    # missing — the normal path is that the original launch finishes
+    # and this step never fires.
+    if [ ! -f /root/repo/doc/northstar_run.json ]; then
+        if yield_if_held; then continue; fi
+        echo "[chain5] northstar relaunch... $(date -u +%H:%M:%S)" >> /tmp/device_session.log
+        python scratch/northstar.py >> /tmp/northstar_run.log 2>&1 \
+            || { echo "[chain5] northstar failed; relooping" >> /tmp/device_session.log; sleep 120; continue; }
+        echo "[chain5] northstar DONE $(date -u +%H:%M:%S)" >> /tmp/device_session.log
     fi
     echo "[chain5] ALL DONE $(date -u +%H:%M:%S)" >> /tmp/device_session.log
     exit 0
