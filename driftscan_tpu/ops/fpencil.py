@@ -820,24 +820,45 @@ def _whiten_apply_factors(invs, b: za.Z, adjoint: bool) -> za.Z:
     return b
 
 
-def _whiten_apply_refined(
-    r_e: jnp.ndarray, invs, b: za.Z, adjoint: bool
-) -> za.Z:
-    """Factored application plus one iterative-refinement step.
+def _compose_factor_inv(invs) -> za.Z:
+    """M = R_total^-1 = R_1^-1 .. R_K^-1 composed into one (n, n) matrix.
 
-    The correction drives the chain's result toward the exact solution
-    of R^H y = b (resp. R v = b) for the *same* R_total the solve path
+    K-1 small (n, n)(n, n) matmuls once per pencil; every whitening
+    application then costs ONE (n, n)(n, cols) matmul instead of a
+    K-matmul chain.  The composed M carries the same normwise error
+    bound as the chain (each factor is shift-capped), and the
+    componentwise grading both lack is restored by the refinement steps
+    against R_total, so "refined" accuracy is unchanged (re-validated:
+    scratch/whiten_localize.py).
+    """
+    m = invs[0]
+    for inv in invs[1:]:
+        m = za.einsum("...ij,...jk->...ik", m, inv)
+    return m
+
+
+def _whiten_apply_refined(
+    r_e: jnp.ndarray, m_inv: za.Z, b: za.Z, adjoint: bool
+) -> za.Z:
+    """Composed-inverse application plus iterative-refinement steps.
+
+    The correction drives the result toward the exact solution of
+    R^H y = b (resp. R v = b) for the *same* R_total the solve path
     uses, so the two impls agree to the refinement's convergence
     (residual contraction ~ ||I - M R^H|| per step) rather than to each
     path's independent rounding — which keeps knife-edge modes of the
-    downstream banded deflation from rerouting.  Cost: one extra chain
-    application plus one triangular matmul (both MXU work).
+    downstream banded deflation from rerouting.  Cost per step: one
+    triangular matmul plus one M matmul (both MXU work).
     """
+    if adjoint:
+        apply = lambda x: za.einsum("...ji,...jk->...ik", m_inv.conj(), x)
+    else:
+        apply = lambda x: za.einsum("...ij,...jk->...ik", m_inv, x)
     mat = jnp.swapaxes(r_e, -1, -2) if adjoint else r_e
-    y = _whiten_apply_factors(invs, b, adjoint=adjoint)
+    y = apply(b)
     for _ in range(_WHITEN_REFINE_STEPS):
         res = b - za.deinterleave(mat @ za.interleave(y))
-        y = y + _whiten_apply_factors(invs, res, adjoint=adjoint)
+        y = y + apply(res)
     return y
 
 
@@ -852,8 +873,9 @@ def _make_whitener(noise_rows: za.Z):
     if _whiten_factored():
         r_e, invs = _noise_white_factors(noise_rows)
         if _WHITEN_IMPL == "refined":
+            m_inv = _compose_factor_inv(invs)
             return lambda b, adj: _whiten_apply_refined(
-                r_e, invs, b, adjoint=adj
+                r_e, m_inv, b, adjoint=adj
             )
         return lambda b, adj: _whiten_apply_factors(invs, b, adjoint=adj)
     r_e = _noise_r_factor(noise_rows)
