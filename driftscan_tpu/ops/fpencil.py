@@ -674,12 +674,17 @@ def chol_qr_r(
     return r_total
 
 
-# Factorisation used for the pencil's noise whitening: "cholqr" (the
-# matmul-only iteration above, on the interleaved embedding),
-# "cholqr_split" (same rounds in split-complex form — half the Gram
-# flops, no tall interleave/triangular solve) or "householder" (XLA's
-# QR) for A/B.  Env-overridable once, before first trace.
-_QR_IMPL = os.environ.get("DRIFTSCAN_TPU_QR_IMPL", "cholqr")
+# Factorisation used for the pencil's noise whitening: "cholqr_split"
+# (the shifted rounds in split-complex form — half the Gram flops of
+# the interleaved embedding, no tall interleave, and measurably MORE
+# accurate at strong-foreground conditioning: worst retained-mode
+# error vs the dense complex128 referee on the full bench BTM is
+# 1.5e-2 at m=1 vs 4.6e-2 interleaved and 2.4e-1 f32 Householder,
+# scratch/referee_sweep.py / scratch/m1_diag.py — the floor is the f32
+# Gram formation, round-count-independent), "cholqr" (interleaved
+# embedding) or "householder" (XLA's QR) for A/B.  Env-overridable
+# once, before first trace.
+_QR_IMPL = os.environ.get("DRIFTSCAN_TPU_QR_IMPL", "cholqr_split")
 
 
 def _chol_qr_r_split(rows: za.Z, return_inv: bool = False) -> jnp.ndarray:

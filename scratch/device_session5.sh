@@ -66,7 +66,11 @@ while true; do
     if [ ! -f /root/repo/doc/northstar_run.json ]; then
         if yield_if_held; then continue; fi
         echo "[chain5] northstar relaunch... $(date -u +%H:%M:%S)" >> /tmp/device_session.log
-        python scratch/northstar.py >> /tmp/northstar_run.log 2>&1 \
+        # pin the QR impl the first three windows were computed with
+        # (checkpoint tags don't carry it; keep the flagship run
+        # internally consistent — next round's fresh run gets the
+        # more-accurate cholqr_split default)
+        DRIFTSCAN_TPU_QR_IMPL=cholqr python scratch/northstar.py >> /tmp/northstar_run.log 2>&1 \
             || { echo "[chain5] northstar failed; relooping" >> /tmp/device_session.log; sleep 120; continue; }
         echo "[chain5] northstar DONE $(date -u +%H:%M:%S)" >> /tmp/device_session.log
     fi

@@ -197,6 +197,15 @@ def main():
         jax.vmap(lambda fr, fi_: noise_qr(fr, fi_, rounds=4)),
         a_f.re, a_f.im,
     )
+    probe(
+        "noise_qr_split",
+        jax.vmap(
+            lambda fr, fi_: fpencil._chol_qr_r_split(
+                fpencil._thermal_noise_rows(za.Z(fr, fi_), 1.0)
+            )
+        ),
+        a_f.re, a_f.im,
+    )
 
     r_e = jax.vmap(noise_qr)(a_f.re, a_f.im)
     probe(
