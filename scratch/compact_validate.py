@@ -11,7 +11,7 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np, jax.numpy as jnp
 from driftscan_tpu.ops import fpencil, zarray as za
 
-z = np.load("/tmp/ns_cov_cache.npz")
+z = np.load("/root/repo/.cache/ns_cov_cache.npz")
 ls, lf = z["ls"], z["lf"]  # (nl, npol, F, K)
 nl, npol, F, Ks = ls.shape
 Kf = lf.shape[-1]

@@ -33,8 +33,9 @@ else:
 
     _tpu_pidfile.register()
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if not SMOKE:  # CPU AOT cache entries are host-feature-pinned; skip for smoke
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import bench
 from driftscan_tpu.telescope import cylinder
@@ -66,7 +67,15 @@ log(f"north-star telescope: {rec}")
 
 log("covariances...")
 st = time.time()
-_cov_cache = "/tmp/ns_smoke_cov.npz" if SMOKE else "/tmp/ns_cov_cache.npz"
+# container /tmp is wiped between driver sessions (2026-08-20: lost the
+# three completed windows + both host caches overnight); caches that
+# are cheap to rebuild live in the repo-local .cache (survives within a
+# container), while the window checkpoints move to a *git-tracked* dir
+# the chain commits after every window — the repo tree is the only
+# storage that survives a container swap.
+os.makedirs("/root/repo/.cache", exist_ok=True)
+_cov_cache = ("/tmp/ns_smoke_cov.npz" if SMOKE
+              else "/root/repo/.cache/ns_cov_cache.npz")
 if os.path.exists(_cov_cache):
     z = np.load(_cov_cache)
     ls, lf, noisew = z["ls"], z["lf"], z["noisew"]
@@ -95,15 +104,23 @@ NS_TOPBAND = os.environ.get("NS_TOPBAND", "0") == "1"
 rec["engine"] = "topband" if NS_TOPBAND else "exact"
 log(f"product engine: {rec['engine']}")
 
-# SHT matmul precision: adopt the on-chip A/B's accuracy-gated pick via
-# the shared bench helper (the chain runs scratch/sht_ab.py before
-# this, so the record is stable for the whole run); env always
-# overrides, smoke never reads it.  The effective precision is baked
-# into the checkpoint filenames so a resume after the pick changes
-# recomputes instead of silently mixing precisions across windows.
-_sp = None if SMOKE else bench.resolve_sht_precision()
-rec["sht_precision"] = _sp or "highest"
-log(f"SHT matmul precision: {rec['sht_precision']}")
+# Engine defaults: adopt every accuracy-gated on-chip pick the bench
+# uses (SHT precision, whitening application, beam_factor lowering,
+# filter precision) via the shared resolver — the chain runs the A/Bs
+# before this, so the records are stable for the whole run; env always
+# overrides, smoke never reads them.  The effective picks are baked
+# into the checkpoint filenames so a resume after a pick changes
+# recomputes instead of silently mixing numerics across windows.
+if SMOKE:
+    _picks = {}
+else:
+    _picks = bench._engine_defaults()
+    _picks.pop("topband", None)  # NS_TOPBAND governs the engine here
+rec["sht_precision"] = _picks.get("sht_precision", "highest")
+rec["whiten"] = _picks.get("whiten", "solve")
+rec["beam_factor"] = _picks.get("beam_factor", "einsum")
+log(f"engine picks: sht={rec['sht_precision']} whiten={rec['whiten']} "
+    f"beam_factor={rec['beam_factor']}")
 
 # Fisher phase (BASELINE.md north star includes it): fused into the
 # product dispatch via the factored band covariances.  NS_FISHER=0
@@ -112,7 +129,8 @@ log(f"SHT matmul precision: {rec['sht_precision']}")
 NS_FISHER = os.environ.get("NS_FISHER", "1") == "1"
 band_lt = None
 if NS_FISHER:
-    _blt_cache = "/tmp/ns_smoke_band_lt.npz" if SMOKE else "/tmp/ns_band_lt.npz"
+    _blt_cache = ("/tmp/ns_smoke_band_lt.npz" if SMOKE
+                  else "/root/repo/.cache/ns_band_lt.npz")
     try:
         if os.path.exists(_blt_cache):
             band_lt = np.load(_blt_cache)["band_lt"]
@@ -168,14 +186,16 @@ t_btm = t_prod = 0.0
 evs, nmods = [], []
 # per-window checkpoints: a device fault mid-run (the tunnel wedges for
 # tens of minutes on any client death) must not cost completed windows
-_ckpt_dir = "/tmp/ns_smoke_windows" if SMOKE else "/tmp/ns_windows"
+_ckpt_dir = ("/tmp/ns_smoke_windows" if SMOKE
+             else "/root/repo/ckpt/ns_windows")
 os.makedirs(_ckpt_dir, exist_ok=True)
 fish_total = (
     np.zeros((band_lt.shape[0],) * 2, np.complex128) if rec["fisher"] else None
 )
 for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
     ck = (f"{_ckpt_dir}/w{wi:02d}_{m0}_{m1}_{rec['engine']}"
-          f"_{rec['sht_precision']}_f{int(rec['fisher'])}.npz")
+          f"_{rec['sht_precision']}_{rec['whiten']}_{rec['beam_factor']}"
+          f"_f{int(rec['fisher'])}.npz")
     if os.path.exists(ck):
         try:
             z = np.load(ck)
@@ -225,6 +245,26 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
     np.savez(ck + ".tmp.npz", ev=ev, nmo=nmo, tb=tb, tp=tp, **extra_ck)
     os.replace(ck + ".tmp.npz", ck)
     log(f"window {wi+1}/{W} m=[{m0},{m1}): btm {tb:.1f}s product {tp:.1f}s")
+    if not SMOKE:
+        # the repo tree is the only cross-container storage: commit the
+        # window the moment it lands (retry across transient index-lock
+        # contention with the interactive session; never fail the run)
+        import subprocess
+        for _try in range(3):
+            r = subprocess.run(
+                ["git", "-C", "/root/repo", "add", "ckpt/ns_windows"],
+                capture_output=True)
+            if r.returncode == 0:
+                r = subprocess.run(
+                    ["git", "-C", "/root/repo", "commit", "-q",
+                     "-m", f"North-star window {wi+1}/{W} checkpoint",
+                     "--", "ckpt/ns_windows"], capture_output=True)
+            if r.returncode == 0:
+                break
+            time.sleep(5)
+        else:
+            log(f"window {wi+1}: checkpoint commit failed "
+                f"({r.stderr.decode()[:200]})")
 evals = np.concatenate(evs)
 nmodes = np.concatenate(nmods)
 rec["t_btm_s"] = round(t_btm, 1)

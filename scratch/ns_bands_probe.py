@@ -4,7 +4,7 @@ Builds one (and optionally all) band C_l at north-star scale
 (256 freqs, lmax ~1006), factors it with the rank-compacted path, and
 reports rank/width/time — the numbers that size the Fisher phase's
 device table and decide the rank_rtol default.  Writes the full table
-to /tmp/ns_band_lt.npz when NS_BANDS_ALL=1 (the north-star run's cache).
+to /root/repo/.cache/ns_band_lt.npz when NS_BANDS_ALL=1 (the north-star run's cache).
 """
 import os, sys, time
 
@@ -63,9 +63,9 @@ if os.environ.get("NS_BANDS_ALL") == "1":
                                       rank_rtol=RTOL)
     print(f"joint factor table {time.time()-t0:.1f}s shape={band_lt.shape} "
           f"bytes={band_lt.nbytes/2**20:.0f} MiB", flush=True)
-    np.savez("/tmp/ns_band_lt.npz", band_lt=band_lt, k_edges=edges,
+    np.savez("/root/repo/.cache/ns_band_lt.npz", band_lt=band_lt, k_edges=edges,
              rank_rtol=RTOL)
-    print("wrote /tmp/ns_band_lt.npz", flush=True)
+    print("wrote /root/repo/.cache/ns_band_lt.npz", flush=True)
 else:
     one_band(edges[1], edges[2])  # a representative low-k band
     one_band(edges[NBANDS - 1], edges[NBANDS])  # the widest high-k band
