@@ -329,42 +329,38 @@ def resolve_sht_precision():
 
 
 def _engine_defaults():
-    """Resolve {topband, filter/SHT precision} from env, else A/B records."""
+    """Resolve {topband, filter/SHT precision} from env, else A/B records.
+
+    The lever adoption itself (whiten / beam_factor / SHT precision /
+    filter precision) is delegated to the package's canonical resolver,
+    :mod:`driftscan_tpu.engine_picks` — the same one the product CLI
+    runs — so the bench can never measure a configuration the CLI does
+    not ship.  ``require_accelerator=False``: a CPU-pinned bench flow
+    test exercises the exact picks the chip run will use.
+    """
     out = {"topband": False, "source": "default"}
     try:
         with open(_AB_DECISION) as f:
             rec = json.load(f)
         out["topband"] = bool(rec.get("topband_wins", False))
         out["source"] = "ab_record"
-        fp = rec.get("filter_precision_pick")
-        if fp and os.environ.get("DRIFTSCAN_TPU_TOPBAND_FILTER_PRECISION") is None:
-            from driftscan_tpu.ops import fpencil
-
-            fpencil._FILTER_PRECISION = fp
-            out["filter_precision"] = fp
     except (OSError, ValueError):
         pass
+    from driftscan_tpu import engine_picks
+
+    # derive the record dir from _AB_DECISION so tests that monkeypatch
+    # the constant redirect every record read with it
+    out.update(
+        engine_picks.adopt_decision_records(
+            directory=os.path.dirname(_AB_DECISION),
+            require_accelerator=False,
+        )
+    )
+    # resolve_sht_precision() also reports the env-pinned value the
+    # resolver leaves alone (record only wins when the env is unset)
     sp = resolve_sht_precision()
     if sp:
         out["sht_precision"] = sp
-    # whitening application: adopt the on-chip A/B's accuracy-gated pick
-    # (doc/whiten_ab.json — factored per-round inverses vs tall
-    # triangular solves); env always wins, matching _QR_IMPL's contract.
-    if os.environ.get("DRIFTSCAN_TPU_WHITEN_IMPL") is None:
-        wp = _read_pick(_WHITEN_AB_DECISION, "whiten_pick")
-        if wp:
-            from driftscan_tpu.ops import fpencil
-
-            fpencil._WHITEN_IMPL = wp
-            out["whiten"] = wp
-    # beam_factor lowering: stage profiler's elementwise-gated pick
-    if os.environ.get("DRIFTSCAN_TPU_BEAM_FACTOR_IMPL") is None:
-        bf = _read_pick(_EXACT_PROFILE_DECISION, "beam_factor_pick")
-        if bf:
-            from driftscan_tpu.ops import fpencil
-
-            fpencil._BEAM_FACTOR_IMPL = bf
-            out["beam_factor"] = bf
     env = os.environ.get("BENCH_TOPBAND")
     if env is not None:
         out["topband"] = env == "1"

@@ -40,11 +40,17 @@ def _read(path: str, key: str):
         return None
 
 
-def adopt_decision_records(directory: str | None = None) -> dict:
+def adopt_decision_records(
+    directory: str | None = None, require_accelerator: bool = True
+) -> dict:
     """Apply every recorded accuracy-gated pick whose env var is unset.
 
     ``directory`` defaults to ``$DRIFTSCAN_TPU_DECISION_DIR``, else the
     repo-local ``doc/``.  Returns {lever: adopted value} for logging.
+
+    ``require_accelerator=False`` adopts regardless of platform — the
+    bench uses it so a CPU-pinned flow test exercises the exact
+    configuration the chip run will ship.
     """
     d = directory or os.environ.get("DRIFTSCAN_TPU_DECISION_DIR", _DEFAULT_DIR)
     adopted = {}
@@ -54,11 +60,12 @@ def adopt_decision_records(directory: str | None = None) -> dict:
     # numerics, so adopt nothing.  backend_platform() is the fail-soft
     # probe — an unreachable accelerator reads as "not tpu" rather than
     # crashing host-side product prep (doc/design.md, fail-soft rule).
-    from . import backend
+    if require_accelerator:
+        from . import backend
 
-    platform = backend.backend_platform()
-    if platform is None or platform == "cpu":
-        return adopted
+        platform = backend.backend_platform()
+        if platform is None or platform == "cpu":
+            return adopted
 
     if os.environ.get("DRIFTSCAN_TPU_WHITEN_IMPL") is None:
         wp = _read(os.path.join(d, "whiten_ab.json"), "whiten_pick")
