@@ -539,6 +539,13 @@ _TB_STATE = {}
 # every shape while bounding recompiles to the escalation count.
 _FISHER_K = [0]
 
+# l-axis chunk depth of the fused Fisher's factor scan
+# (mstep.fisher_step_split l_chunk).  Larger chunks raise the arithmetic
+# intensity of the per-chunk einsums at the cost of bigger Y buffers;
+# the on-chip sweep (scratch/fisher_profile.py -> doc/fisher_profile.json,
+# adopted via engine_picks) sets the deployed value.  Env always wins.
+_FISHER_LCHUNK = int(os.environ.get("DRIFTSCAN_TPU_FISHER_LCHUNK", "64"))
+
 
 def _run_topband(run, mv, extra, nw, lsd, lfd, n_chunk, kl_cut, exact_levels):
     """One chunk through the top-band KL engine with escalation.
@@ -665,7 +672,7 @@ def product_all_resident(
     tel, pos, neg, ls, lf, noisew, mbatch=None, max_m=None, mesh=None,
     sig_k_cap=0, sig_levels=None, bucket=None, m_range=None,
     topband=False, kl_cut=0.1,
-    band_lt=None, ps_threshold=0.1, fisher_k=None, fisher_lchunk=64,
+    band_lt=None, ps_threshold=0.1, fisher_k=None, fisher_lchunk=None,
 ):
     """Run the SVD+KL product step over every m from resident BTMs.
 
