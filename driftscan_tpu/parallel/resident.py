@@ -541,9 +541,9 @@ _FISHER_K = [0]
 
 # l-axis chunk depth of the fused Fisher's factor scan
 # (mstep.fisher_step_split l_chunk).  Larger chunks raise the arithmetic
-# intensity of the per-chunk einsums at the cost of bigger Y buffers;
-# the on-chip sweep (scratch/fisher_profile.py -> doc/fisher_profile.json,
-# adopted via engine_picks) sets the deployed value.  Env always wins.
+# intensity of the per-chunk einsums at the cost of bigger Y buffers.
+# This env var is the only override; product_all_resident falls back to
+# it when the caller leaves fisher_lchunk=None.
 _FISHER_LCHUNK = int(os.environ.get("DRIFTSCAN_TPU_FISHER_LCHUNK", "64"))
 
 
@@ -799,6 +799,16 @@ def product_all_resident(
     if fisher:
         if float(ps_threshold) <= 0:
             raise ValueError("ps_threshold must be > 0 for the Fisher pass")
+        if fisher_lchunk is None:
+            fisher_lchunk = _FISHER_LCHUNK
+        fisher_lchunk = int(fisher_lchunk)
+        # the fused kernel's factor scan needs l_chunk | nlp — snap down
+        # to the largest divisor of the table's (padded) l axis
+        nlp = int(np.asarray(band_lt).shape[1])
+        if nlp % fisher_lchunk:
+            fisher_lchunk = max(
+                d for d in range(1, min(fisher_lchunk, nlp) + 1) if nlp % d == 0
+            )
         band_dev = jnp.asarray(band_lt, dtype=dt)
         if _FISHER_K[0] == 0:
             _FISHER_K[0] = int(fisher_k) if fisher_k else max(

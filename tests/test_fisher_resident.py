@@ -348,6 +348,19 @@ def test_resident_fisher_topband_engine(products):
     np.testing.assert_allclose(fish_tb, f_file, rtol=5e-4, atol=1e-5 * scale)
 
 
+def test_resident_fisher_lchunk_none_resolves(products, monkeypatch):
+    """Regression guard (r3): ``fisher_lchunk=None`` resolves to the
+    module-level ``_FISHER_LCHUNK`` default instead of raising
+    ``int(None)``, and the Fisher total is invariant to the l-chunk
+    depth of the factor scan."""
+    monkeypatch.setattr(resident, "_FISHER_LCHUNK", 3)
+    ev, fish, ps = _resident_fisher(products)
+    f_file, _ = ps.fisher_bias()
+    f_file = np.asarray(f_file)
+    scale = np.abs(f_file).max()
+    np.testing.assert_allclose(fish, f_file, rtol=2e-4, atol=1e-6 * scale)
+
+
 def test_resident_fisher_escalates_mode_slice(products):
     """A deliberately tiny initial fisher_k escalates to cover retention."""
     ev, fish_small, ps = _resident_fisher(products, fisher_k=2)
