@@ -755,7 +755,7 @@ def _fail_line(error):
     print(
         json.dumps(
             {
-                "metric": "m_modes_per_sec",
+                "metric": "m-modes/sec/chip (BTM+SVD+KL+Fisher)",
                 "value": 0.0,
                 "unit": "m-modes/s",
                 "vs_baseline": 0.0,
@@ -990,17 +990,19 @@ def main():
         197.0 / 3.0 if platform not in ("cpu",) else None
     )
     phases4 = with_fisher is not None
+    # The metric string is FROZEN (round 4+) so the BENCH_r* series is
+    # machine-comparable; shape and any phase failure live in detail.
     out = {
-        "metric": (
-            "m-modes/sec/chip ("
-            + ("BTM+SVD+KL+Fisher" if phases4 else "BTM+SVD+KL; fisher leg failed")
-            + f", unpolarised cylinder, nm={nm}, nfb={nfb_total})"
-        ),
+        "metric": "m-modes/sec/chip (BTM+SVD+KL+Fisher)",
         "value": round(with_fisher if phases4 else mm_per_sec, 3),
         "unit": "m-modes/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "detail": {
             "platform": platform,
+            "telescope": "unpolarised cylinder",
+            "nm": nm,
+            "nfb": nfb_total,
+            "fisher_leg": "ok" if phases4 else "failed: value is 3-phase BTM+SVD+KL only",
             # steady-state phase walls (post warm-up)
             "t_btm_s": round(t_btm, 2),
             "t_product_s": round(t_prod, 2),
@@ -1027,6 +1029,22 @@ def main():
             **_PHASES,
         },
     }
+    # Durable copy of the record (atomic): downstream tooling reads the
+    # file instead of scraping the last stdout line, which any trailing
+    # warning would corrupt.
+    try:
+        rec_path = os.environ.get(
+            "BENCH_RECORD_PATH",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "doc", "bench_record.json",
+            ),
+        )
+        with open(rec_path + ".tmp", "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(rec_path + ".tmp", rec_path)
+    except OSError as exc:
+        _log(f"bench record file write failed: {exc!r}")
     print(json.dumps(out))
 
 

@@ -111,14 +111,21 @@ log(f"product engine: {rec['engine']}")
 # overrides, smoke never reads them.  The effective picks are baked
 # into the checkpoint filenames so a resume after a pick changes
 # recomputes instead of silently mixing numerics across windows.
-if SMOKE:
-    _picks = {}
-else:
+if not SMOKE:
     _picks = bench._engine_defaults()
     _picks.pop("topband", None)  # NS_TOPBAND governs the engine here
-rec["sht_precision"] = _picks.get("sht_precision", "highest")
-rec["whiten"] = _picks.get("whiten", "solve")
-rec["beam_factor"] = _picks.get("beam_factor", "einsum")
+# Record the EFFECTIVE lever values (module globals after adoption),
+# not the resolver's adopted-only dict: an env-pinned lever (e.g.
+# DRIFTSCAN_TPU_WHITEN_IMPL=refined) never appears in the dict, and a
+# checkpoint keyed on the stale default could be silently reused by a
+# later resume under different numerics.
+from driftscan_tpu.ops import fpencil as _fp
+from driftscan_tpu.ops import sht as _sht
+
+# None inherits jax_default_matmul_precision=highest (pinned at import)
+rec["sht_precision"] = _sht._SHT_PRECISION or "highest"
+rec["whiten"] = _fp._WHITEN_IMPL
+rec["beam_factor"] = _fp._BEAM_FACTOR_IMPL
 log(f"engine picks: sht={rec['sht_precision']} whiten={rec['whiten']} "
     f"beam_factor={rec['beam_factor']}")
 
