@@ -63,7 +63,7 @@ def rank0() -> bool:
 
 def barrier():
     """Synchronise all processes (no-op for a single process)."""
-    if size() > 1:  # pragma: no cover - requires multi-host run
+    if size() > 1:  # pragma: no cover - runs in subprocess clusters (test_multiprocess*.py)
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("driftscan_tpu.comm.barrier")
@@ -151,7 +151,7 @@ def parallel_map(func: Callable, lst: Sequence) -> List:
     if size() == 1:
         return [v for _, v in local]
 
-    # pragma: no cover - requires multi-host run
+    # pragma: no cover - runs in subprocess clusters (test_multiprocess*.py)
     if not lst:
         return []
     # Spare processes (size > len(lst)) idle instead of aborting, matching
@@ -251,7 +251,7 @@ def transpose_blocks(row_array: np.ndarray, shape: Tuple[int, ...]) -> np.ndarra
     # are packed into an even padded layout first so a plain sharded
     # reshard (one XLA all-to-all over DCN) lands every process exactly
     # its own block.
-    # pragma: no cover - requires multi-host run
+    # pragma: no cover - runs in subprocess clusters (test_multiprocess*.py)
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
