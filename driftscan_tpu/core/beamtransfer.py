@@ -579,9 +579,27 @@ class BeamTransfer(config.Reader):
         )
 
         if use_batched and len(local_m):
-            for s in range(0, len(local_m), self.svd_mbatch):
-                chunk = local_m[s : s + self.svd_mbatch]
-                self._generate_svdfiles_mbatch(chunk, skip_svd_inv=skip_svd_inv)
+            # Pipelined: dispatch chunk i+1's device program before
+            # materialising chunk i (the device->host fetch then overlaps
+            # the next chunk's compute) and write files on a background
+            # thread.  On management-tunnel runtimes the fetch is the
+            # stage's wall-clock floor (doc/design.md section 8), so the
+            # overlap is most of the stage time.
+            writer = util.BackgroundWriter(maxsize=2)
+            pending = None
+            try:
+                for s in range(0, len(local_m), self.svd_mbatch):
+                    chunk = local_m[s : s + self.svd_mbatch]
+                    dispatched = self._svd_dispatch_mbatch(
+                        chunk, skip_svd_inv=skip_svd_inv
+                    )
+                    if pending is not None:
+                        self._svd_finish_mbatch(*pending, writer=writer)
+                    pending = dispatched
+                if pending is not None:
+                    self._svd_finish_mbatch(*pending, writer=writer)
+            finally:
+                writer.close()
         else:
             for mi in local_m:
                 logger.info(
@@ -592,11 +610,13 @@ class BeamTransfer(config.Reader):
         comm.barrier()
         self._collect_svd_spectrum()
 
-    def _generate_svdfiles_mbatch(self, m_chunk, skip_svd_inv=False):
-        """Triple-SVD a chunk of m-modes in one device batch.
+    def _svd_dispatch_mbatch(self, m_chunk, skip_svd_inv=False):
+        """Dispatch one m-chunk's triple SVD (+ pinv) to the device.
 
         Pads the chunk to `svd_mbatch` (repeating the last m) so the jitted
-        kernel compiles once for the whole run.
+        kernel compiles once for the whole run.  Returns the dispatch state
+        for :meth:`_svd_finish_mbatch`; nothing is fetched here, so the
+        caller can dispatch the next chunk before materialising this one.
         """
         tel = self.telescope
         nfreq, npol, nl = tel.nfreq, tel.num_pol_sky, tel.lmax + 1
@@ -614,19 +634,43 @@ class BeamTransfer(config.Reader):
         from ..parallel import mesh as meshmod
 
         flat = bfm_w.reshape(mbatch * nfreq, self.ntel, npol * nl)
-        ut, beam, sig, nmodes = projections.triple_svd(
+        lazy = projections.triple_svd(
             flat, npol=npol, nl=nl, polsvcut=self.polsvcut,
-            mesh=meshmod.get_mesh(),
+            mesh=meshmod.get_mesh(), lazy=True,
         )
+
+        pinv_lazy = None
+        if not skip_svd_inv:
+            # Chained on the device-side beam: the pseudo-inverse never
+            # round-trips its input through the host.
+            pinv_lazy = projections.block_pinv_lazy(
+                lazy.beam_lazy(), rcond=1e-15
+            )
+
+        return m_chunk, noisew, lazy, pinv_lazy, skip_svd_inv
+
+    def _svd_finish_mbatch(
+        self, m_chunk, noisew, lazy, pinv_lazy, skip_svd_inv, writer=None
+    ):
+        """Materialise a dispatched chunk and write its svd.hdf5 files.
+
+        File writes go through ``writer`` (a util.BackgroundWriter) when
+        given, overlapping them with the next chunk's fetch/compute.
+        """
+        tel = self.telescope
+        nfreq, npol, nl = tel.nfreq, tel.num_pol_sky, tel.lmax + 1
+        mbatch = self.svd_mbatch
+
+        ut, beam, sig, _ = lazy.materialize()
         ut = ut.reshape(mbatch, nfreq, self.svd_len, self.ntel)
         beam = beam.reshape(mbatch, nfreq, self.svd_len, npol * nl)
         sig = sig.reshape(mbatch, nfreq, self.svd_len)
 
         ibeam = None
-        if not skip_svd_inv:
-            ibeam = projections.block_pinv(
-                beam.reshape(mbatch * nfreq, self.svd_len, npol * nl), rcond=1e-15
-            ).reshape(mbatch, nfreq, npol * nl, self.svd_len)
+        if pinv_lazy is not None:
+            ibeam = pinv_lazy.materialize()[: mbatch * nfreq].reshape(
+                mbatch, nfreq, npol * nl, self.svd_len
+            )
 
         ut_out = ut * noisew[np.newaxis, :, np.newaxis, :]
 
@@ -638,7 +682,6 @@ class BeamTransfer(config.Reader):
             self._mem_svd = {}
 
         for i, mi in enumerate(m_chunk):
-            logger.info("m index %i. Writing SVD file: %s", mi, self._svdfile(mi))
             bsvd_i = np.asarray(
                 beam[i].reshape(nfreq, self.svd_len, npol, nl)
             ).astype(np.complex128)
@@ -650,22 +693,6 @@ class BeamTransfer(config.Reader):
             ut_i = np.asarray(ut_out[i]).astype(np.complex128)
             sig_i = np.asarray(sig[i]).astype(np.float64)
 
-            tmpfile = self._svdfile(mi) + ".tmp"
-            with h5py.File(tmpfile, "w") as fs:
-                dset_bsvd, dset_ibsvd, dset_ut, dset_sig = self._svd_dsets(
-                    fs, skip_svd_inv
-                )
-                dset_bsvd[:] = bsvd_i
-                if dset_ibsvd is not None:
-                    dset_ibsvd[:] = ibsvd_i
-                dset_ut[:] = ut_i
-                dset_sig[:] = sig_i
-
-                fs.attrs["baselines"] = tel.baselines
-                fs.attrs["m"] = mi
-                fs.attrs["frequencies"] = tel.frequencies
-            os.replace(tmpfile, self._svdfile(mi))
-
             if cache:
                 ent = {
                     "beam_svd": bsvd_i,
@@ -675,6 +702,36 @@ class BeamTransfer(config.Reader):
                 if ibsvd_i is not None:
                     ent["invbeam_svd"] = ibsvd_i
                 self._mem_svd[mi] = ent
+
+            if writer is not None:
+                writer.submit(
+                    self._svd_write_m, mi, bsvd_i, ibsvd_i, ut_i, sig_i,
+                    skip_svd_inv,
+                )
+            else:
+                self._svd_write_m(
+                    mi, bsvd_i, ibsvd_i, ut_i, sig_i, skip_svd_inv
+                )
+
+    def _svd_write_m(self, mi, bsvd_i, ibsvd_i, ut_i, sig_i, skip_svd_inv):
+        """Write one m's svd.hdf5 (write-to-temp-then-rename)."""
+        tel = self.telescope
+        logger.info("m index %i. Writing SVD file: %s", mi, self._svdfile(mi))
+        tmpfile = self._svdfile(mi) + ".tmp"
+        with h5py.File(tmpfile, "w") as fs:
+            dset_bsvd, dset_ibsvd, dset_ut, dset_sig = self._svd_dsets(
+                fs, skip_svd_inv
+            )
+            dset_bsvd[:] = bsvd_i
+            if dset_ibsvd is not None:
+                dset_ibsvd[:] = ibsvd_i
+            dset_ut[:] = ut_i
+            dset_sig[:] = sig_i
+
+            fs.attrs["baselines"] = tel.baselines
+            fs.attrs["m"] = mi
+            fs.attrs["frequencies"] = tel.frequencies
+        os.replace(tmpfile, self._svdfile(mi))
 
     def _svd_cache_fits(self):
         """True when the full SVD-product set fits the host budget."""

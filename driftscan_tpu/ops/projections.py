@@ -99,6 +99,65 @@ def block_matvec(mats: np.ndarray, vecs: np.ndarray) -> np.ndarray:
     return np.asarray(_matvec_native(jnp.asarray(mats), jnp.asarray(vecs)))
 
 
+class LazyComplex:
+    """Device-resident complex result; ``materialize()`` fetches to numpy.
+
+    ``kind`` is "split" (parts = (re, im) device planes) or "complex"
+    (parts = (array,)).  Generation stages keep results lazy so the
+    device->host fetch — the wall-clock floor on management-tunnel
+    runtimes (doc/design.md section 8) — overlaps the next chunk's
+    device compute instead of serialising behind it.
+    """
+
+    def __init__(self, kind: str, *parts):
+        self.kind = kind
+        self.parts = parts
+
+    def materialize(self) -> np.ndarray:
+        if self.kind == "split":
+            out = np.asarray(self.parts[0]).astype(np.complex128)
+            out += 1j * np.asarray(self.parts[1])
+            return out
+        return np.asarray(self.parts[0])
+
+
+class TripleSVDLazy:
+    """Device-resident triple-SVD products for one batch.
+
+    Produced by :func:`triple_svd` with ``lazy=True``; ``materialize()``
+    returns the same numpy ``(ut, beam, sig, nmodes)`` as the eager
+    call.  ``beam_lazy()`` exposes the device-side sky->SVD beam for
+    chaining (pseudo-inverse, KL handoff) without a host round-trip.
+    """
+
+    def __init__(self, kind: str, n_in: int, arrs: tuple):
+        self.kind = kind
+        self.n_in = n_in
+        self.arrs = arrs
+
+    def beam_lazy(self) -> LazyComplex:
+        if self.kind == "split":
+            _, _, br, bi, _, _ = self.arrs
+            return LazyComplex("split", br, bi)
+        _, beam, _, _ = self.arrs
+        return LazyComplex("complex", beam)
+
+    def materialize(self):
+        n = self.n_in
+        if self.kind == "split":
+            ur, ui, br, bi, sig, nmodes = self.arrs
+            ut = np.asarray(ur)[:n] + 1j * np.asarray(ui)[:n]
+            beam = np.asarray(br)[:n] + 1j * np.asarray(bi)[:n]
+            return ut, beam, np.asarray(sig)[:n], np.asarray(nmodes)[:n]
+        ut, beam, sig, nmodes = self.arrs
+        return (
+            np.asarray(ut)[:n],
+            np.asarray(beam)[:n],
+            np.asarray(sig)[:n],
+            np.asarray(nmodes)[:n],
+        )
+
+
 def block_pinv(mats: np.ndarray, rcond: float = 1e-6) -> np.ndarray:
     """Batched pseudo-inverse of (possibly complex) blocks."""
     if backend.split_complex():
@@ -114,7 +173,28 @@ def block_pinv(mats: np.ndarray, rcond: float = 1e-6) -> np.ndarray:
     return np.asarray(jnp.linalg.pinv(jnp.asarray(mats), rcond=rcond))
 
 
-def triple_svd(bfm_w: np.ndarray, npol: int, nl: int, polsvcut: float, mesh=None):
+def block_pinv_lazy(beam: LazyComplex, rcond: float = 1e-6) -> LazyComplex:
+    """Batched pseudo-inverse chained on a device-resident input.
+
+    Consumes :class:`LazyComplex` device parts directly (no host
+    round-trip of the input) and returns the result lazy.
+    """
+    if beam.kind == "split":
+        out = za.pinv(za.Z(beam.parts[0], beam.parts[1]), rcond=rcond)
+        return LazyComplex("split", out.re, out.im)
+    return LazyComplex(
+        "complex", jnp.linalg.pinv(beam.parts[0], rcond=rcond)
+    )
+
+
+def triple_svd(
+    bfm_w: np.ndarray,
+    npol: int,
+    nl: int,
+    polsvcut: float,
+    mesh=None,
+    lazy: bool = False,
+):
     """Dispatching triple SVD: returns numpy (ut, beam, sig, nmodes).
 
     With a multi-device mesh the leading (unit) axis is sharded and each
@@ -143,26 +223,22 @@ def triple_svd(bfm_w: np.ndarray, npol: int, nl: int, polsvcut: float, mesh=None
             return jnp.asarray(x)
 
     if backend.split_complex():
-        ur, ui, br, bi, sig, nmodes = linalg.triple_svd_split_batched(
+        arrs = linalg.triple_svd_split_batched(
             place(backend.device_real(bfm_w.real)),
             place(backend.device_real(bfm_w.imag)),
             npol=npol,
             nl=nl,
             polsvcut=polsvcut,
         )
-        ut = np.asarray(ur)[:n_in] + 1j * np.asarray(ui)[:n_in]
-        beam = np.asarray(br)[:n_in] + 1j * np.asarray(bi)[:n_in]
-        return ut, beam, np.asarray(sig)[:n_in], np.asarray(nmodes)[:n_in]
-
-    ut, beam, sig, nmodes = linalg.triple_svd_batched(
-        place(bfm_w), npol=npol, nl=nl, polsvcut=polsvcut
-    )
-    return (
-        np.asarray(ut)[:n_in],
-        np.asarray(beam)[:n_in],
-        np.asarray(sig)[:n_in],
-        np.asarray(nmodes)[:n_in],
-    )
+        res = TripleSVDLazy("split", n_in, arrs)
+    else:
+        arrs = linalg.triple_svd_batched(
+            place(bfm_w), npol=npol, nl=nl, polsvcut=polsvcut
+        )
+        res = TripleSVDLazy("complex", n_in, arrs)
+    if lazy:
+        return res
+    return res.materialize()
 
 
 # ------------------------------------------------------------------
