@@ -244,6 +244,50 @@ class BeamTransfer(config.Reader):
     # in the same process skips the file read-back.
     _mem_svd = None
 
+    # Device-resident sky->SVD beams (same gate, plus a device budget):
+    # {m: (LazyComplex over the chunk's flat batch, slot, nfreq)}.  The
+    # KL stage assembles its pencil input from these, skipping the
+    # host->device upload entirely.
+    _dev_svd = None
+
+    def _dev_svd_fits(self):
+        """True when the full device beam-SVD set fits half the HBM budget."""
+        tel = self.telescope
+        nfreq, npol, nl = tel.nfreq, tel.num_pol_sky, tel.lmax + 1
+        per_m = nfreq * self.svd_len * npol * nl * 8  # f32 re+im planes
+        return (tel.mmax + 1) * per_m <= self.resident_hbm_gb * 2**29
+
+    def device_beam_svd(self, ms):
+        """Device-resident (len(ms), nfreq, svd_len, npol, nl) beam batch.
+
+        Returns a :class:`projections.LazyComplex` assembled from the SVD
+        stage's device-side handoff, or None when any requested m is not
+        resident (fresh process, budget exceeded, per-m writer path).
+        Values are identical to ``beam_svd(mi)``: the handoff arrays are
+        the very ones the files were materialised from.
+        """
+        if self._dev_svd is None or any(mi not in self._dev_svd for mi in ms):
+            return None
+        import jax.numpy as jnp
+
+        tel = self.telescope
+        npol, nl = tel.num_pol_sky, tel.lmax + 1
+
+        def gather(part_idx):
+            blocks = []
+            for mi in ms:
+                lazy, slot, nfreq = self._dev_svd[mi]
+                blocks.append(
+                    lazy.parts[part_idx][slot * nfreq : (slot + 1) * nfreq]
+                )
+            out = jnp.stack(blocks)
+            return out.reshape(len(ms), nfreq, self.svd_len, npol, nl)
+
+        kind = next(iter(self._dev_svd.values()))[0].kind
+        if kind == "split":
+            return projections.LazyComplex("split", gather(0), gather(1))
+        return projections.LazyComplex("complex", gather(0))
+
     def _svd_mem(self, mi, name, fi=None):
         if self._mem_svd is not None:
             ent = self._mem_svd.get(mi)
@@ -646,6 +690,21 @@ class BeamTransfer(config.Reader):
             pinv_lazy = projections.block_pinv_lazy(
                 lazy.beam_lazy(), rcond=1e-15
             )
+
+        # Device-side handoff for the KL stage: keep the sky->SVD beam
+        # on device so the KL pencil solve never re-uploads it (the
+        # upload is pure tunnel time on management-link runtimes).
+        # Same gate as the host-side product cache, plus a device budget.
+        if (
+            self._mem_beam is not None
+            and self._svd_cache_fits()
+            and self._dev_svd_fits()
+        ):
+            if self._dev_svd is None:
+                self._dev_svd = {}
+            beam_dev = lazy.beam_lazy()
+            for i, mi in enumerate(m_chunk):
+                self._dev_svd[mi] = (beam_dev, i, nfreq)
 
         return m_chunk, noisew, lazy, pinv_lazy, skip_svd_inv
 

@@ -417,7 +417,29 @@ class KLTransform(config.Reader):
         S = bt.svd_len
 
         mbatch = self.mbatch
-        bsvd, idx_list = self._load_bsvd_batch(m_chunk, mbatch)
+        ms = list(m_chunk) + [m_chunk[-1]] * (mbatch - len(m_chunk))
+
+        # Device-resident input: when the SVD stage ran in this process
+        # (resident generate), the sky->SVD beams are still on device —
+        # assemble the pencil input there and apply the svcut mask on
+        # device, skipping the host->device upload of the whole batch.
+        # Values are identical to the host path (same arrays the files
+        # were written from).
+        dev = None
+        if getattr(bt, "device_beam_svd", None) is not None:
+            dev = bt.device_beam_svd(ms)
+        if dev is not None:
+            dev_mask = np.zeros((mbatch, nfreq, S))
+            idx_list = []
+            for i, mi in enumerate(ms):
+                svnum, _ = bt._svd_num(mi)
+                for fi in range(nfreq):
+                    dev_mask[i, fi, : svnum[fi]] = 1.0
+                idx_list.append(bt._compact_indices(mi)[0])
+            bsvd = None
+        else:
+            dev_mask = None
+            bsvd, idx_list = self._load_bsvd_batch(m_chunk, mbatch)
         ls, lf = self._cl_factors()
         nc = 1.0 if self.use_thermal else (1e-3 / tel.tsys_flat) ** 2
 
@@ -438,6 +460,8 @@ class KLTransform(config.Reader):
                 nc=nc,
                 fg_reg_rel=self._foreground_regulariser,
                 mesh=meshmod.get_mesh(),
+                bsvd_dev=dev,
+                dev_mask=dev_mask,
             )
             topband_ok = bool(np.asarray(ok_b).all())
             if not topband_ok:
@@ -454,6 +478,8 @@ class KLTransform(config.Reader):
                 with_thermal=True,
                 fg_reg_rel=self._foreground_regulariser,
                 mesh=meshmod.get_mesh(),
+                bsvd_dev=dev,
+                dev_mask=dev_mask,
             )
 
         for i, mi in enumerate(m_chunk):

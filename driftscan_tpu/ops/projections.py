@@ -467,6 +467,8 @@ def kl_factored_batched(
     method: str = "qr",
     fg_reg_rel: float = 0.0,
     mesh=None,
+    bsvd_dev=None,
+    dev_mask=None,
 ):
     """m-batched KL pencil solve on *factored* covariances, mesh-sharded.
 
@@ -493,15 +495,7 @@ def kl_factored_batched(
     -------
     evals : (M, n) ascending; evecs : (M, n, n) complex columns.
     """
-    import jax.sharding as jsh
-
-    if backend.split_complex():
-        b_re = backend.device_real(bsvd5.real)
-        b_im = backend.device_real(bsvd5.imag)
-    else:
-        b_re = np.ascontiguousarray(bsvd5.real)
-        b_im = np.ascontiguousarray(bsvd5.imag)
-    dt = b_re.dtype
+    b_re, b_im, dt = _kl_pencil_planes(bsvd5, bsvd_dev, dev_mask)
     ls = np.asarray(ls, dtype=dt)
     lf = np.asarray(lf, dtype=dt)
     inv_sqrt_nc = np.asarray(1.0 / np.sqrt(nc), dtype=dt)
@@ -517,20 +511,54 @@ def kl_factored_batched(
     )
 
     M = b_re.shape[0]
-    if mesh is not None and mesh.devices.size > 1:
-        ndev = mesh.devices.size
-        pad = (-M) % ndev
-        if pad:
-            b_re = np.concatenate([b_re, np.repeat(b_re[-1:], pad, axis=0)])
-            b_im = np.concatenate([b_im, np.repeat(b_im[-1:], pad, axis=0)])
-        ax = mesh.axis_names[0]
-        shard = jsh.NamedSharding(mesh, jsh.PartitionSpec(ax))
-        b_re = jax.device_put(b_re, shard)
-        b_im = jax.device_put(b_im, shard)
+    b_re, b_im = _kl_pencil_shard(b_re, b_im, mesh)
 
     w, v_re, v_im = _kl_factored_m(b_re, b_im, ls, lf, inv_sqrt_nc, **kwargs)
     evecs = (np.asarray(v_re) + 1j * np.asarray(v_im))[:M]
     return np.asarray(w)[:M], evecs
+
+
+def _kl_pencil_planes(bsvd5, bsvd_dev, dev_mask):
+    """Resolve the KL pencil's (re, im) beam planes and their dtype.
+
+    ``bsvd_dev`` (a LazyComplex from BeamTransfer.device_beam_svd) keeps
+    the planes on device — identical values to the host ``bsvd5`` path,
+    no upload.  ``dev_mask`` (M, F, S) applies the svcut column mask on
+    device (the host path arrives pre-masked).
+    """
+    if bsvd_dev is not None:
+        if bsvd_dev.kind == "split":
+            b_re, b_im = bsvd_dev.parts
+        else:
+            arr = bsvd_dev.parts[0]
+            b_re, b_im = jnp.real(arr), jnp.imag(arr)
+        if dev_mask is not None:
+            m5 = jnp.asarray(dev_mask, dtype=b_re.dtype)[:, :, :, None, None]
+            b_re = b_re * m5
+            b_im = b_im * m5
+    elif backend.split_complex():
+        b_re = backend.device_real(bsvd5.real)
+        b_im = backend.device_real(bsvd5.imag)
+    else:
+        b_re = np.ascontiguousarray(bsvd5.real)
+        b_im = np.ascontiguousarray(bsvd5.imag)
+    return b_re, b_im, np.dtype(b_re.dtype)
+
+
+def _kl_pencil_shard(b_re, b_im, mesh):
+    """Pad + shard the m axis over the mesh (jnp ops for device inputs)."""
+    if mesh is None or mesh.devices.size <= 1:
+        return b_re, b_im
+    import jax.sharding as jsh
+
+    xp = jnp if isinstance(b_re, jax.Array) else np
+    ndev = mesh.devices.size
+    pad = (-b_re.shape[0]) % ndev
+    if pad:
+        b_re = xp.concatenate([b_re, xp.repeat(b_re[-1:], pad, axis=0)])
+        b_im = xp.concatenate([b_im, xp.repeat(b_im[-1:], pad, axis=0)])
+    shard = jsh.NamedSharding(mesh, jsh.PartitionSpec(mesh.axis_names[0]))
+    return jax.device_put(b_re, shard), jax.device_put(b_im, shard)
 
 
 @functools.partial(
@@ -563,6 +591,8 @@ def kl_factored_batched_topband(
     levels: int = 6,
     fg_reg_rel: float = 0.0,
     mesh=None,
+    bsvd_dev=None,
+    dev_mask=None,
 ):
     """m-batched retained-band KL solve (fpencil.kl_solve_qr_topband).
 
@@ -574,15 +604,7 @@ def kl_factored_batched_topband(
     bool): any False certificate means that m's band overflowed the
     budget — re-solve those with the exact engine.
     """
-    import jax.sharding as jsh
-
-    if backend.split_complex():
-        b_re = backend.device_real(bsvd5.real)
-        b_im = backend.device_real(bsvd5.imag)
-    else:
-        b_re = np.ascontiguousarray(bsvd5.real)
-        b_im = np.ascontiguousarray(bsvd5.imag)
-    dt = b_re.dtype
+    b_re, b_im, dt = _kl_pencil_planes(bsvd5, bsvd_dev, dev_mask)
     ls = np.asarray(ls, dtype=dt)
     lf = np.asarray(lf, dtype=dt)
     inv_sqrt_nc = np.asarray(1.0 / np.sqrt(nc), dtype=dt)
@@ -592,16 +614,7 @@ def kl_factored_batched_topband(
         k = max(n // 8, 8)
 
     M = b_re.shape[0]
-    if mesh is not None and mesh.devices.size > 1:
-        ndev = mesh.devices.size
-        pad = (-M) % ndev
-        if pad:
-            b_re = np.concatenate([b_re, np.repeat(b_re[-1:], pad, axis=0)])
-            b_im = np.concatenate([b_im, np.repeat(b_im[-1:], pad, axis=0)])
-        ax = mesh.axis_names[0]
-        shard = jsh.NamedSharding(mesh, jsh.PartitionSpec(ax))
-        b_re = jax.device_put(b_re, shard)
-        b_im = jax.device_put(b_im, shard)
+    b_re, b_im = _kl_pencil_shard(b_re, b_im, mesh)
 
     w, v_re, v_im, ok = _kl_factored_topband_m(
         b_re, b_im, ls, lf, inv_sqrt_nc,

@@ -111,3 +111,39 @@ def test_use_resident_gate():
 
     bt.resident = "never"
     assert not bt._use_resident()
+
+
+def test_kl_device_handoff_matches_host_path(tmp_path):
+    """KL fed from the device-resident beam handoff == the host upload.
+
+    The SVD stage leaves the sky->SVD beams on device (_dev_svd); the
+    batched KL assembles its pencil input from them with an on-device
+    svcut mask.  Both paths must produce identical eigenfiles (the
+    handoff arrays are the very ones the svd.hdf5 files came from).
+    """
+    from driftscan_tpu.core.kltransform import KLTransform
+
+    tel = _tel()
+
+    bt = BeamTransfer(str(tmp_path / "prod"), telescope=tel)
+    bt.resident = "always"
+    bt.generate()
+    assert bt._dev_svd is not None and len(bt._dev_svd) == tel.mmax + 1
+
+    kl_dev = KLTransform(bt, subdir="kl_dev")
+    kl_dev.generate()
+
+    # Same products, handoff disabled: forces _load_bsvd_batch + upload.
+    bt._dev_svd = None
+    kl_host = KLTransform(bt, subdir="kl_host")
+    kl_host.generate()
+
+    import h5py
+
+    for mi in (0, tel.mmax // 2, tel.mmax):
+        with h5py.File(kl_dev._evfile % mi, "r") as fd, h5py.File(
+            kl_host._evfile % mi, "r"
+        ) as fh:
+            np.testing.assert_array_equal(fd["evals_full"][:], fh["evals_full"][:])
+            np.testing.assert_array_equal(fd["evals"][:], fh["evals"][:])
+            np.testing.assert_array_equal(fd["evecs"][:], fh["evecs"][:])
