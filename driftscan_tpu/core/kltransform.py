@@ -322,8 +322,27 @@ class KLTransform(config.Reader):
         )
 
         if use_batched and mlist:
+            # Double-buffered (base writer only — subclasses with their
+            # own batched writer keep the chunk-at-a-time call): chunk
+            # i+1's solve is dispatched before chunk i's results are
+            # fetched, so the eigenvector fetch (the stage's tunnel
+            # cost) overlaps the next solve.
+            pipelined = (
+                writer_cls._transform_save_mbatch
+                is KLTransform._transform_save_mbatch
+            )
+            pending = None
             for s in range(0, len(mlist), self.mbatch):
-                self._transform_save_mbatch(mlist[s : s + self.mbatch])
+                chunk = mlist[s : s + self.mbatch]
+                if not pipelined:
+                    self._transform_save_mbatch(chunk)
+                    continue
+                dispatched = self._kl_dispatch_mbatch(chunk)
+                if pending is not None:
+                    self._kl_finish_mbatch(pending)
+                pending = dispatched
+            if pending is not None:
+                self._kl_finish_mbatch(pending)
         else:
             for mi in mlist:
                 self.transform_save(mi)
@@ -396,12 +415,21 @@ class KLTransform(config.Reader):
     def _transform_save_mbatch(self, m_chunk):
         """KL-transform a chunk of m-modes in one device batch.
 
-        Builds padded (svcut-masked) beam batches from the SVD files and
-        solves the *factored* KL pencil for the whole chunk at once
-        (ops.projections.kl_factored_batched) — sharded over the device
-        mesh along m when more than one device is available — then
-        compacts and writes the per-m eigenfiles with the same contract
-        as the per-m path.
+        Dispatch + finish in one step; :meth:`generate` calls the halves
+        separately to double-buffer chunks (the eigenvector fetch of
+        chunk i then overlaps chunk i+1's device solve).
+        """
+        self._kl_finish_mbatch(self._kl_dispatch_mbatch(m_chunk))
+
+    def _kl_dispatch_mbatch(self, m_chunk):
+        """Dispatch one m-chunk's KL pencil solve to the device.
+
+        Builds padded (svcut-masked) beam batches — from the SVD stage's
+        device-resident handoff when available (no upload), else from
+        the SVD files — and dispatches the *factored* KL pencil solve
+        for the whole chunk (ops.projections.kl_factored_batched),
+        sharded over the device mesh along m when more than one device
+        is available.  Returns the state for :meth:`_kl_finish_mbatch`.
 
         The stored beams are noise-prewhitened, so the projected
         instrumental noise is exactly ``nc I`` on the retained modes (nc
@@ -413,7 +441,7 @@ class KLTransform(config.Reader):
 
         bt = self.beamtransfer
         tel = self.telescope
-        nfreq, npol, nl = tel.nfreq, tel.num_pol_sky, tel.lmax + 1
+        nfreq = tel.nfreq
         S = bt.svd_len
 
         mbatch = self.mbatch
@@ -443,6 +471,15 @@ class KLTransform(config.Reader):
         ls, lf = self._cl_factors()
         nc = 1.0 if self.use_thermal else (1e-3 / tel.tsys_flat) ** 2
 
+        solve_kw = dict(
+            nc=nc,
+            fg_reg_rel=self._foreground_regulariser,
+            mesh=meshmod.get_mesh(),
+            bsvd_dev=dev,
+            dev_mask=dev_mask,
+            lazy=True,
+        )
+
         # Retained-band engine: compute only the eigenpairs the subset
         # cut keeps (fpencil.gram_topband — matmuls instead of the QDWH
         # eigh).  Any m whose completeness certificate fails drops the
@@ -450,43 +487,90 @@ class KLTransform(config.Reader):
         # of `evals_full` is then exact zeros (see the `engine` config
         # property).
         use_topband = self.engine == "topband" and self.subset
-        topband_ok = False
         if use_topband:
-            evals_b, evecs_b, ok_b = projections.kl_factored_batched_topband(
-                bsvd,
-                ls,
-                lf,
-                cut=self.threshold,
-                nc=nc,
-                fg_reg_rel=self._foreground_regulariser,
-                mesh=meshmod.get_mesh(),
-                bsvd_dev=dev,
-                dev_mask=dev_mask,
+            solve = projections.kl_factored_batched_topband(
+                bsvd, ls, lf, cut=self.threshold, **solve_kw
             )
-            topband_ok = bool(np.asarray(ok_b).all())
+        else:
+            solve = projections.kl_factored_batched(
+                bsvd, ls, lf, with_thermal=True, **solve_kw
+            )
+        return m_chunk, idx_list, solve, (bsvd, ls, lf, solve_kw)
+
+    def _kl_finish_mbatch(self, state):
+        """Fetch a dispatched chunk's results and write its eigenfiles.
+
+        With threshold subsetting only the retained tail columns of the
+        eigenbasis ever reach the files, so this fetches the spectrum,
+        the device-reduced support statistics and just those columns —
+        the (M, n, n) eigenvector block stays on device.  Without
+        subsetting (or if the retained set is not the ascending tail)
+        it falls back to the full fetch.
+        """
+        m_chunk, idx_list, solve, (bsvd, ls, lf, solve_kw) = state
+
+        topband_ok = False
+        ok_b = solve.ok()
+        if ok_b is not None:
+            topband_ok = bool(ok_b.all())
             if not topband_ok:
                 logger.info(
                     "m chunk %s: top-band certificate failed; re-solving "
                     "with the exact engine.", list(m_chunk),
                 )
-        if not topband_ok:
-            evals_b, evecs_b = projections.kl_factored_batched(
-                bsvd,
-                ls,
-                lf,
-                nc=nc,
-                with_thermal=True,
-                fg_reg_rel=self._foreground_regulariser,
-                mesh=meshmod.get_mesh(),
-                bsvd_dev=dev,
-                dev_mask=dev_mask,
+                solve = projections.kl_factored_batched(
+                    bsvd, ls, lf, with_thermal=True, **solve_kw
+                )
+
+        evals_b = solve.evals()
+        n = evals_b.shape[1]
+
+        # Genuine modes are supported on the compact directions; padding
+        # modes are unit vectors on padded axes.  Compare each column's
+        # compact support to its *total* norm (both reduced on device):
+        # the columns are N-orthonormal, so absolute support scales as
+        # 1/lambda_N and an absolute test misclassifies every genuine
+        # mode once foregrounds lift the noise floor — the support
+        # *fraction* is normalisation-free.
+        row_mask = np.zeros((len(idx_list), n))
+        for i, idx in enumerate(idx_list):
+            row_mask[i, idx] = 1.0
+        support_b, total_b = solve.support_stats(row_mask)
+        total_b = total_b + 1e-300
+
+        M = len(m_chunk)
+        # Retained columns are the ascending tail: with a positive
+        # subset threshold, every written column has eval >= threshold
+        # and eigensolvers return ascending spectra.  Fetch only that
+        # tail (padded to a multiple of 8 columns to bound the number
+        # of slice shapes); anything violating the tail assumption
+        # falls back to the full fetch.
+        tail = None
+        v_full = None
+        if self.subset and self.threshold > 0:
+            counts = (evals_b[:M] >= self.threshold).sum(axis=1)
+            kmax = min(n, int(-(-max(int(counts.max()), 1) // 8) * 8))
+            ascending = bool(
+                (np.diff(evals_b[:M], axis=1) >= 0).all()
             )
+            if ascending:
+                tail = solve.evecs_tail(kmax)
+            else:  # pragma: no cover - defensive
+                v_full = solve.evecs_full()
+        else:
+            v_full = solve.evecs_full()
+
+        offset = n - (tail.shape[2] if tail is not None else n)
+
+        def cols(i, sel):
+            """Columns ``sel`` of m-slot i, (nrows, len(sel))."""
+            if v_full is not None:
+                return v_full[i][:, sel]
+            return tail[i][:, np.asarray(sel) - offset]
 
         for i, mi in enumerate(m_chunk):
             idx = idx_list[i]
             ndof = len(idx)
-
-            v = evecs_b[i]  # columns are modes, padded coordinates
             w = evals_b[i]
 
             if topband_ok:
@@ -494,23 +578,13 @@ class KLTransform(config.Reader):
                 # (padded/svcut directions emerge at exactly 0); no
                 # support test needed, and the sub-threshold spectrum is
                 # reported as zeros in evals_full.
-                keep = w > self.threshold
+                sel = np.nonzero(w > self.threshold)[0]
                 self._write_ev_file(
-                    mi, ndof, w[keep], v[:, keep][idx, :].T.conj()
+                    mi, ndof, w[sel], cols(i, sel)[idx, :].T.conj()
                 )
                 continue
 
-            # Genuine modes are supported on the compact directions;
-            # padding modes are unit vectors on padded axes.  Compare
-            # each column's compact support to its *total* norm: the
-            # columns are N-orthonormal, so absolute support scales as
-            # 1/lambda_N and an absolute 0.5 test misclassifies every
-            # genuine mode once foregrounds lift the noise floor above
-            # ~2 (observed: permanent per-m fallback at strong
-            # foregrounds); the support *fraction* is normalisation-free.
-            support = (np.abs(v[idx, :]) ** 2).sum(axis=0)
-            total = (np.abs(v) ** 2).sum(axis=0) + 1e-300
-            keep = support > 0.5 * total
+            keep = support_b[i] > 0.5 * total_b[i]
             if keep.sum() != ndof:
                 # The pencil's zero eigenvalue is degenerate between the
                 # svcut-padded unit directions and any genuine
@@ -531,10 +605,10 @@ class KLTransform(config.Reader):
                     and bool(keep[strict].all())
                 ):
                     evals_full = np.sort(np.asarray(w))[-ndof:]
-                    evals = w[strict]
-                    evecs = v[:, strict][idx, :].T.conj()
+                    sel = np.nonzero(strict)[0]
                     self._write_ev_file(
-                        mi, ndof, evals, evecs, evals_full=evals_full
+                        mi, ndof, w[sel], cols(i, sel)[idx, :].T.conj(),
+                        evals_full=evals_full,
                     )
                     continue
                 # A genuinely mixed above-threshold column (or a full
@@ -549,9 +623,21 @@ class KLTransform(config.Reader):
                 self.transform_save(mi)
                 continue
 
-            evals = w[keep]
-            evecs = v[:, keep][idx, :].T.conj()  # rows modes, compact coords
-            self._write_ev_file(mi, ndof, evals, evecs)
+            if tail is not None:
+                # Only the >= threshold part of the genuine set reaches
+                # the file (the sub-threshold genuine evals enter just
+                # the evals_full diagnostic, passed separately); all
+                # such columns live in the fetched tail.
+                sel = np.nonzero(keep & (w >= self.threshold))[0]
+                self._write_ev_file(
+                    mi, ndof, w[sel], cols(i, sel)[idx, :].T.conj(),
+                    evals_full=w[keep],
+                )
+            else:
+                sel = np.nonzero(keep)[0]
+                self._write_ev_file(
+                    mi, ndof, w[sel], cols(i, sel)[idx, :].T.conj()
+                )
 
     def _write_ev_file(self, mi, ndof, evals, evecs, evals_full=None):
         """Write one m's eigenfile (evals ascending-sorted here).

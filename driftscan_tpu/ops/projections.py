@@ -469,6 +469,7 @@ def kl_factored_batched(
     mesh=None,
     bsvd_dev=None,
     dev_mask=None,
+    lazy: bool = False,
 ):
     """m-batched KL pencil solve on *factored* covariances, mesh-sharded.
 
@@ -514,8 +515,64 @@ def kl_factored_batched(
     b_re, b_im = _kl_pencil_shard(b_re, b_im, mesh)
 
     w, v_re, v_im = _kl_factored_m(b_re, b_im, ls, lf, inv_sqrt_nc, **kwargs)
+    if lazy:
+        return KLSolveLazy(M, w, LazyComplex("split", v_re, v_im))
     evecs = (np.asarray(v_re) + 1j * np.asarray(v_im))[:M]
     return np.asarray(w)[:M], evecs
+
+
+@jax.jit
+def _kl_support_stats(v_re, v_im, row_mask):
+    p = v_re * v_re + v_im * v_im
+    return jnp.einsum("mij,mi->mj", p, row_mask), p.sum(axis=1)
+
+
+class KLSolveLazy:
+    """Device-resident batched KL solve; fetch only what gets written.
+
+    The full eigenvector block is (M, n, n) — by far the largest product
+    of the KL stage — while with threshold subsetting only the retained
+    tail columns reach the eigenfiles.  This handle keeps the solve on
+    device and exposes:
+
+    - ``evals()``: the (M, n) spectrum (small, always fetched);
+    - ``support_stats(row_mask)``: the compact-support/total column
+      norms used for genuine-vs-padding classification, reduced on
+      device so classification never needs the full block;
+    - ``evecs_tail(kmax)``: just the last ``kmax`` columns;
+    - ``evecs_full()``: the old full fetch (subset=False, fallbacks).
+    """
+
+    def __init__(self, M, w, evecs: LazyComplex, ok=None):
+        self.M = M
+        self._w = w
+        self._evecs = evecs
+        self._ok = ok
+
+    def evals(self):
+        return np.asarray(self._w)[: self.M]
+
+    def ok(self):
+        return None if self._ok is None else np.asarray(self._ok)[: self.M]
+
+    def support_stats(self, row_mask):
+        v_re, v_im = self._evecs.parts
+        mask = np.zeros((v_re.shape[0], v_re.shape[1]), dtype=v_re.dtype)
+        mask[: self.M] = row_mask
+        sup, tot = _kl_support_stats(v_re, v_im, mask)
+        return np.asarray(sup)[: self.M], np.asarray(tot)[: self.M]
+
+    def evecs_tail(self, kmax):
+        v_re, v_im = self._evecs.parts
+        kmax = int(min(kmax, v_re.shape[-1]))
+        out = np.asarray(v_re[:, :, v_re.shape[-1] - kmax :]).astype(
+            np.complex128
+        )
+        out += 1j * np.asarray(v_im[:, :, v_im.shape[-1] - kmax :])
+        return out[: self.M]
+
+    def evecs_full(self):
+        return self._evecs.materialize()[: self.M]
 
 
 def _kl_pencil_planes(bsvd5, bsvd_dev, dev_mask):
@@ -593,6 +650,7 @@ def kl_factored_batched_topband(
     mesh=None,
     bsvd_dev=None,
     dev_mask=None,
+    lazy: bool = False,
 ):
     """m-batched retained-band KL solve (fpencil.kl_solve_qr_topband).
 
@@ -621,6 +679,8 @@ def kl_factored_batched_topband(
         cut=float(cut), k=int(min(k, n)), levels=int(levels),
         fg_reg_rel=float(fg_reg_rel),
     )
+    if lazy:
+        return KLSolveLazy(M, w, LazyComplex("split", v_re, v_im), ok=ok)
     evecs = (np.asarray(v_re) + 1j * np.asarray(v_im))[:M]
     return np.asarray(w)[:M], evecs, np.asarray(ok)[:M]
 

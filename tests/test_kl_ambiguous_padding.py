@@ -62,6 +62,21 @@ def _read_ev(kl, mi):
         return f["evals_full"][:], f["evals"][:], f["evecs"][:]
 
 
+def _as_lazy(w, v):
+    """Wrap mutated (w, v) numpy results in the writer's lazy handle."""
+    from driftscan_tpu.ops import projections
+
+    return projections.KLSolveLazy(
+        len(w),
+        np.asarray(w),
+        projections.LazyComplex(
+            "split",
+            np.ascontiguousarray(np.asarray(v).real),
+            np.ascontiguousarray(np.asarray(v).imag),
+        ),
+    )
+
+
 def test_mixed_zero_cluster_classified_without_fallback(products, monkeypatch):
     from driftscan_tpu.core import kltransform as klmod
 
@@ -76,6 +91,7 @@ def test_mixed_zero_cluster_classified_without_fallback(products, monkeypatch):
     mixed_ms = []
 
     def mixing(*args, **kwargs):
+        kwargs = dict(kwargs, lazy=False)
         w, v = real(*args, **kwargs)
         w = np.asarray(w)
         v = np.asarray(v)
@@ -105,7 +121,7 @@ def test_mixed_zero_cluster_classified_without_fallback(products, monkeypatch):
             v[i][:, a] = r * (ca + cb)
             v[i][:, b] = r * (ca - cb)
             mixed_ms.append(chunk[i])
-        return w, v
+        return _as_lazy(w, v)
 
     monkeypatch.setattr(klmod.projections, "kl_factored_batched", mixing)
 
@@ -145,6 +161,7 @@ def test_mixed_above_threshold_column_still_falls_back(products, monkeypatch):
     poisoned = []
 
     def poison(*args, **kwargs):
+        kwargs = dict(kwargs, lazy=False)
         w, v = real(*args, **kwargs)
         w = np.asarray(w)
         v = np.asarray(v)
@@ -161,7 +178,7 @@ def test_mixed_above_threshold_column_still_falls_back(products, monkeypatch):
             poisoned.append(mi)
             break
         assert poisoned, "fixture has no m with modes above threshold + padding"
-        return w, v
+        return _as_lazy(w, v)
 
     monkeypatch.setattr(klmod.projections, "kl_factored_batched", poison)
 
