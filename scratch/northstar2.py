@@ -1,0 +1,276 @@
+"""North-star 2: PRODUCTION-SHAPED baseline axis (VERDICT r3 item 3).
+
+The first north-star run (scratch/northstar.py) hits 256 freqs and
+mmax 1006 but with num_feeds=1 (npairs=4, svd_len=8) its per-m SVD
+stage is nearly degenerate.  This run flips the trade: a 2-cylinder x
+9-feed polarised array — npairs=100, ntel=200, svd_len=200 per freq,
+the reference's hard axis ntel = 2*npairs
+(/root/reference/drift/core/beamtransfer.py:502-676) — at 16 freqs and
+mmax ~313, so the per-m triple-SVD operates on production-shaped
+(ntel x npol*nl) = (200 x 1256) blocks and the KL pencil is
+ndofmax = 3200 (vs 2048 before).  The HBM/wall ceiling that forces
+the (freqs, mmax) reduction is documented in doc/design.md.
+
+Same machinery as northstar.py: window-checkpointed (git-committed),
+fused Fisher, engine picks from the decision records, NS2_SMOKE CPU
+rehearsal.  NS2_DEADLINE (unix seconds) stops dispatching new windows
+past the deadline and writes a partial record — the run must never
+hold the TPU into the round's final bench.
+"""
+import json, os, subprocess, sys, time
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("DRIFTSCAN_TPU_LEGENDRE_CACHE_GB", "2.0")
+os.environ.setdefault("DRIFTSCAN_TPU_SHT_BUDGET_GB", "4.0")
+import numpy as np, jax
+
+SMOKE = os.environ.get("NS2_SMOKE") == "1"
+if SMOKE:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import _tpu_pidfile
+
+    _tpu_pidfile.register()
+
+if not SMOKE:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import bench
+from driftscan_tpu.telescope import cylinder
+from driftscan_tpu.ops import sht
+from driftscan_tpu.parallel import mstep, resident
+
+T0 = time.time()
+DEADLINE = float(os.environ.get("NS2_DEADLINE", "0")) or None
+
+
+def log(msg):
+    print(f"[ns2 +{time.time()-T0:7.1f}s] {msg}", flush=True)
+
+
+if SMOKE:
+    tel = cylinder.PolarisedCylinderTelescope.from_config(dict(
+        num_freq=2, freq_start=400.0, freq_end=410.0, freq_mode="edge",
+        num_cylinders=2, cylinder_width=3.0, num_feeds=3,
+        feed_spacing=1.0, tsys=50.0, single_precision=True,
+    ))
+else:
+    tel = cylinder.PolarisedCylinderTelescope.from_config(dict(
+        num_freq=16, freq_start=400.0, freq_end=500.0, freq_mode="edge",
+        num_cylinders=2, cylinder_width=15.0, num_feeds=9,
+        feed_spacing=1.0, tsys=50.0, single_precision=True,
+    ))
+nm = tel.mmax + 1
+S = min(4 * (tel.lmax + 1), 2 * tel.npairs)
+rec = dict(kind="production-shaped", nfreq=tel.nfreq, mmax=tel.mmax,
+           lmax=tel.lmax, npairs=tel.npairs, npol=tel.num_pol_sky,
+           ntel=2 * tel.npairs, svd_len=S, ndofmax=tel.nfreq * S,
+           nfb=tel.npairs * tel.nfreq)
+log(f"production-shaped telescope: {rec}")
+
+log("covariances...")
+st = time.time()
+os.makedirs("/root/repo/.cache", exist_ok=True)
+_cov_cache = ("/tmp/ns2_smoke_cov.npz" if SMOKE
+              else "/root/repo/.cache/ns2_cov_cache.npz")
+if os.path.exists(_cov_cache):
+    z = np.load(_cov_cache)
+    ls, lf, noisew = z["ls"], z["lf"], z["noisew"]
+    log("covariance factors loaded from cache")
+else:
+    cl_s, cl_n, noisew, _ = bench._covariances(tel)
+    ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)
+    np.savez(_cov_cache, ls=ls, lf=lf, noisew=noisew)
+rec["t_cov_s"] = round(time.time() - st, 1)
+rec["K_signal"], rec["K_fg"] = int(ls.shape[-1]), int(lf.shape[-1])
+log(f"covariances {rec['t_cov_s']}s (factor widths: signal {ls.shape[-1]}, "
+    f"fg {lf.shape[-1]})")
+
+bl = np.arange(tel.npairs); fi = np.arange(tel.nfreq)
+blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+
+# Engine: exact (the top-band A/B failed its accuracy gate on chip,
+# doc/topband_ab.json); NS2_TOPBAND=1 opts back in.
+NS2_TOPBAND = os.environ.get("NS2_TOPBAND", "0") == "1"
+rec["engine"] = "topband" if NS2_TOPBAND else "exact"
+log(f"product engine: {rec['engine']}")
+
+if not SMOKE:
+    _picks = bench._engine_defaults()
+    _picks.pop("topband", None)
+from driftscan_tpu.ops import fpencil as _fp
+from driftscan_tpu.ops import sht as _sht
+
+rec["sht_precision"] = _sht._SHT_PRECISION or "highest"
+rec["whiten"] = _fp._WHITEN_IMPL
+rec["beam_factor"] = _fp._BEAM_FACTOR_IMPL
+log(f"engine picks: sht={rec['sht_precision']} whiten={rec['whiten']} "
+    f"beam_factor={rec['beam_factor']}")
+
+NS2_FISHER = os.environ.get("NS2_FISHER", "1") == "1"
+band_lt = None
+if NS2_FISHER:
+    _blt_cache = ("/tmp/ns2_smoke_band_lt.npz" if SMOKE
+                  else "/root/repo/.cache/ns2_band_lt.npz")
+    try:
+        if os.path.exists(_blt_cache):
+            band_lt = np.load(_blt_cache)["band_lt"]
+        else:
+            from driftscan_tpu.core import psestimation, skymodel
+
+            st = time.time()
+            nb = 3 if SMOKE else 10
+            edges_k = np.linspace(0.0, 0.4, nb + 1)
+            cr = skymodel.Corr21cm()
+            cr.ps_2d = False
+
+            def _band_cls():
+                for ks, ke in zip(edges_k[:-1], edges_k[1:]):
+                    bf = psestimation.bandfunc_2d_polar(ks, ke, 0.0, np.pi / 2)
+                    crt = skymodel.Corr21cm(
+                        ps=(lambda k, mu, f=bf: cr.ps_vv(k) * f(k, mu)),
+                        redshift=1.5,
+                    )
+                    crt.ps_2d = True
+                    yield skymodel.im21cm_model(
+                        tel.lmax, tel.frequencies, tel.num_pol_sky,
+                        cr=crt, temponly=True,
+                    )
+
+            band_lt = mstep.band_factor_table(
+                _band_cls(), out_dtype=np.float32, rank_rtol=1e-9
+            )
+            np.savez(_blt_cache, band_lt=band_lt, k_edges=edges_k)
+            log(f"band factor table built {time.time()-st:.1f}s")
+    except Exception as exc:  # defensive: fisher-off beats losing the run
+        log(f"fisher band table unavailable ({exc!r}); fisher disabled")
+        band_lt = None
+        NS2_FISHER = False
+rec["fisher"] = bool(NS2_FISHER and band_lt is not None)
+if band_lt is not None:
+    rec["fisher_bands"] = int(band_lt.shape[0])
+    log(f"fisher: {band_lt.shape[0]} bands, table "
+        f"{band_lt.nbytes/2**20:.0f} MiB {band_lt.shape}")
+
+# m-windows: the (l, m) tables are nu*npol*nl*nm * 16 B (pos+neg f32
+# pairs) ~ 10 GB here — streamed as windows like northstar.py.  At
+# ~1.4 GB of tables per 45-m window the SHT budget + pencil workspace
+# (n=3200 eigh) fit comfortably.
+W = 3 if SMOKE else int(os.environ.get("NS2_WINDOWS", "7"))
+edges = np.linspace(0, nm, W + 1).astype(int)
+rec["m_windows"] = W
+t_btm = t_prod = 0.0
+evs, nmods = [], []
+_ckpt_dir = ("/tmp/ns2_smoke_windows" if SMOKE
+             else "/root/repo/ckpt/ns2_windows")
+os.makedirs(_ckpt_dir, exist_ok=True)
+fish_total = (
+    np.zeros((band_lt.shape[0],) * 2, np.complex128) if rec["fisher"] else None
+)
+windows_done = 0
+for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
+    ck = (f"{_ckpt_dir}/w{wi:02d}_{m0}_{m1}_{rec['engine']}"
+          f"_{rec['sht_precision']}_{rec['whiten']}_{rec['beam_factor']}"
+          f"_f{int(rec['fisher'])}.npz")
+    if os.path.exists(ck):
+        try:
+            z = np.load(ck)
+            ev_r, nmo_r = z["ev"], z["nmo"]
+            tb_r, tp_r = float(z["tb"]), float(z["tp"])
+            fish_r = z["fish"] if rec["fisher"] else None
+        except Exception as exc:
+            log(f"window {wi+1}/{W}: bad checkpoint ({exc!r}); recomputing")
+            os.unlink(ck)
+        else:
+            evs.append(ev_r); nmods.append(nmo_r)
+            t_btm += tb_r; t_prod += tp_r
+            if fish_r is not None:
+                fish_total += fish_r
+            windows_done += 1
+            log(f"window {wi+1}/{W} m=[{m0},{m1}): restored from checkpoint")
+            continue
+    if DEADLINE and time.time() > DEADLINE:
+        log(f"deadline reached before window {wi+1}/{W}; stopping "
+            f"({windows_done} windows banked)")
+        break
+    st = time.time()
+    pos, neg = resident.btm_resident(tel, blg, fig, m_range=(int(m0), int(m1)))
+    _ = float(np.asarray(pos.re.sum()))
+    tb = time.time() - st
+    sht.clear_legendre_cache()
+    t_btm += tb
+    st = time.time()
+    fkw = (
+        dict(band_lt=band_lt, ps_threshold=0.1) if rec["fisher"] else {}
+    )
+    out = resident.product_all_resident(
+        tel, pos, neg, ls, lf, noisew, bucket=True, m_range=(int(m0), int(m1)),
+        topband=NS2_TOPBAND, kl_cut=0.1, **fkw,
+    )
+    if rec["fisher"]:
+        ev, nmo, fish = out
+        fish_total += fish
+    else:
+        ev, nmo = out
+        fish = None
+    tp = time.time() - st
+    t_prod += tp
+    del pos, neg
+    evs.append(ev)
+    nmods.append(nmo)
+    extra_ck = {"fish": fish} if fish is not None else {}
+    np.savez(ck + ".tmp.npz", ev=ev, nmo=nmo, tb=tb, tp=tp, **extra_ck)
+    os.replace(ck + ".tmp.npz", ck)
+    windows_done += 1
+    log(f"window {wi+1}/{W} m=[{m0},{m1}): btm {tb:.1f}s product {tp:.1f}s")
+    if not SMOKE:
+        for _try in range(3):
+            r = subprocess.run(
+                ["git", "-C", "/root/repo", "add", "ckpt/ns2_windows"],
+                capture_output=True)
+            if r.returncode == 0:
+                r = subprocess.run(
+                    ["git", "-C", "/root/repo", "commit", "-q",
+                     "-m", f"Production-shaped north-star window {wi+1}/{W}",
+                     "--", "ckpt/ns2_windows"], capture_output=True)
+            if r.returncode == 0:
+                break
+            time.sleep(5)
+        else:
+            log(f"window {wi+1}: checkpoint commit failed "
+                f"({r.stderr.decode()[:200]})")
+
+rec["windows_done"] = windows_done
+rec["partial"] = windows_done < W
+evals = np.concatenate(evs) if evs else np.zeros((0, 1))
+nmodes = np.concatenate(nmods) if nmods else np.zeros(0, int)
+rec["t_btm_s"] = round(t_btm, 1)
+rec["t_product_s"] = round(t_prod, 1)
+if evals.size:
+    rec["finite"] = bool(np.isfinite(evals).all())
+    rec["max_eval"] = float(evals.max())
+    rec["retained_modes"] = int((evals > 0.1).sum())
+    m_done = evals.shape[0]
+    rec["m_done"] = int(m_done)
+    rec["rate_m_per_s"] = round(m_done / max(t_btm + t_prod, 1e-9), 3)
+if fish_total is not None and windows_done:
+    rec["fisher_finite"] = bool(np.isfinite(fish_total).all())
+    rec["fisher_k"] = int(resident._FISHER_K[0])
+    rec["fisher_diag"] = [float(x) for x in np.real(np.diag(fish_total))]
+    _fish_path = ("/tmp/ns2_smoke_fisher.npz" if SMOKE
+                  else "/root/repo/doc/northstar2_fisher.npz")
+    np.savez(_fish_path, fisher=fish_total)
+    log(f"fisher saved to {_fish_path}; diag head "
+        f"{np.real(np.diag(fish_total))[:3]}")
+log(f"TOTAL: btm {t_btm:.1f}s product {t_prod:.1f}s; windows "
+    f"{windows_done}/{W}")
+
+_rec_path = ("/tmp/ns2_smoke_record.json" if SMOKE
+             else "/root/repo/doc/northstar2_run.json")
+# a partial record must not gate the chain as "done": keep a .partial
+# suffix until every window is banked
+if rec["partial"] and not SMOKE:
+    _rec_path += ".partial"
+with open(_rec_path, "w") as f:
+    json.dump(rec, f, indent=1)
+log(f"record written to {_rec_path}")
