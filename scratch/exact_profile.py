@@ -237,6 +237,90 @@ def main():
         g.re, g.im,
     )
 
+    # ---- the same stage table at the PINNED production batch (mb=64):
+    # the mb=8 table mis-ranks stages whose cost is per-dispatch rather
+    # than per-row (the round-3 whiten A/B tie showed the tall triangular
+    # solve amortises with batch depth), so the optimisation target must
+    # be ranked at the batch size the bench actually runs.
+    mb64 = 64
+    rec["stages64_ms"] = {}
+    bsyn64 = zrand(mb64, F, S, npol, nl)
+    a_s64 = zrand(mb64, n, Ks)
+    a_f64 = zrand(mb64, n, Kf) * jnp.asarray(1e-3, dt)
+    y64 = zrand(mb64, n, Ks)
+    g64 = zrand(mb64, n, n)
+
+    def probe64(name, fn, *args):
+        f = jax.jit(fn)
+        ms = t(lambda: f(*args)) * 1e3
+        rec["stages64_ms"][name] = round(ms, 1)
+        print(f"stage64 {name}: {ms:.0f} ms ({ms/mb64:.1f} ms/m)", flush=True)
+
+    probe64(
+        "beam_factor_sig",
+        jax.vmap(lambda br, bi: fpencil.beam_factor(za.Z(br, bi), lsj)),
+        bsyn64.re, bsyn64.im,
+    )
+    probe64(
+        "beam_factor_fg",
+        jax.vmap(lambda br, bi: fpencil.beam_factor(za.Z(br, bi), lfj)),
+        bsyn64.re, bsyn64.im,
+    )
+    bw64 = zrand(mb64, F, 2 * tel.npairs, npol * nl)
+    probe64(
+        "triple_svd",
+        jax.vmap(
+            lambda br, bi: dlinalg.triple_svd_split_batched(
+                br, bi, npol=npol, nl=nl, polsvcut=1e-4
+            )[4]
+        ),
+        bw64.re, bw64.im,
+    )
+    probe64(
+        "noise_qr_split",
+        jax.vmap(
+            lambda fr, fi_: fpencil._chol_qr_r_split(
+                fpencil._thermal_noise_rows(za.Z(fr, fi_), 1.0)
+            )
+        ),
+        a_f64.re, a_f64.im,
+    )
+    r_e64 = jax.vmap(noise_qr)(a_f64.re, a_f64.im)
+    probe64(
+        "tri_solve_y",
+        jax.vmap(
+            lambda r, sre, sim: fpencil._solve_tri_interleaved(
+                r, za.Z(sre, sim), adjoint=True
+            )
+        ),
+        r_e64, a_s64.re, a_s64.im,
+    )
+    for lv in (1, 2):
+        probe64(
+            f"gram_bands_l{lv}",
+            jax.vmap(
+                lambda yre, yim, lv=lv: fpencil.gram_bands(
+                    za.Z(yre, yim), levels=lv
+                ).s
+            ),
+            y64.re, y64.im,
+        )
+    probe64(
+        "dense_eigh_n",
+        jax.vmap(lambda gre, gim: za.eigh(za.Z(gre, gim))[0]),
+        g64.re, g64.im,
+    )
+    # eigenvector half: whiten-back of the selected basis (R^-1 U)
+    probe64(
+        "tri_solve_back_u",
+        jax.vmap(
+            lambda r, ure, uim: fpencil._solve_tri_interleaved(
+                r, za.Z(ure, uim), adjoint=False
+            )
+        ),
+        r_e64, g64.re, g64.im,
+    )
+
     # ---- lever 1: global matmul precision (accuracy-gated) ----
     resident._spectrum_batch.clear_cache()
     with jax.default_matmul_precision("default"):

@@ -222,7 +222,8 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
     np.savez(ck + ".tmp.npz", ev=ev, nmo=nmo, tb=tb, tp=tp, **extra_ck)
     os.replace(ck + ".tmp.npz", ck)
     windows_done += 1
-    log(f"window {wi+1}/{W} m=[{m0},{m1}): btm {tb:.1f}s product {tp:.1f}s")
+    log(f"window {wi+1}/{W} m=[{m0},{m1}): btm {tb:.1f}s product {tp:.1f}s "
+        f"max_ev {float(ev.max()):.3e} retained {int((ev > 0.1).sum())}")
     if not SMOKE:
         for _try in range(3):
             r = subprocess.run(

@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Attribute the top-band engine's on-chip accuracy failure (VERDICT r3).
+
+doc/topband_ab.json recorded max_rel 0.24 / sets_equal false vs the
+exact eigh at bench scale on the TPU, while tests/test_topband.py
+passes on CPU — a device-numerics divergence worth root-causing even
+though the engine was (correctly) not adopted.
+
+At bench scale the whitened-signal Gram's lam_max/cut is only ~8, so
+level coverage cannot be the culprit; the live suspects are (a) the
+f32 Chebyshev/CholQR filter iteration under TPU bf16x6 matmul rounding
+(basis quality), (b) the f64 Rayleigh-Ritz under TPU's emulated f64,
+(c) boundary-mode membership churn inflating the recorded rel via
+misaligned sorted sets.  This script separates them per m:
+
+  1. exact spectrum (sig_levels=2) as reference;
+  2. topband at production (k, levels) — paired diff on the retained
+     INTERSECTION (isolates value error from membership error) plus
+     the boundary distance of every membership mismatch;
+  3. variants: iters x2, k x2, rr_dtype=f32 — whichever knob moves the
+     paired error identifies the failing stage.
+
+Writes doc/topband_forensic.json.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+if os.environ.get("AB_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import _tpu_pidfile
+
+    _tpu_pidfile.register()
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import bench
+from driftscan_tpu.ops import fpencil
+from driftscan_tpu.parallel import mstep, resident
+
+CUT = 0.1
+
+
+def run_batch(base, args, **kw):
+    ev, nmo, okf = base(*args, **kw)
+    return np.asarray(ev), np.asarray(okf)
+
+
+def compare(ev_ref, ev_t, okf):
+    """Per-batch paired/membership comparison at the CUT threshold."""
+    out = {"ok_all": bool(okf.all())}
+    keep_r = ev_ref > CUT
+    keep_t = ev_t > CUT
+    out["n_ret_ref"] = int(keep_r.sum())
+    out["n_ret_top"] = int(keep_t.sum())
+    out["sets_equal"] = bool((keep_r == keep_t).all())
+    # paired value error on sorted retained values where COUNTS match
+    # per m (value pairing; immune to membership churn only when counts
+    # agree), plus the boundary distance of every membership mismatch.
+    rels, mism = [], []
+    for i in range(ev_ref.shape[0]):
+        r = np.sort(ev_ref[i][keep_r[i]])[::-1]
+        tt = np.sort(ev_t[i][keep_t[i]])[::-1]
+        npair = min(len(r), len(tt))
+        if npair:
+            rels.append(float(np.abs(r[:npair] - tt[:npair]).max()
+                              / r[0]))
+        if len(r) != len(tt):
+            # values driving the mismatch: the unpaired tail
+            tail = r[npair:] if len(r) > npair else tt[npair:]
+            mism.append(
+                {"m_idx": i, "ref_n": len(r), "top_n": len(tt),
+                 "boundary_vals": [float(x) for x in tail[:4]]}
+            )
+    out["paired_rel_max"] = float(max(rels)) if rels else 0.0
+    out["mismatches"] = mism
+    return out
+
+
+def main():
+    rec = {}
+    tel = bench.build_telescope()
+    cl_s, cl_n, noisew, _ = bench._covariances(tel)
+    ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)
+    bl, fi = np.arange(tel.npairs), np.arange(tel.nfreq)
+    blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
+    pos, neg = resident.btm_resident(tel, blg, fig)
+    _ = float(np.asarray(pos.re.sum()))
+    nl = tel.lmax + 1
+    n = tel.nfreq * min(nl, 2 * tel.npairs) * tel.num_pol_sky
+    dt = pos.re.dtype
+    nw = jnp.asarray(noisew, dtype=dt)
+    lsj = jnp.asarray(ls, dtype=dt)
+    lfj = jnp.asarray(lf, dtype=dt)
+    mb = 8
+    # the m-range that retains the most modes (low m)
+    mv = jnp.asarray(np.arange(0, mb, dtype=np.int32))
+    base = functools.partial(
+        resident._spectrum_batch,
+        npairs=tel.npairs, nfreq=tel.nfreq, nl=nl, npol=tel.num_pol_sky,
+    )
+    args = (pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mv)
+
+    ev_ref, _ = run_batch(base, args, sig_levels=2)
+    rec["lam_max"] = float(ev_ref.max())
+    rec["lam_over_cut"] = float(ev_ref.max() / CUT)
+    rec["n"] = n
+    print(f"exact: lam_max={ev_ref.max():.3f} retained/m="
+          f"{(ev_ref > CUT).sum(1)}", flush=True)
+
+    k0 = resident._quant_frac(max(n // 8, 8), n)
+    orig = fpencil.kl_solve_qr_topband
+
+    def variant(name, k=k0, levels=5, **patch_kw):
+        if patch_kw:
+            def patched(a_s, a_f, cut, k, levels=5, **kw):
+                kw.update(patch_kw)
+                return orig(a_s, a_f, cut=cut, k=k, levels=levels, **kw)
+            fpencil.kl_solve_qr_topband = patched
+        try:
+            resident._spectrum_batch.clear_cache()
+            st = time.time()
+            ev_t, okf = run_batch(
+                base, args, sig_levels=1, kl_cut=CUT, kl_top_k=int(k),
+                kl_levels=int(levels),
+            )
+            wall = time.time() - st
+        finally:
+            fpencil.kl_solve_qr_topband = orig
+        c = compare(ev_ref, ev_t, okf)
+        c["wall_s"] = round(wall, 1)
+        rec[name] = c
+        print(f"{name}: ok={c['ok_all']} sets_equal={c['sets_equal']} "
+              f"paired_rel={c['paired_rel_max']:.3e} "
+              f"n_ret {c['n_ret_ref']}->{c['n_ret_top']} "
+              f"mism={len(c['mismatches'])}", flush=True)
+
+    variant("prod_k5", k=k0, levels=5)                  # as shipped
+    variant("iters8", iters=8)                          # filter conv
+    variant("k2x", k=min(2 * k0, n // 2))               # basis width
+    variant("rr_f32", rr_dtype=jnp.float32)             # Ritz precision
+    variant("gap2", gap_rel=2.0)                        # tighter passband
+    variant("deg4", degree=4)                           # sharper filter
+
+    with open("/root/repo/doc/topband_forensic.json", "w") as f:
+        json.dump(rec, f, indent=1)
+    print("record written to doc/topband_forensic.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
