@@ -43,6 +43,10 @@ from driftscan_tpu.ops import sht
 from driftscan_tpu.parallel import mstep, resident
 
 T0 = time.time()
+# NS_DEADLINE (unix seconds): stop dispatching new windows past the
+# deadline and write a .partial record — the run must never hold the
+# TPU into the round's final bench (same contract as northstar2.py).
+DEADLINE = float(os.environ.get("NS_DEADLINE", "0")) or None
 def log(msg):
     print(f"[ns +{time.time()-T0:7.1f}s] {msg}", flush=True)
 
@@ -199,6 +203,7 @@ os.makedirs(_ckpt_dir, exist_ok=True)
 fish_total = (
     np.zeros((band_lt.shape[0],) * 2, np.complex128) if rec["fisher"] else None
 )
+windows_done = 0
 for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
     ck = (f"{_ckpt_dir}/w{wi:02d}_{m0}_{m1}_{rec['engine']}"
           f"_{rec['sht_precision']}_{rec['whiten']}_{rec['beam_factor']}"
@@ -217,8 +222,13 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
             t_btm += tb_r; t_prod += tp_r
             if fish_r is not None:
                 fish_total += fish_r
+            windows_done += 1
             log(f"window {wi+1}/{W} m=[{m0},{m1}): restored from checkpoint")
             continue
+    if DEADLINE and time.time() > DEADLINE:
+        log(f"deadline reached before window {wi+1}/{W}; stopping "
+            f"({windows_done} windows banked)")
+        break
     st = time.time()
     pos, neg = resident.btm_resident(tel, blg, fig, m_range=(int(m0), int(m1)))
     _ = float(np.asarray(pos.re.sum()))
@@ -251,7 +261,9 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
     extra_ck = {"fish": fish} if fish is not None else {}
     np.savez(ck + ".tmp.npz", ev=ev, nmo=nmo, tb=tb, tp=tp, **extra_ck)
     os.replace(ck + ".tmp.npz", ck)
-    log(f"window {wi+1}/{W} m=[{m0},{m1}): btm {tb:.1f}s product {tp:.1f}s")
+    windows_done += 1
+    log(f"window {wi+1}/{W} m=[{m0},{m1}): btm {tb:.1f}s product {tp:.1f}s "
+        f"max_ev {float(ev.max()):.3e} retained {int((ev > 0.1).sum())}")
     if not SMOKE:
         # the repo tree is the only cross-container storage: commit the
         # window the moment it lands (retry across transient index-lock
@@ -272,14 +284,18 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
         else:
             log(f"window {wi+1}: checkpoint commit failed "
                 f"({r.stderr.decode()[:200]})")
-evals = np.concatenate(evs)
-nmodes = np.concatenate(nmods)
+rec["windows_done"] = windows_done
+rec["partial"] = windows_done < W
+evals = np.concatenate(evs) if evs else np.zeros((0, 1))
+nmodes = np.concatenate(nmods) if nmods else np.zeros(0, int)
 rec["t_btm_s"] = round(t_btm, 1)
 rec["t_product_s"] = round(t_prod, 1)
-rec["finite"] = bool(np.isfinite(evals).all())
-rec["max_eval"] = float(evals.max())
-rec["retained_modes"] = int((evals > 0.1).sum())
-rec["rate_m_per_s"] = round(nm / (t_btm + t_prod), 3)
+if evals.size:
+    rec["finite"] = bool(np.isfinite(evals).all())
+    rec["max_eval"] = float(evals.max())
+    rec["retained_modes"] = int((evals > 0.1).sum())
+    rec["m_done"] = int(evals.shape[0])
+    rec["rate_m_per_s"] = round(evals.shape[0] / max(t_btm + t_prod, 1e-9), 3)
 if NS_TOPBAND:
     # converged (basis width, levels) per pencil dimension — records how
     # hard the certificate had to escalate at north-star conditioning
@@ -293,12 +309,17 @@ if fish_total is not None:
     np.savez(_fish_path, fisher=fish_total)
     log(f"fisher saved to {_fish_path}; diag head "
         f"{np.real(np.diag(fish_total))[:3]}")
-log(f"TOTAL: btm {t_btm:.1f}s product {t_prod:.1f}s; rate "
-    f"{rec['rate_m_per_s']} m/s; finite={rec['finite']} "
-    f"max_eval={rec['max_eval']:.3g} retained={rec['retained_modes']}")
+log(f"TOTAL: btm {t_btm:.1f}s product {t_prod:.1f}s; windows "
+    f"{windows_done}/{W}; rate {rec.get('rate_m_per_s')} m/s; "
+    f"finite={rec.get('finite')} max_eval={rec.get('max_eval')} "
+    f"retained={rec.get('retained_modes')}")
 
 _rec_path = ("/tmp/ns_smoke_record.json" if SMOKE
              else "/root/repo/doc/northstar_run.json")
+# a partial record must not gate the chain as "done": keep a .partial
+# suffix until every window is banked
+if rec["partial"] and not SMOKE:
+    _rec_path += ".partial"
 with open(_rec_path, "w") as f:
     json.dump(rec, f, indent=1)
 log(f"record written to {_rec_path}")

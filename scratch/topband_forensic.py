@@ -35,6 +35,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# TB_CHIP=1: the on-chip confirmation run — CPU attribution (AB_CPU=1)
+# identified Ritz precision as the failure knob and k-margin as the fix;
+# the chip run re-tests the decisive variants where the failure was
+# actually observed and writes a separate record.
+CHIP = os.environ.get("TB_CHIP") == "1"
 if os.environ.get("AB_CPU"):
     jax.config.update("jax_platforms", "cpu")
 else:
@@ -145,16 +150,25 @@ def main():
               f"n_ret {c['n_ret_ref']}->{c['n_ret_top']} "
               f"mism={len(c['mismatches'])}", flush=True)
 
-    variant("prod_k5", k=k0, levels=5)                  # as shipped
-    variant("iters8", iters=8)                          # filter conv
-    variant("k2x", k=min(2 * k0, n // 2))               # basis width
-    variant("rr_f32", rr_dtype=jnp.float32)             # Ritz precision
-    variant("gap2", gap_rel=2.0)                        # tighter passband
-    variant("deg4", degree=4)                           # sharper filter
+    if CHIP:
+        variant("prod_k5", k=k0, levels=5)              # as shipped
+        variant("k2x", k=min(2 * k0, n // 2))           # basis width
+        variant("rr_f32", rr_dtype=jnp.float32)         # Ritz precision
+        variant("k2x_rr_f32", k=min(2 * k0, n // 2),
+                rr_dtype=jnp.float32)                   # both knobs
+    else:
+        variant("prod_k5", k=k0, levels=5)              # as shipped
+        variant("iters8", iters=8)                      # filter conv
+        variant("k2x", k=min(2 * k0, n // 2))           # basis width
+        variant("rr_f32", rr_dtype=jnp.float32)         # Ritz precision
+        variant("gap2", gap_rel=2.0)                    # tighter passband
+        variant("deg4", degree=4)                       # sharper filter
 
-    with open("/root/repo/doc/topband_forensic.json", "w") as f:
+    out_path = ("/root/repo/doc/topband_forensic_chip.json" if CHIP
+                else "/root/repo/doc/topband_forensic.json")
+    with open(out_path, "w") as f:
         json.dump(rec, f, indent=1)
-    print("record written to doc/topband_forensic.json", flush=True)
+    print(f"record written to {out_path}", flush=True)
 
 
 if __name__ == "__main__":
