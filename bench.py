@@ -284,6 +284,9 @@ def _mbatch_default():
     env = os.environ.get("BENCH_MBATCH")
     if env:
         return int(env), None
+    combo = _read_pick(_EXACT_PROFILE_DECISION, "product_pick")
+    if combo:
+        return int(combo["mbatch"]), int(combo["sig_levels"])
     pinned = _read_pick(_EXACT_PROFILE_DECISION, "mbatch_pinned_pick")
     if pinned:
         return int(pinned), 2
