@@ -283,15 +283,19 @@ def _mbatch_default():
     at bench scale and do not transfer to the polarised/CPU legs."""
     env = os.environ.get("BENCH_MBATCH")
     if env:
-        return int(env), None
+        return int(env), None, None
     combo = _read_pick(_EXACT_PROFILE_DECISION, "product_pick")
     if combo:
-        return int(combo["mbatch"]), int(combo["sig_levels"])
+        return (
+            int(combo["mbatch"]),
+            int(combo["sig_levels"]),
+            int(combo.get("cholqr_rounds", 0)) or None,
+        )
     pinned = _read_pick(_EXACT_PROFILE_DECISION, "mbatch_pinned_pick")
     if pinned:
-        return int(pinned), 2
+        return int(pinned), 2, None
     pick = _read_pick(_MBATCH_AB_DECISION, "mbatch_pick")
-    return (int(pick) if pick else None), None
+    return (int(pick) if pick else None), None, None
 
 
 def _product_precision_default():
@@ -794,12 +798,19 @@ def main():
     nfb_total = tel.npairs * tel.nfreq
     _log(f"telescope ready: nm={nm} nfb={nfb_total} platform={platform}")
 
-    mb_pick, sig_pick = _mbatch_default()
+    mb_pick, sig_pick, qr_pick = _mbatch_default()
     prec_pick = _product_precision_default()
     if prec_pick:
         _PHASES.setdefault("product_precision", prec_pick)
     if sig_pick is not None:
         _PHASES.setdefault("sig_levels_pinned", sig_pick)
+    if qr_pick:
+        # measured-run lever only (see fpencil._CHOLQR_ROUNDS): the
+        # profiler gated this round count on the bench pencil itself
+        from driftscan_tpu.ops import fpencil
+
+        fpencil._CHOLQR_ROUNDS = qr_pick
+        _PHASES.setdefault("cholqr_rounds", qr_pick)
     t_btm, t_prod, state = resident_phases(
         tel, mbatch=mb_pick, sig_levels=sig_pick, product_precision=prec_pick
     )

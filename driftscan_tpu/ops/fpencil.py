@@ -583,6 +583,23 @@ def _solve_tri_interleaved(r_e: jnp.ndarray, b: za.Z, adjoint: bool) -> za.Z:
 _CHOLQR_SHIFT_EPS_MULT = 3000.0
 
 
+# Static round-count override (None = conditioning-worst-case default).
+# Each shifted round is a full tall Gram + update — at bench shapes the
+# noise QR is ~2/3 of the pencil-construction flops — and at bench-class
+# conditioning (cond(N) ~ 3e11) rounds=4 already sits on the f32 Gram
+# noise floor (~1e-3 retained-mode rel vs the dense f64 referee, same as
+# rounds=8; rounds=3 degrades to ~8e-3 — scratch/exact_profile.py gates
+# this on chip).  The default stays at the 1e18-coverage count: the
+# override is a *measured-run* lever (bench adopts its accuracy-gated
+# product_pick), not a library default — a user's pencil may be worse
+# conditioned than anything the gate saw.
+_CHOLQR_ROUNDS = (
+    int(os.environ["DRIFTSCAN_TPU_CHOLQR_ROUNDS"])
+    if os.environ.get("DRIFTSCAN_TPU_CHOLQR_ROUNDS")
+    else None
+)
+
+
 def _cholqr_rounds(dtype) -> int:
     """Shifted-round count covering any representable pencil conditioning.
 
@@ -591,6 +608,8 @@ def _cholqr_rounds(dtype) -> int:
     f32 round that needs 6 shifted rounds (f64: 12 decades/round, 2
     suffice), plus the two finishing rounds.
     """
+    if _CHOLQR_ROUNDS:
+        return _CHOLQR_ROUNDS
     return 8 if jnp.finfo(dtype).eps > 1e-10 else 4
 
 

@@ -371,14 +371,25 @@ def main():
     print(f"batch mb={mb2} sig2: {dt64*1e3:.0f} ms "
           f"({dt64*1e3/mb2:.0f} ms/m) rel_vs_mb8={rel64:.2e}", flush=True)
 
-    def lever_batch(tag, mvx, mbx, **kw):
+    def lever_batch(tag, mvx, mbx, qr_rounds=None, **kw):
         """Time base() at (mvx, kw) and gate accuracy vs the mb=8 sig2
-        reference window (first `mb` rows align: every mv starts at 8)."""
-        dtx = t(lambda: base(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj,
-                             mvx, **kw))
-        evx = np.asarray(
-            base(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mvx, **kw)[0]
-        )
+        reference window (first `mb` rows align: every mv starts at 8).
+        ``qr_rounds`` patches the CholQR round count for this probe
+        (module-global, so the jit cache must be cleared around it)."""
+        if qr_rounds is not None:
+            fpencil._CHOLQR_ROUNDS = qr_rounds
+            resident._spectrum_batch.clear_cache()
+        try:
+            dtx = t(lambda: base(pos.re, pos.im, neg.re, neg.im, nw, lsj,
+                                 lfj, mvx, **kw))
+            evx = np.asarray(
+                base(pos.re, pos.im, neg.re, neg.im, nw, lsj, lfj, mvx,
+                     **kw)[0]
+            )
+        finally:
+            if qr_rounds is not None:
+                fpencil._CHOLQR_ROUNDS = None
+                resident._spectrum_batch.clear_cache()
         relx = (
             float((np.abs(evx[:mb][keep] - ev_ref[keep]) / ev_ref[keep]).max())
             if keep.any()
@@ -409,6 +420,15 @@ def main():
     lever_batch("batch128_sig2", mv128, mb3, sig_levels=2)
     lever_batch("batch128_sig1", mv128, mb3, sig_levels=1)
     rec["mb128"] = mb3
+
+    # ---- lever 6: CholQR round count.  The f32 default (8) covers
+    # cond(N) ~ 1e18; at bench-class conditioning rounds=4 sits on the
+    # same f32 Gram noise floor (CPU referee: 9.7e-4 vs 1.3e-3 top-mode
+    # rel at cond 3.4e11, rounds=3 degrades to 8.5e-3), and each round
+    # is a full tall Gram + update — the noise QR is ~2/3 of the
+    # pencil-construction flops ----
+    lever_batch("batch64_qr4", mv64, mb2, qr_rounds=4, sig_levels=2)
+    lever_batch("batch128_sig1_qr4", mv128, mb3, qr_rounds=4, sig_levels=1)
 
     # ---- lever 2: bucketed full phase ----
     nm = tel.mmax + 1
@@ -507,23 +527,31 @@ def _picks(rec):
         and rec["batch64_rel_vs_mb8"] <= _GATE_REL
         and rec["batch64_per_m_ms"] < 0.95 * per_m_ref
     ):
-        combos.append((rec["batch64_per_m_ms"], 64, 2))
-    for tag, mbx, sl in (
-        ("batch128_sig2", rec.get("mb128", 128), 2),
-        ("batch64_sig1", 64, 1),
-        ("batch128_sig1", rec.get("mb128", 128), 1),
+        combos.append((rec["batch64_per_m_ms"], 64, 2, 0))
+    mb128 = rec.get("mb128", 128)
+    for tag, mbx, sl, qr in (
+        ("batch128_sig2", mb128, 2, 0),
+        ("batch64_sig1", 64, 1, 0),
+        ("batch128_sig1", mb128, 1, 0),
+        ("batch64_qr4", 64, 2, 4),
+        ("batch128_sig1_qr4", mb128, 1, 4),
     ):
         if f"{tag}_per_m_ms" in rec and (
             rec.get(f"{tag}_sets_equal", False)
             and rec[f"{tag}_rel"] <= _GATE_REL
             and rec[f"{tag}_per_m_ms"] < 0.95 * per_m_ref
         ):
-            combos.append((rec[f"{tag}_per_m_ms"], mbx, sl))
-    out["product_pick"] = (
-        {"mbatch": int(min(combos)[1]), "sig_levels": int(min(combos)[2])}
-        if combos
-        else None
-    )
+            combos.append((rec[f"{tag}_per_m_ms"], mbx, sl, qr))
+    if combos:
+        best = min(combos)
+        out["product_pick"] = {
+            "mbatch": int(best[1]),
+            "sig_levels": int(best[2]),
+            # 0 = library default round count (conditioning worst-case)
+            "cholqr_rounds": int(best[3]),
+        }
+    else:
+        out["product_pick"] = None
     # beam_factor lowering: elementwise agreement (far stronger than the
     # spectrum gate — bit-identical at npol=1 where p has one term) plus
     # a real stage win on both sides

@@ -48,7 +48,7 @@ CUT = 0.1  # KL retention threshold the spectrum is consumed at
 def main():
     tel = bench.build_telescope()
     bench._engine_defaults()
-    mb, sig_levels = bench._mbatch_default()
+    mb, sig_levels, _qr = bench._mbatch_default()
     cl_s, cl_n, noisew, _ = bench._covariances(tel)
     ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)
     bl, fi = np.arange(tel.npairs), np.arange(tel.nfreq)
