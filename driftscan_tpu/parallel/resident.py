@@ -547,6 +547,17 @@ _FISHER_K = [0]
 _FISHER_LCHUNK = int(os.environ.get("DRIFTSCAN_TPU_FISHER_LCHUNK", "64"))
 
 
+# Starting subspace width of the top-band engine, as a fraction of the
+# pencil dimension (k0 = n / frac).  The certificate escalation doubles
+# k on incompleteness, but it cannot see *value* error inside a complete
+# basis: the round-3 on-chip A/B failed with boundary-mode values off by
+# 0.24 rel at k = n/8 while the certificate passed, and the forensic
+# (doc/topband_forensic.json) shows k = n/4 brings paired values to
+# ~5e-7 of the exact engine at f64 Ritz.  Flip to 4 only on a passing
+# on-chip record (doc/topband_forensic_chip.json).
+_TB_START_FRAC = int(os.environ.get("DRIFTSCAN_TPU_TB_START_FRAC", "8"))
+
+
 def _run_topband(run, mv, extra, nw, lsd, lfd, n_chunk, kl_cut, exact_levels):
     """One chunk through the top-band KL engine with escalation.
 
@@ -560,7 +571,8 @@ def _run_topband(run, mv, extra, nw, lsd, lfd, n_chunk, kl_cut, exact_levels):
     closure dispatches the fused product+Fisher kernel.
     """
     k, lv = _TB_STATE.get(
-        n_chunk, (_quant_frac(max(n_chunk // 8, 8), n_chunk), 5)
+        n_chunk,
+        (_quant_frac(max(n_chunk // _TB_START_FRAC, 8), n_chunk), 5),
     )
     while k <= n_chunk // 2:
         kw = dict(extra or {})
