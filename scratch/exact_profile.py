@@ -430,6 +430,44 @@ def main():
     lever_batch("batch64_qr4", mv64, mb2, qr_rounds=4, sig_levels=2)
     lever_batch("batch128_sig1_qr4", mv128, mb3, qr_rounds=4, sig_levels=1)
 
+    # ---- fused-Fisher gate for the aggressive combo: the spectrum gate
+    # above cannot see eigenvector quality, and the 4-phase headline
+    # contracts retained eigenvectors against the band covariances.
+    # Compare the fused Fisher over the first 16 m under (sig1, qr4)
+    # against the reference settings; BASELINE's Fisher accuracy tier is
+    # 3e-2, gate at 1e-2. ----
+    try:
+        band_lt = mstep.band_factor_table(
+            iter(bench._fisher_bands(tel)), out_dtype=np.float32,
+            rank_rtol=1e-9,
+        )
+        fkw = dict(band_lt=band_lt, ps_threshold=0.1, max_m=16)
+        _, _, fish_ref = resident.product_all_resident(
+            tel, pos, neg, ls, lf, noisew, **fkw
+        )
+        fpencil._CHOLQR_ROUNDS = 4
+        resident._spectrum_batch.clear_cache()
+        try:
+            _, _, fish_agg = resident.product_all_resident(
+                tel, pos, neg, ls, lf, noisew, sig_levels=1, **fkw
+            )
+        finally:
+            fpencil._CHOLQR_ROUNDS = None
+            resident._spectrum_batch.clear_cache()
+        denom = float(np.abs(fish_ref).max()) + 1e-30
+        rec["fisher_combo_rel"] = float(
+            np.abs(fish_agg - fish_ref).max() / denom
+        )
+        rec["fisher_combo_ok"] = bool(
+            np.isfinite(fish_agg).all() and rec["fisher_combo_rel"] <= 1e-2
+        )
+        print(f"fisher combo gate: rel={rec['fisher_combo_rel']:.2e} "
+              f"ok={rec['fisher_combo_ok']}", flush=True)
+    except Exception as exc:  # fisher-off beats losing the profile
+        rec["fisher_combo_ok"] = False
+        rec["fisher_combo_err"] = repr(exc)[:200]
+        print(f"fisher combo gate unavailable: {exc!r}", flush=True)
+
     # ---- lever 2: bucketed full phase ----
     nm = tel.mmax + 1
     for bucket in (False, True):
@@ -540,6 +578,10 @@ def _picks(rec):
             rec.get(f"{tag}_sets_equal", False)
             and rec[f"{tag}_rel"] <= _GATE_REL
             and rec[f"{tag}_per_m_ms"] < 0.95 * per_m_ref
+            # non-default sig/qr combos additionally need the fused-
+            # Fisher gate (eigenvector quality, invisible to the
+            # spectrum gate)
+            and ((sl == 2 and qr == 0) or rec.get("fisher_combo_ok", False))
         ):
             combos.append((rec[f"{tag}_per_m_ms"], mbx, sl, qr))
     if combos:
