@@ -288,7 +288,9 @@ def _mbatch_default():
     if combo:
         return (
             int(combo["mbatch"]),
-            int(combo["sig_levels"]),
+            # 0 = the engine's adaptive depth (product_all_resident's
+            # sig_levels=None policy)
+            int(combo["sig_levels"]) or None,
             int(combo.get("cholqr_rounds", 0)) or None,
         )
     pinned = _read_pick(_EXACT_PROFILE_DECISION, "mbatch_pinned_pick")

@@ -430,6 +430,37 @@ def main():
     lever_batch("batch64_qr4", mv64, mb2, qr_rounds=4, sig_levels=2)
     lever_batch("batch128_sig1_qr4", mv128, mb3, qr_rounds=4, sig_levels=1)
 
+    # ---- lever 7: the engine's own adaptive depth (sig1 first, re-solve
+    # offender batches at sig2 — guards the low-m wide-retained-range
+    # batches the pinned probes above never see).  The host-side
+    # re-solve logic lives in product_all_resident, so time the full
+    # phase, not a single batch. ----
+    def phase_probe(tag, qr_rounds=None, **kw):
+        if qr_rounds is not None:
+            fpencil._CHOLQR_ROUNDS = qr_rounds
+            resident._spectrum_batch.clear_cache()
+        try:
+            resident.product_all_resident(
+                tel, pos, neg, ls, lf, noisew, max_m=mb, **kw
+            )  # warm
+            st = time.time()
+            ev, _ = resident.product_all_resident(
+                tel, pos, neg, ls, lf, noisew, **kw
+            )
+            dtp = time.time() - st
+        finally:
+            if qr_rounds is not None:
+                fpencil._CHOLQR_ROUNDS = None
+                resident._spectrum_batch.clear_cache()
+        rec[f"{tag}_s"] = round(dtp, 2)
+        rec[f"{tag}_per_m_ms"] = round(dtp * 1e3 / (tel.mmax + 1), 1)
+        return ev
+
+    ev_pha = phase_probe("phase_adaptive64", mbatch=64, bucket=False)
+    ev_phaq = phase_probe(
+        "phase_adaptive64_qr4", qr_rounds=4, mbatch=64, bucket=False
+    )
+
     # ---- fused-Fisher gate for the aggressive combo: the spectrum gate
     # above cannot see eigenvector quality, and the 4-phase headline
     # contracts retained eigenvectors against the band covariances.
@@ -493,6 +524,21 @@ def main():
         else:
             ev_full_flat = ev
         print(f"full phase bucket={bucket}: {dtb:.1f} s", flush=True)
+
+    # adaptive-depth full-phase accuracy vs the auto-depth flat phase
+    # (both adaptive policies; differs only in batch depth / qr rounds)
+    kflat = ev_full_flat > 0.1
+    for tag, evx in (("phase_adaptive64", ev_pha),
+                     ("phase_adaptive64_qr4", ev_phaq)):
+        rec[f"{tag}_sets_equal"] = bool(((evx > 0.1) == kflat).all())
+        rec[f"{tag}_rel"] = (
+            float((np.abs(evx[kflat] - ev_full_flat[kflat])
+                   / ev_full_flat[kflat]).max())
+            if kflat.any()
+            else 0.0
+        )
+        print(f"{tag}: rel={rec[f'{tag}_rel']:.2e} "
+              f"sets_equal={rec[f'{tag}_sets_equal']}", flush=True)
 
     rec.update(_picks(rec))
     print(
@@ -573,6 +619,10 @@ def _picks(rec):
         ("batch128_sig1", mb128, 1, 0),
         ("batch64_qr4", 64, 2, 4),
         ("batch128_sig1_qr4", mb128, 1, 4),
+        # sig_levels 0 = the engine's adaptive depth (bench maps to None);
+        # measured as a full phase, so its per-m includes host dispatch
+        ("phase_adaptive64", 64, 0, 0),
+        ("phase_adaptive64_qr4", 64, 0, 4),
     ):
         if f"{tag}_per_m_ms" in rec and (
             rec.get(f"{tag}_sets_equal", False)
@@ -580,8 +630,10 @@ def _picks(rec):
             and rec[f"{tag}_per_m_ms"] < 0.95 * per_m_ref
             # non-default sig/qr combos additionally need the fused-
             # Fisher gate (eigenvector quality, invisible to the
-            # spectrum gate)
-            and ((sl == 2 and qr == 0) or rec.get("fisher_combo_ok", False))
+            # spectrum gate); the adaptive depth (sl=0) is the library
+            # default policy, so only qr4 triggers the gate there
+            and ((sl in (0, 2) and qr == 0)
+                 or rec.get("fisher_combo_ok", False))
         ):
             combos.append((rec[f"{tag}_per_m_ms"], mbx, sl, qr))
     if combos:
