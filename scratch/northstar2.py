@@ -90,8 +90,28 @@ bl = np.arange(tel.npairs); fi = np.arange(tel.nfreq)
 blg, fig = [x.ravel() for x in np.meshgrid(bl, fi, indexing="ij")]
 
 # Engine: exact (the top-band A/B failed its accuracy gate on chip,
-# doc/topband_ab.json); NS2_TOPBAND=1 opts back in.
-NS2_TOPBAND = os.environ.get("NS2_TOPBAND", "0") == "1"
+# doc/topband_ab.json); NS2_TOPBAND=1 opts back in.  At ndof=3200 the
+# interleaved eigh dominates the product step, so a *passing* on-chip
+# topband record is worth a lot here: doc/ns2_overrides.json (written
+# only after doc/topband_forensic_chip.json gates green) can flip the
+# engine without editing the running chain.  Env always wins.
+_ovr = {}
+try:
+    with open("/root/repo/doc/ns2_overrides.json") as _f:
+        _ovr = json.load(_f)
+except (OSError, ValueError):
+    pass
+if _ovr.get("tb_start_frac") and not os.environ.get(
+    "DRIFTSCAN_TPU_TB_START_FRAC"
+):
+    from driftscan_tpu.parallel import resident as _res_mod
+
+    _res_mod._TB_START_FRAC = int(_ovr["tb_start_frac"])
+NS2_TOPBAND = (
+    os.environ["NS2_TOPBAND"] == "1"
+    if "NS2_TOPBAND" in os.environ
+    else bool(_ovr.get("topband", False))
+)
 rec["engine"] = "topband" if NS2_TOPBAND else "exact"
 log(f"product engine: {rec['engine']}")
 
