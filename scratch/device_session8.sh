@@ -96,14 +96,23 @@ commit_doc() {  # commit_doc <msg> <paths...>
 step() {  # step <name> <gate-grep> <timeout-s> <cmd...>
     local name="$1" gate="$2" tmo="$3"; shift 3
     committed "$gate" && return 0
+    # a deterministically-failing step must not block the queue forever
+    local failf="/tmp/chain8_fail_${name}" fails=0
+    [ -f "$failf" ] && fails=$(cat "$failf")
+    [ "$fails" -ge 2 ] && { say "$name skipped after $fails failures"; return 0; }
     if held; then watchdog_external; sleep 60; return 1; fi
     [ "$(date +%s)" -ge "$CHAIN_END" ] && { say "past CHAIN_END; skip $name"; return 0; }
     say "$name..."
-    if timeout "$tmo" "$@" > "/tmp/${name}.log" 2>&1; then
+    # -s INT: the one clean kill on this platform (TERM/KILL wedge the
+    # device claim); if the child ignores INT the step hangs until the
+    # chain is restarted — preferable to a wedged device
+    if timeout -s INT "$tmo" "$@" > "/tmp/${name}.log" 2>&1; then
         say "$name DONE"
+        rm -f "$failf"
         return 0
     fi
-    say "$name FAILED/timeout (see /tmp/${name}.log)"
+    echo $((fails + 1)) > "$failf"
+    say "$name FAILED/timeout #$((fails + 1)) (see /tmp/${name}.log)"
     sleep 60
     return 1
 }
