@@ -882,6 +882,14 @@ def main():
     pol_detail = None
     if os.environ.get("BENCH_POL", "1") == "1" and platform != "cpu":
         try:
+            # the cholqr-rounds pick was gated on the primary pencil
+            # only; the polarised leg runs the library default (the CPU
+            # comparison leg below re-applies the pick — it must mirror
+            # the chip headline's configuration exactly)
+            if qr_pick:
+                from driftscan_tpu.ops import fpencil
+
+                fpencil._CHOLQR_ROUNDS = None
             tel_p = build_pol_telescope()
             nm_p = tel_p.mmax + 1
             _log(
@@ -902,6 +910,11 @@ def main():
             )
         except Exception as exc:
             _log(f"polarised leg failed: {exc!r}")
+        finally:
+            if qr_pick:
+                from driftscan_tpu.ops import fpencil
+
+                fpencil._CHOLQR_ROUNDS = qr_pick
 
     # CPU comparison on a subset of the same work, extrapolated.  The
     # backend override is always restored (try/finally) so a failing CPU
