@@ -7,9 +7,13 @@
 # SIGINT -> SIGTERM escalation, never SIGKILL); short steps are
 # timeout-wrapped.  Steps stay gated on committed records, so a
 # restarted chain never repeats finished work.
+# The driver's round-end bench preempts any chip holder via SIGINT
+# (bench._acquire_device), and both north-star drivers checkpoint per
+# window — so the late deadlines are soft protections, not the last
+# line of defence.
 NS1_DEADLINE=${NS1_DEADLINE:-$(date -d "13:05" +%s)}
-NS2_DEADLINE=${NS2_DEADLINE:-$(date -d "15:15" +%s)}
-CHAIN_END=${CHAIN_END:-$(date -d "15:50" +%s)}
+NS2_DEADLINE=${NS2_DEADLINE:-$(date -d "16:00" +%s)}
+CHAIN_END=${CHAIN_END:-$(date -d "16:10" +%s)}
 STALL_MIN=${STALL_MIN:-55}
 
 cd /root/repo
@@ -146,6 +150,16 @@ while true; do
         python scratch/exact_profile.py || continue
     committed "chain7: exact_profile r4" || \
         commit_doc "chain7: exact_profile r4 (mb=64 stage table + combo levers)" doc/exact_profile.json
+
+    # quick full-path validity check of bench.py under the fresh picks
+    # (small scale, no legs, record aside) so the driver's round-end
+    # bench is not the first run of the new configuration
+    step bench_smoke_r4 "chain7: bench smoke r4" 2400 \
+        env BENCH_SCALE=small BENCH_POL=0 \
+        BENCH_RECORD_PATH=/root/repo/doc/bench_smoke.json \
+        python bench.py || continue
+    committed "chain7: bench smoke r4" || \
+        commit_doc "chain7: bench smoke r4" doc/bench_smoke.json
 
     step topband_chip "chain7: topband forensic chip" 3600 \
         env TB_CHIP=1 python scratch/topband_forensic.py || continue
