@@ -124,22 +124,30 @@ def test_mbatch_default_resolution(tmp_path, monkeypatch):
     monkeypatch.delenv("BENCH_MBATCH", raising=False)
 
     # no record, no env -> auto
-    assert bench._mbatch_default() == (None, None)
+    assert bench._mbatch_default() == (None, None, None)
 
     rec.write_text(json.dumps({"mbatch_pick": 32}))
-    assert bench._mbatch_default() == (32, None)
+    assert bench._mbatch_default() == (32, None, None)
 
     # pinned-depth pick wins over the adaptive sweep's
     prof.write_text(json.dumps({"mbatch_pinned_pick": 64}))
-    assert bench._mbatch_default() == (64, 2)
+    assert bench._mbatch_default() == (64, 2, None)
+
+    # a measured combo pick wins over everything, sig_levels 0 maps to
+    # the adaptive depth (None) and cholqr_rounds 0 to library default
+    prof.write_text(json.dumps({
+        "mbatch_pinned_pick": 64,
+        "product_pick": {"mbatch": 128, "sig_levels": 0, "cholqr_rounds": 4},
+    }))
+    assert bench._mbatch_default() == (128, None, 4)
 
     # a sweep with no accuracy-passing setting records null -> auto
     prof.write_text(json.dumps({"mbatch_pinned_pick": None}))
     rec.write_text(json.dumps({"mbatch_pick": None}))
-    assert bench._mbatch_default() == (None, None)
+    assert bench._mbatch_default() == (None, None, None)
 
     monkeypatch.setenv("BENCH_MBATCH", "16")
-    assert bench._mbatch_default() == (16, None)
+    assert bench._mbatch_default() == (16, None, None)
 
 
 def test_product_precision_resolution(tmp_path, monkeypatch):
