@@ -285,14 +285,19 @@ def _mbatch_default():
     if env:
         return int(env), None, None
     combo = _read_pick(_EXACT_PROFILE_DECISION, "product_pick")
-    if combo:
-        return (
-            int(combo["mbatch"]),
-            # 0 = the engine's adaptive depth (product_all_resident's
-            # sig_levels=None policy)
-            int(combo["sig_levels"]) or None,
-            int(combo.get("cholqr_rounds", 0)) or None,
-        )
+    # fail-soft on a malformed record (missing/garbage keys fall through
+    # to the pinned pick, mirroring _read_pick's OSError/ValueError path)
+    if isinstance(combo, dict):
+        try:
+            return (
+                int(combo["mbatch"]),
+                # 0 = the engine's adaptive depth (product_all_resident's
+                # sig_levels=None policy)
+                int(combo["sig_levels"]) or None,
+                int(combo.get("cholqr_rounds", 0)) or None,
+            )
+        except (KeyError, TypeError, ValueError):
+            pass
     pinned = _read_pick(_EXACT_PROFILE_DECISION, "mbatch_pinned_pick")
     if pinned:
         return int(pinned), 2, None
@@ -766,21 +771,26 @@ def _fail_line(error):
         "value": 0.0,
         "unit": "m-modes/s",
         "vs_baseline": 0.0,
+        "failed": True,
         "detail": {
             "error": error,
             "last_known_good": _last_known_good(),
         },
     }
-    # the failure record must reach BENCH_RECORD_PATH too: chain steps
-    # gate on the file, and a fail-soft exit that only prints leaves
-    # nothing to commit (observed: the 02:02 bench smoke against a
-    # wedged claim "succeeded" with no record file)
+    # A failure record must reach a file too: chain steps gate on files,
+    # and a fail-soft exit that only prints leaves nothing to inspect
+    # (observed: the 02:02 bench smoke against a wedged claim
+    # "succeeded" with no record file).  It goes to BENCH_RECORD_PATH
+    # only when the caller pinned one explicitly; the default is a
+    # DISTINCT path so a wedge can never clobber doc/bench_record.json
+    # (the last good record) — and commit steps must refuse records
+    # carrying "failed": true either way.
     try:
         rec_path = os.environ.get(
             "BENCH_RECORD_PATH",
             os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
-                "doc", "bench_record.json",
+                "doc", "bench_fail.json",
             ),
         )
         with open(rec_path + ".tmp", "w") as f:

@@ -141,6 +141,14 @@ def test_mbatch_default_resolution(tmp_path, monkeypatch):
     }))
     assert bench._mbatch_default() == (128, None, 4)
 
+    # a malformed combo (missing mbatch key) falls through to the
+    # pinned pick instead of crashing the bench at startup
+    prof.write_text(json.dumps({
+        "mbatch_pinned_pick": 64,
+        "product_pick": {"sig_levels": 1},
+    }))
+    assert bench._mbatch_default() == (64, 2, None)
+
     # a sweep with no accuracy-passing setting records null -> auto
     prof.write_text(json.dumps({"mbatch_pinned_pick": None}))
     rec.write_text(json.dumps({"mbatch_pick": None}))
