@@ -176,9 +176,19 @@ if band_lt is not None:
 # pairs) ~ 10 GB here — streamed as windows like northstar.py.  At
 # ~1.4 GB of tables per 45-m window the SHT budget + pencil workspace
 # (n=3200 eigh) fit comfortably.
+#
+# Every window gets the SAME static width (the last one padded past
+# mmax: SHT coefficients at m > lmax are exact zeros and the padded
+# m's retain nothing, so they are trimmed from the results below).
+# Round 4's np.linspace edges alternated widths 44/45, which recompiled
+# the whole window program mid-run — window 2's recompile outlived the
+# stall watchdog and cost the session (doc/ROUND4_STATE.md).  One width
+# = one compiled program for all 7 windows.
 W = 3 if SMOKE else int(os.environ.get("NS2_WINDOWS", "7"))
-edges = np.linspace(0, nm, W + 1).astype(int)
+WIDTH = -(-nm // W)  # ceil: W * WIDTH >= nm
+edges = np.arange(W + 1) * WIDTH
 rec["m_windows"] = W
+rec["m_window_width"] = int(WIDTH)
 t_btm = t_prod = 0.0
 evs, nmods = [], []
 _ckpt_dir = ("/tmp/ns2_smoke_windows" if SMOKE
@@ -189,6 +199,10 @@ fish_total = (
 )
 windows_done = 0
 for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
+    m0, m1 = int(m0), int(m1)
+    # rows [m0, m_real) are physical; [m_real, m1) is the static-width
+    # padding of the last window (zero beams, retain nothing)
+    m_real = min(m1, nm)
     ck = (f"{_ckpt_dir}/w{wi:02d}_{m0}_{m1}_{rec['engine']}"
           f"_{rec['sht_precision']}_{rec['whiten']}_{rec['beam_factor']}"
           f"_f{int(rec['fisher'])}.npz")
@@ -214,7 +228,7 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
             f"({windows_done} windows banked)")
         break
     st = time.time()
-    pos, neg = resident.btm_resident(tel, blg, fig, m_range=(int(m0), int(m1)))
+    pos, neg = resident.btm_resident(tel, blg, fig, m_range=(m0, m1))
     _ = float(np.asarray(pos.re.sum()))
     tb = time.time() - st
     sht.clear_legendre_cache()
@@ -224,15 +238,17 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
         dict(band_lt=band_lt, ps_threshold=0.1) if rec["fisher"] else {}
     )
     out = resident.product_all_resident(
-        tel, pos, neg, ls, lf, noisew, bucket=True, m_range=(int(m0), int(m1)),
+        tel, pos, neg, ls, lf, noisew, bucket=True, m_range=(m0, m1),
         topband=NS2_TOPBAND, kl_cut=0.1, **fkw,
     )
     if rec["fisher"]:
         ev, nmo, fish = out
-        fish_total += fish
+        fish_total += fish  # padded m's contribute exact zeros
     else:
         ev, nmo = out
         fish = None
+    # trim the static-width padding rows (m >= mmax + 1)
+    ev, nmo = ev[: m_real - m0], nmo[: m_real - m0]
     tp = time.time() - st
     t_prod += tp
     del pos, neg
