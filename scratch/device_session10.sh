@@ -1,4 +1,12 @@
 #!/bin/bash
+# SUPERSEDED (round 5): device chains now run through the unit-tested
+# Python runner scratch/chainrunner.py (tests/test_chainrunner.py).
+# Known bug kept for the record (round-4 advisor): step() returns 0 on
+# the skip paths, and the unconditional `committed || commit_doc` after
+# it can commit a fail-soft 0.0 record under the success gate message.
+# The Python runner fixes both (skip is a distinct outcome; records
+# with "failed": true or value 0 are never committed).  Do not copy
+# this file an 11th time.
 # Round-4 device chain, v4 (~02:00 UTC 2026-08-21).  Context: today's
 # tunnel instance wedges on the ns1 window-14 dispatch — two attempts,
 # zero windows in 100 min (historical pace: 11 min/window), host and
