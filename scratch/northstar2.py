@@ -48,11 +48,26 @@ def log(msg):
     print(f"[ns2 +{time.time()-T0:7.1f}s] {msg}", flush=True)
 
 
+# Presets: "ns2" (production-shaped axis — big per-m blocks) and
+# "ns1b" (scale axis — mmax > 1000 with real KL physics: 2x4 feeds at
+# 32 coarse channels over the full 400-800 MHz band, replacing the
+# retain-zero 2x1-feed ns1; VERDICT r4 item 7).  ns1b's coarse
+# channels (delnu 12.5 MHz vs ns1's 1.56) cut the per-channel thermal
+# noise 8x, and 40 baseline pairs replace ns1's 4 — the regime where
+# the 2x1 toy retained nothing by physics (design.md section 15).
+PRESET = os.environ.get("NS2_PRESET", "ns2")
 if SMOKE:
     tel = cylinder.PolarisedCylinderTelescope.from_config(dict(
         num_freq=2, freq_start=400.0, freq_end=410.0, freq_mode="edge",
         num_cylinders=2, cylinder_width=3.0, num_feeds=3,
         feed_spacing=1.0, tsys=50.0, single_precision=True,
+    ))
+elif PRESET == "ns1b":
+    tel = cylinder.PolarisedCylinderTelescope.from_config(dict(
+        num_freq=32, freq_start=400.0, freq_end=800.0, freq_mode="edge",
+        num_cylinders=2, cylinder_width=31.0, num_feeds=4,
+        feed_spacing=1.5, tsys=50.0, single_precision=True,
+        ndays=int(os.environ.get("NS_NDAYS", "733")),
     ))
 else:
     tel = cylinder.PolarisedCylinderTelescope.from_config(dict(
@@ -60,19 +75,31 @@ else:
         num_cylinders=2, cylinder_width=15.0, num_feeds=9,
         feed_spacing=1.0, tsys=50.0, single_precision=True,
     ))
+# per-preset artifact paths (smoke overrides below keep /tmp)
+_TAG = "ns2" if PRESET == "ns2" else PRESET
+_REC_PATH = {
+    "ns2": "/root/repo/doc/northstar2_run.json",
+    "ns1b": "/root/repo/doc/northstar1b_run.json",
+}[_TAG]
+_FISH_PATH = {
+    "ns2": "/root/repo/doc/northstar2_fisher.npz",
+    "ns1b": "/root/repo/doc/northstar1b_fisher.npz",
+}[_TAG]
+_CKPT_GIT_DIR = f"ckpt/{_TAG}_windows"
 nm = tel.mmax + 1
 S = min(4 * (tel.lmax + 1), 2 * tel.npairs)
-rec = dict(kind="production-shaped", nfreq=tel.nfreq, mmax=tel.mmax,
+rec = dict(kind=("production-shaped" if _TAG == "ns2" else "scale-axis"),
+           nfreq=tel.nfreq, mmax=tel.mmax,
            lmax=tel.lmax, npairs=tel.npairs, npol=tel.num_pol_sky,
            ntel=2 * tel.npairs, svd_len=S, ndofmax=tel.nfreq * S,
-           nfb=tel.npairs * tel.nfreq)
-log(f"production-shaped telescope: {rec}")
+           nfb=tel.npairs * tel.nfreq, ndays=tel.ndays)
+log(f"{rec['kind']} telescope: {rec}")
 
 log("covariances...")
 st = time.time()
 os.makedirs("/root/repo/.cache", exist_ok=True)
 _cov_cache = ("/tmp/ns2_smoke_cov.npz" if SMOKE
-              else "/root/repo/.cache/ns2_cov_cache.npz")
+              else f"/root/repo/.cache/{_TAG}_cov_cache.npz")
 if os.path.exists(_cov_cache):
     z = np.load(_cov_cache)
     ls, lf, noisew = z["ls"], z["lf"], z["noisew"]
@@ -131,7 +158,7 @@ NS2_FISHER = os.environ.get("NS2_FISHER", "1") == "1"
 band_lt = None
 if NS2_FISHER:
     _blt_cache = ("/tmp/ns2_smoke_band_lt.npz" if SMOKE
-                  else "/root/repo/.cache/ns2_band_lt.npz")
+                  else f"/root/repo/.cache/{_TAG}_band_lt.npz")
     try:
         if os.path.exists(_blt_cache):
             band_lt = np.load(_blt_cache)["band_lt"]
@@ -184,7 +211,13 @@ if band_lt is not None:
 # the whole window program mid-run — window 2's recompile outlived the
 # stall watchdog and cost the session (doc/ROUND4_STATE.md).  One width
 # = one compiled program for all 7 windows.
-W = 3 if SMOKE else int(os.environ.get("NS2_WINDOWS", "7"))
+W = 3 if SMOKE else int(
+    os.environ.get("NS2_WINDOWS", "7" if _TAG == "ns2" else "32")
+)
+# stop dispatching after this many windows are banked (the scale
+# axis only needs its first windows committed to demonstrate real
+# retained-mode physics at mmax > 1000; the rest can bank later)
+MAX_WINDOWS = int(os.environ.get("NS2_MAX_WINDOWS", "0")) or None
 WIDTH = -(-nm // W)  # ceil: W * WIDTH >= nm
 edges = np.arange(W + 1) * WIDTH
 rec["m_windows"] = W
@@ -192,7 +225,7 @@ rec["m_window_width"] = int(WIDTH)
 t_btm = t_prod = 0.0
 evs, nmods = [], []
 _ckpt_dir = ("/tmp/ns2_smoke_windows" if SMOKE
-             else "/root/repo/ckpt/ns2_windows")
+             else f"/root/repo/{_CKPT_GIT_DIR}")
 os.makedirs(_ckpt_dir, exist_ok=True)
 fish_total = (
     np.zeros((band_lt.shape[0],) * 2, np.complex128) if rec["fisher"] else None
@@ -223,6 +256,10 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
             windows_done += 1
             log(f"window {wi+1}/{W} m=[{m0},{m1}): restored from checkpoint")
             continue
+    if MAX_WINDOWS and windows_done >= MAX_WINDOWS:
+        log(f"window cap {MAX_WINDOWS} reached; stopping "
+            f"({windows_done} windows banked)")
+        break
     if DEADLINE and time.time() > DEADLINE:
         log(f"deadline reached before window {wi+1}/{W}; stopping "
             f"({windows_done} windows banked)")
@@ -263,13 +300,14 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
     if not SMOKE:
         for _try in range(3):
             r = subprocess.run(
-                ["git", "-C", "/root/repo", "add", "ckpt/ns2_windows"],
+                ["git", "-C", "/root/repo", "add", _CKPT_GIT_DIR],
                 capture_output=True)
             if r.returncode == 0:
                 r = subprocess.run(
                     ["git", "-C", "/root/repo", "commit", "-q",
-                     "-m", f"Production-shaped north-star window {wi+1}/{W}",
-                     "--", "ckpt/ns2_windows"], capture_output=True)
+                     "-m", f"{rec['kind']} north-star window "
+                     f"{wi+1}/{W}",
+                     "--", _CKPT_GIT_DIR], capture_output=True)
             if r.returncode == 0:
                 break
             time.sleep(5)
@@ -294,16 +332,14 @@ if fish_total is not None and windows_done:
     rec["fisher_finite"] = bool(np.isfinite(fish_total).all())
     rec["fisher_k"] = int(resident._FISHER_K[0])
     rec["fisher_diag"] = [float(x) for x in np.real(np.diag(fish_total))]
-    _fish_path = ("/tmp/ns2_smoke_fisher.npz" if SMOKE
-                  else "/root/repo/doc/northstar2_fisher.npz")
+    _fish_path = "/tmp/ns2_smoke_fisher.npz" if SMOKE else _FISH_PATH
     np.savez(_fish_path, fisher=fish_total)
     log(f"fisher saved to {_fish_path}; diag head "
         f"{np.real(np.diag(fish_total))[:3]}")
 log(f"TOTAL: btm {t_btm:.1f}s product {t_prod:.1f}s; windows "
     f"{windows_done}/{W}")
 
-_rec_path = ("/tmp/ns2_smoke_record.json" if SMOKE
-             else "/root/repo/doc/northstar2_run.json")
+_rec_path = "/tmp/ns2_smoke_record.json" if SMOKE else _REC_PATH
 # a partial record must not gate the chain as "done": keep a .partial
 # suffix until every window is banked
 if rec["partial"] and not SMOKE:
