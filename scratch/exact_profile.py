@@ -60,6 +60,18 @@ def t(f, *a, n=3):
     return best
 
 
+def _flush(rec):
+    """Incremental evidence dump: a tunnel wedge mid-profile must never
+    lose the levers already measured (round-4 lost ~70% of a session's
+    measurements to an end-only record write; round 5 lost the phase
+    probes the same way and had to transcribe the rest from the log)."""
+    path = ("/tmp/exact_profile_cpu.partial.json" if os.environ.get("AB_CPU")
+            else "/root/repo/doc/exact_profile_partial.json")
+    with open(path + ".tmp", "w") as f:
+        json.dump(rec, f, indent=1)
+    os.replace(path + ".tmp", path)
+
+
 def main():
     rec = {"stages_ms": {}}
     tel = bench.build_telescope()
@@ -119,6 +131,7 @@ def main():
         ms = t(lambda: f(*args)) * 1e3
         rec["stages_ms"][name] = round(ms, 1)
         print(f"stage {name}: {ms:.0f} ms", flush=True)
+        _flush(rec)
 
     probe(
         "beam_factor_sig",
@@ -255,6 +268,7 @@ def main():
         ms = t(lambda: f(*args)) * 1e3
         rec["stages64_ms"][name] = round(ms, 1)
         print(f"stage64 {name}: {ms:.0f} ms ({ms/mb64:.1f} ms/m)", flush=True)
+        _flush(rec)
 
     probe64(
         "beam_factor_sig",
@@ -343,6 +357,7 @@ def main():
     rec["default_prec_sets_equal"] = sets_equal
     print(f"batch default-precision: {dt_d*1e3:.0f} ms rel={rel:.2e} "
           f"sets_equal={sets_equal}", flush=True)
+    _flush(rec)
 
     # ---- lever 3: big m-batch at pinned depth ----
     # the mbatch sweep's rel ~5e-3 across batch sizes is the adaptive
@@ -411,6 +426,7 @@ def main():
         print(f"{tag}: {dtx*1e3:.0f} ms ({dtx*1e3/mbx:.1f} ms/m) "
               f"rel={relx:.2e} sets_equal={rec[f'{tag}_sets_equal']}",
               flush=True)
+        _flush(rec)
 
     # ---- lever 4: one whitened-signal Gram level at the pinned batch
     # (the QR path's y spectrum is narrow; the retained band spans only
@@ -506,6 +522,7 @@ def main():
                 resident._spectrum_batch.clear_cache()
         rec[f"{tag}_s"] = round(dtp, 2)
         rec[f"{tag}_per_m_ms"] = round(dtp * 1e3 / (tel.mmax + 1), 1)
+        _flush(rec)
         return ev
 
     ev_pha = phase_probe("phase_adaptive64", mbatch=64, bucket=False)
@@ -672,20 +689,31 @@ def _picks(rec):
     # compete (a cross of two individually-gated picks is an unmeasured
     # configuration), each gated on the same mb=8 sig2 reference
     combos = []
+    nm_rec0 = rec.get("nm", 0)
+
+    def _eff(per_m, mbx):
+        # phase-effective per-m: the real nm-long phase pads its last
+        # batch to mbx (mb=128 over nm=226 wastes 13% of its slots)
+        if not nm_rec0:
+            return per_m
+        return per_m * (-(-nm_rec0 // mbx) * mbx) / nm_rec0
+
     if "batch64_per_m_ms" in rec and (
         rec.get("batch64_sets_equal", True)
         and rec["batch64_rel_vs_mb8"] <= _GATE_REL
         and rec["batch64_per_m_ms"] < 0.95 * per_m_ref
     ):
-        combos.append((rec["batch64_per_m_ms"], 64, 2, 0))
+        combos.append((_eff(rec["batch64_per_m_ms"], 64), 64, 2, 0))
     mb128 = rec.get("mb128", 128)
     mb113 = rec.get("mb113", 113)
+    nm_rec = rec.get("nm", 0)
     for tag, mbx, sl, qr in (
         ("batch128_sig2", mb128, 2, 0),
         ("batch64_sig1", 64, 1, 0),
         ("batch128_sig1", mb128, 1, 0),
         ("batch64_qr4", 64, 2, 4),
         ("batch128_sig1_qr4", mb128, 1, 4),
+        ("batch113_sig1", mb113, 1, 0),
         ("batch113_sig1_qr4", mb113, 1, 4),
         # sig_levels 0 = the engine's adaptive depth (bench maps to None);
         # measured as a full phase, so its per-m includes host dispatch
@@ -703,7 +731,14 @@ def _picks(rec):
             and ((sl in (0, 2) and qr == 0)
                  or rec.get("fisher_combo_ok", False))
         ):
-            combos.append((rec[f"{tag}_per_m_ms"], mbx, sl, qr))
+            # single-batch probes compare at the PHASE-effective per-m:
+            # the real nm-long phase pads its last batch to mbx, so a
+            # deep batch that mis-tiles nm (mb=128 over nm=226 wastes
+            # 13% of its slots) must not beat one that tiles exactly.
+            eff = rec[f"{tag}_per_m_ms"]
+            if tag.startswith("batch"):
+                eff = _eff(eff, mbx)
+            combos.append((eff, mbx, sl, qr))
     if combos:
         best = min(combos)
         out["product_pick"] = {
