@@ -49,9 +49,12 @@ def t(f, n=3):
 
 
 def main():
+    # CPU flow checks read the real record but must never write it
     path = "/root/repo/doc/exact_profile.json"
     with open(path) as f:
         rec = json.load(f)
+    if os.environ.get("AB_CPU"):
+        path = "/tmp/exact_profile_cpu.json"
     tel = bench.build_telescope()
     cl_s, cl_n, noisew, _ = bench._covariances(tel)
     ls, lf = mstep.prepare_cl_factors(cl_s, cl_n)
@@ -102,6 +105,45 @@ def main():
     print(f"batch113_sig1: {dtx*1e3:.0f} ms ({dtx*1e3/mbx:.1f} ms/m) "
           f"rel={rel:.2e} sets_equal={rec['batch113_sig1_sets_equal']}",
           flush=True)
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1)
+
+    # ---- the fused-Fisher gate the round-5 wedge killed (identical
+    # semantics to exact_profile.py: sig1+qr4 fused Fisher over the
+    # first 16 m vs the library-default configuration, gate 1e-2) ----
+    from driftscan_tpu.ops import fpencil
+
+    try:
+        band_lt = mstep.band_factor_table(
+            iter(bench._fisher_bands(tel)), out_dtype=np.float32,
+            rank_rtol=1e-9,
+        )
+        fkw = dict(band_lt=band_lt, ps_threshold=0.1, max_m=16)
+        _, _, fish_ref = resident.product_all_resident(
+            tel, pos, neg, ls, lf, noisew, **fkw
+        )
+        fpencil._CHOLQR_ROUNDS = 4
+        resident._spectrum_batch.clear_cache()
+        try:
+            _, _, fish_agg = resident.product_all_resident(
+                tel, pos, neg, ls, lf, noisew, sig_levels=1, **fkw
+            )
+        finally:
+            fpencil._CHOLQR_ROUNDS = None
+            resident._spectrum_batch.clear_cache()
+        denom = float(np.abs(fish_ref).max()) + 1e-30
+        rec["fisher_combo_rel"] = float(
+            np.abs(fish_agg - fish_ref).max() / denom
+        )
+        rec["fisher_combo_ok"] = bool(
+            np.isfinite(fish_agg).all() and rec["fisher_combo_rel"] <= 1e-2
+        )
+        print(f"fisher combo gate: rel={rec['fisher_combo_rel']:.2e} "
+              f"ok={rec['fisher_combo_ok']}", flush=True)
+    except Exception as exc:
+        rec["fisher_combo_ok"] = False
+        rec["fisher_combo_err"] = repr(exc)[:200]
+        print(f"fisher combo gate unavailable: {exc!r}", flush=True)
 
     rec.update(exact_profile._picks(rec))
     with open(path, "w") as f:
