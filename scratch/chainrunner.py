@@ -77,6 +77,9 @@ class Step:
     # and commit paths) changes for this long; 0 disables the watchdog
     stall_timeout_s: float = 0.0
     watch_paths: Sequence[str] = ()
+    # step stdout+stderr appended here (and auto-watched: progress
+    # prints reset the stall watchdog); None inherits the chain's stdio
+    log_path: Optional[str] = None
     env: Optional[dict] = None
     max_attempts: int = 2
 
@@ -168,6 +171,8 @@ class Chain:
         rec = step.record()
         if rec and rec not in paths:
             paths.append(rec)
+        if step.log_path and step.log_path not in paths:
+            paths.append(step.log_path)
         out = {}
         for p in paths:
             try:
@@ -211,7 +216,16 @@ class Chain:
         if step.env:
             env.update(step.env)
         self.log(f"{step.name}: launching {' '.join(step.argv)}")
-        proc = self.popen(step.argv, env=env)
+        kw = {}
+        logf = None
+        if step.log_path:
+            logf = open(step.log_path, "ab", buffering=0)
+            kw = dict(stdout=logf, stderr=subprocess.STDOUT)
+        try:
+            proc = self.popen(step.argv, env=env, **kw)
+        finally:
+            if logf is not None:
+                logf.close()
         start = self.time()
         last_change = start
         mtimes = self._watch_mtimes(step)

@@ -317,6 +317,10 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
 
 rec["windows_done"] = windows_done
 rec["partial"] = windows_done < W
+rec["window_cap"] = MAX_WINDOWS or 0
+# a deliberate NS2_MAX_WINDOWS cap is a *complete* deliverable (the
+# scale axis banks its first windows by design), not a partial
+_capped_done = bool(MAX_WINDOWS and windows_done >= MAX_WINDOWS)
 evals = np.concatenate(evs) if evs else np.zeros((0, 1))
 nmodes = np.concatenate(nmods) if nmods else np.zeros(0, int)
 rec["t_btm_s"] = round(t_btm, 1)
@@ -342,7 +346,7 @@ log(f"TOTAL: btm {t_btm:.1f}s product {t_prod:.1f}s; windows "
 _rec_path = "/tmp/ns2_smoke_record.json" if SMOKE else _REC_PATH
 # a partial record must not gate the chain as "done": keep a .partial
 # suffix until every window is banked
-if rec["partial"] and not SMOKE:
+if rec["partial"] and not _capped_done and not SMOKE:
     _rec_path += ".partial"
 with open(_rec_path, "w") as f:
     json.dump(rec, f, indent=1)
