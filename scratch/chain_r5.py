@@ -56,6 +56,17 @@ def main():
             timeout_s=5400,
         ),
         Step(
+            # re-runs the (now fixed) fused-Fisher gate: the first pass
+            # was vacuous (adaptive reference == candidate; _fisher_batch
+            # cache not cleared around the qr patch).  Idempotent — also
+            # re-measures batch113_sig1 from the warm compile cache.
+            name="probe_regate",
+            argv=[PY, f"{REPO}/scratch/probe_mb113.py"],
+            commit_msg="chain-r5: fused-Fisher gate (fixed reference)",
+            commit_paths=[f"{REPO}/doc/exact_profile.json"],
+            timeout_s=2400,
+        ),
+        Step(
             name="topband_chip",
             argv=[PY, f"{REPO}/scratch/topband_forensic.py"],
             env={"TB_CHIP": "1"},

@@ -119,11 +119,25 @@ def main():
             rank_rtol=1e-9,
         )
         fkw = dict(band_lt=band_lt, ps_threshold=0.1, max_m=16)
+        # the reference MUST pin sig_levels=2 (the validated headline
+        # depth): the adaptive default resolves to sig1 at bench
+        # conditioning (lam_max < the escalation bound), which would
+        # compare the candidate to itself.  And _CHOLQR_ROUNDS is
+        # trace-time state read by _fisher_batch — whose cache must be
+        # cleared on BOTH sides of the patch or the second dispatch
+        # reuses the first leg's compiled rounds (the round-5 vacuous
+        # gate: rel exactly 0.0).
         _, _, fish_ref = resident.product_all_resident(
-            tel, pos, neg, ls, lf, noisew, **fkw
+            tel, pos, neg, ls, lf, noisew, sig_levels=2, **fkw
         )
+        if float(np.abs(fish_ref).max()) == 0.0:
+            raise RuntimeError(
+                "vacuous gate: reference Fisher is identically zero "
+                "(no retained modes in the gate window)"
+            )
         fpencil._CHOLQR_ROUNDS = 4
         resident._spectrum_batch.clear_cache()
+        resident._fisher_batch.clear_cache()
         try:
             _, _, fish_agg = resident.product_all_resident(
                 tel, pos, neg, ls, lf, noisew, sig_levels=1, **fkw
@@ -131,6 +145,7 @@ def main():
         finally:
             fpencil._CHOLQR_ROUNDS = None
             resident._spectrum_batch.clear_cache()
+            resident._fisher_batch.clear_cache()
         denom = float(np.abs(fish_ref).max()) + 1e-30
         rec["fisher_combo_rel"] = float(
             np.abs(fish_agg - fish_ref).max() / denom
