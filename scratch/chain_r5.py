@@ -41,9 +41,14 @@ def main():
     ns2_deadline = min(end - 3600, time.time() + 6 * 3600)
     steps = [
         Step(
-            name="probe_mb113",
+            # re-runs the (now fixed) fused-Fisher gate FIRST: the 08:00
+            # pass was vacuous (adaptive reference == candidate;
+            # _fisher_batch cache not cleared around the qr patch).
+            # Running it before the rehearsal means the rehearsal and
+            # its warm compile cache ride the adopted picks.
+            name="probe_regate",
             argv=[PY, f"{REPO}/scratch/probe_mb113.py"],
-            commit_msg="chain-r5: mb113 + fused-Fisher gate probe",
+            commit_msg="chain-r5: fused-Fisher gate (fixed reference)",
             commit_paths=[f"{REPO}/doc/exact_profile.json"],
             timeout_s=2400,
         ),
@@ -53,18 +58,9 @@ def main():
             env={"BENCH_RECORD_PATH": f"{REPO}/doc/bench_rehearsal.json"},
             commit_msg="chain-r5: bench rehearsal (adopted picks)",
             commit_paths=[f"{REPO}/doc/bench_rehearsal.json"],
+            log_path="/tmp/bench_rehearsal_r5.log",
+            stall_timeout_s=2400,
             timeout_s=5400,
-        ),
-        Step(
-            # re-runs the (now fixed) fused-Fisher gate: the first pass
-            # was vacuous (adaptive reference == candidate; _fisher_batch
-            # cache not cleared around the qr patch).  Idempotent — also
-            # re-measures batch113_sig1 from the warm compile cache.
-            name="probe_regate",
-            argv=[PY, f"{REPO}/scratch/probe_mb113.py"],
-            commit_msg="chain-r5: fused-Fisher gate (fixed reference)",
-            commit_paths=[f"{REPO}/doc/exact_profile.json"],
-            timeout_s=2400,
         ),
         Step(
             name="topband_chip",
