@@ -946,7 +946,13 @@ def main():
     # CPU comparison on a subset of the same work, extrapolated.  The
     # backend override is always restored (try/finally) so a failing CPU
     # leg cannot poison the process state for anything that follows.
+    # The denominator's basis is recorded in detail.cpu_leg (VERDICT r4
+    # item 6): this bench host exposes ONE core, so the honest measured
+    # denominator is single-process CPU throughput — a 64-rank MPI
+    # comparison cannot be run here and vs_baseline must be read as
+    # "per CPU core", not "per 64-rank job".
     vs_baseline = None
+    cpu_detail = None
     if platform != "cpu":
         import driftscan_tpu.backend as backend
 
@@ -1012,9 +1018,23 @@ def main():
                 del _st
 
                 cpu_rate = nm / (t_btm_cpu + t_prod_cpu)
+                cpu_detail = {
+                    # basis of the vs_baseline denominator, spelled out
+                    "nproc": 1,
+                    "host_cores": os.cpu_count(),
+                    "nm_subset": int(nsub),
+                    "fb_units_measured": int(n_done),
+                    "fb_units_total": int(n_units),
+                    "reps_medianized": int(reps),
+                    "extrapolated_to_full_nm": True,
+                    "t_btm_cpu_extrap_s": round(t_btm_cpu, 1),
+                    "t_product_cpu_extrap_s": round(t_prod_cpu, 1),
+                }
                 if with_fisher is not None and t_fused_cpu is not None:
                     cpu_rate4 = nm / (t_btm_cpu + t_fused_cpu)
                     vs_baseline = with_fisher / cpu_rate4
+                    cpu_detail["t_fused_cpu_extrap_s"] = round(t_fused_cpu, 1)
+                    cpu_detail["cpu_m_per_s_4phase"] = round(cpu_rate4, 4)
                     _log(
                         f"CPU leg (median of {reps}): btm {t_btm_cpu:.1f}s, "
                         f"product {t_prod_cpu:.1f}s, fused prod+fisher "
@@ -1023,6 +1043,7 @@ def main():
                     )
                 else:
                     vs_baseline = mm_per_sec / cpu_rate
+                    cpu_detail["cpu_m_per_s_3phase"] = round(cpu_rate, 4)
                     _log(
                         f"CPU leg (median of {reps}): btm {t_btm_cpu:.1f}s, "
                         f"product {t_prod_cpu:.1f}s (extrap) "
@@ -1080,6 +1101,7 @@ def main():
             ),
             **({"t_fisher_s": round(t_f, 2)} if t_f else {}),
             **(pol_detail or {}),
+            **({"cpu_leg": cpu_detail} if cpu_detail else {}),
             # compile/warm-up split (cold unless the persistent
             # compilation cache in .jax_cache is populated)
             **_PHASES,
