@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import abc
 import logging
+import os
 from functools import cached_property
 
 import jax.numpy as jnp
@@ -634,7 +635,25 @@ class TransitTelescope(Observer, metaclass=abc.ABCMeta):
         return tarray.reshape(tshape)
 
     def _nside_for(self, lmax: int) -> int:
-        return healpix.nside_for_lmax(int(lmax), accuracy_boost=self.accuracy_boost)
+        """Pixelisation for a unit's band limit (reference
+        drift/core/telescope.py:227 ``accuracy_boost`` semantics).
+
+        ``DRIFTSCAN_TPU_NSIDE_CAP`` (power of two, 0/unset = off) clamps
+        the boosted nside from above, but never below the un-boosted
+        adequacy criterion ``2*nside >= lmax``: the boost doubling is a
+        margin knob, and at band limits just past a power-of-two
+        boundary (e.g. lmax 1035) it quadruples the pixel grid for the
+        few longest-baseline units, whose ring-padded geometry program
+        alone exceeds a 16 GB chip's HBM (measured: 17.0 GB at
+        nside 2048).  The cap trades that margin back for those units
+        only; everything at or below the cap is untouched.
+        """
+        ns = healpix.nside_for_lmax(int(lmax), accuracy_boost=self.accuracy_boost)
+        cap = int(os.environ.get("DRIFTSCAN_TPU_NSIDE_CAP", "0") or 0)
+        if cap:
+            floor = healpix.nside_for_lmax(int(lmax), accuracy_boost=0.0)
+            ns = max(min(ns, cap), floor)
+        return ns
 
     def _transfer_batch(self, bl_ind, f_ind, nside, lmax, lside):
         """Compute transfer matrices for a batch of units at one nside.

@@ -299,3 +299,40 @@ class TestChannelSelection:
         beam = bt.beam_m(1)
         assert beam.shape[0] == 3  # nfreq axis follows the selection
         assert np.isfinite(beam).all()
+
+
+class TestNsideCap:
+    """DRIFTSCAN_TPU_NSIDE_CAP clamps the boosted nside but never below
+    the un-boosted adequacy criterion 2*nside >= lmax."""
+
+    def _tel(self):
+        from driftscan_tpu.telescope import cylinder
+
+        return cylinder.UnpolarisedCylinderTelescope.from_config(
+            dict(num_freq=1, freq_start=400.0, freq_end=410.0,
+                 freq_mode="edge", num_cylinders=1, cylinder_width=2.0,
+                 num_feeds=2, feed_spacing=1.5)
+        )
+
+    def test_cap_off_is_identity(self, monkeypatch):
+        monkeypatch.delenv("DRIFTSCAN_TPU_NSIDE_CAP", raising=False)
+        tel = self._tel()
+        from driftscan_tpu.ops import healpix
+
+        for lm in (64, 1006, 1035):
+            assert tel._nside_for(lm) == healpix.nside_for_lmax(
+                lm, accuracy_boost=tel.accuracy_boost
+            )
+
+    def test_cap_clamps_boost_only(self, monkeypatch):
+        monkeypatch.setenv("DRIFTSCAN_TPU_NSIDE_CAP", "1024")
+        tel = self._tel()
+        # lmax 1035: boosted pick is 2048; cap brings it to 1024, which
+        # still satisfies 2*nside >= lmax
+        assert tel._nside_for(1035) == 1024
+        assert 2 * 1024 >= 1035
+        # below the cap nothing changes
+        assert tel._nside_for(64) == 64
+        # the cap never goes below the un-boosted floor
+        monkeypatch.setenv("DRIFTSCAN_TPU_NSIDE_CAP", "256")
+        assert tel._nside_for(1035) == 1024  # floor wins over the cap
