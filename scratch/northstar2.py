@@ -148,6 +148,7 @@ if not SMOKE:
 from driftscan_tpu.ops import fpencil as _fp
 from driftscan_tpu.ops import sht as _sht
 
+rec["nside_cap"] = int(os.environ.get("DRIFTSCAN_TPU_NSIDE_CAP", "0") or 0)
 rec["sht_precision"] = _sht._SHT_PRECISION or "highest"
 rec["whiten"] = _fp._WHITEN_IMPL
 rec["beam_factor"] = _fp._BEAM_FACTOR_IMPL
