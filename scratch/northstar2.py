@@ -219,6 +219,8 @@ W = 3 if SMOKE else int(
 # axis only needs its first windows committed to demonstrate real
 # retained-mode physics at mmax > 1000; the rest can bank later)
 MAX_WINDOWS = int(os.environ.get("NS2_MAX_WINDOWS", "0")) or None
+# skip dispatch below this window index (restored checkpoints still count)
+WINDOW_OFFSET = int(os.environ.get("NS2_WINDOW_OFFSET", "0"))
 WIDTH = -(-nm // W)  # ceil: W * WIDTH >= nm
 edges = np.arange(W + 1) * WIDTH
 rec["m_windows"] = W
@@ -257,6 +259,13 @@ for wi, (m0, m1) in enumerate(zip(edges[:-1], edges[1:])):
             windows_done += 1
             log(f"window {wi+1}/{W} m=[{m0},{m1}): restored from checkpoint")
             continue
+    if wi < WINDOW_OFFSET:
+        # scale-axis cherry-pick: dispatch starts at this window index
+        # (committed checkpoints below the offset still restore above).
+        # The KL retention is concentrated at mid m — ns2's own window 1
+        # held 15 of its 1303 retained modes — so banking a mid-m window
+        # first demonstrates the retained-mode physics per chip-hour.
+        continue
     if MAX_WINDOWS and windows_done >= MAX_WINDOWS:
         log(f"window cap {MAX_WINDOWS} reached; stopping "
             f"({windows_done} windows banked)")
